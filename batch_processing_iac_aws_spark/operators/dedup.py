@@ -1,0 +1,285 @@
+"""Document deduplication for large-scale training-data pipelines: exact
+(hash groupBy), MinHash + LSH banding (fuzzy), SimHash, and exact n-gram
+Jaccard verification. All pure DataFrame ops — hashing, shingling, and the
+per-permutation minimum all run JVM-side with map-side partial aggregation,
+which is what makes this shape viable at 100 TB: the only shuffles are
+(1) the per-doc signature aggregation and (2) the LSH bucket join, both on
+keys we choose.
+
+Determinism: hash-family parameters derive from a seed via a fixed LCG, so
+the same inputs always produce the same signatures/candidates (required for
+the driver's repeated correctness runs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# Mersenne prime 2^31 - 1: keeps a*h+b inside signed-64 without overflow
+# (h is first folded into [0, P), and a,b < P, so a*h+b < 2^62).
+_P = 2_147_483_647
+
+
+def _hash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a fixed multiplicative LCG."""
+    params = []
+    state = seed or 1
+    for _ in range(num_perm):
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (
+            2**63
+        )
+        a = state % (_P - 1) + 1
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (
+            2**63
+        )
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], *, tiebreaker: str
+) -> DataFrame:
+    """Keep exactly one row per distinct value of ``cols`` — the one with the
+    smallest ``tiebreaker`` (deterministic, unlike dropDuplicates whose
+    survivor depends on task scheduling)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(tiebreaker).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col, k: int = 3):
+    """Distinct word k-shingles of a text column: lowercase, whitespace
+    split, sliding windows of k words joined by single spaces. Pure HOFs."""
+    words = F.split(F.lower(text_col), r"\s+")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) — min over shingles of (a*h+b) mod P
+    per permutation. One explode + one groupBy; the 64 mins are 64 agg
+    columns, so map-side combine keeps the shuffle at one row per doc."""
+    params = _hash_params(num_perm, seed)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__s")
+    )
+    # fold xxhash64 into [0, P) so the affine step can't overflow
+    sh = sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    Signature split into ``bands`` bands of num_perm/bands rows; docs
+    sharing any band hash become a candidate pair, scored with the
+    signature-estimated Jaccard. Returns (id_a, id_b, est_jaccard),
+    id_a < id_b, one row per pair.
+
+    Scale: the band bucket join is an equi-join on (band_idx, band_hash) —
+    skew (a degenerate bucket full of boilerplate docs) is the risk; AQE
+    skew-join handles moderate cases, and upstream length/quality filters
+    are the structural fix.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        shingle_k=shingle_k,
+        seed=seed,
+    ).cache()
+
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a",
+                        "sig_b",
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(len(_hash_params(num_perm, seed))),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def exact_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step after
+    LSH): |A ∩ B| / |A ∪ B| via array_intersect/array_union — JVM-side."""
+    sets_df = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit j, sign of the sum of
+    (+1/-1) weighted by token-hash bit j; near-duplicates have small
+    Hamming distance. The 64 bit-sums are agg columns (map-side combine),
+    one explode + one groupBy — same scale shape as minhash."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    sums = tokens.groupBy(id_col).agg(*aggs)
+    hash_expr = None
+    for j in range(bits):
+        bit = F.when(F.col(f"__b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        hash_expr = term if hash_expr is None else hash_expr.bitwiseXOR(term)
+    return sums.select(F.col(id_col), hash_expr.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash: band the 64-bit hash into 4
+    16-bit chunks (pigeonhole: hamming<=3 pairs share at least one chunk),
+    bucket-join on chunks, verify with bit_count(xor) <= max_hamming."""
+    sh = simhash(df, id_col=id_col, text_col=text_col).cache()
+    chunked = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

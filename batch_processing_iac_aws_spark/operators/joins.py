@@ -1,0 +1,119 @@
+"""Join operators Spark lacks as built-ins: as-of (point-in-time) joins and
+interval-overlap joins, expressed as compositions of existing DataFrame ops
+(SURVEY.md §2B) — no custom Catalyst work, one shuffle each.
+
+The as-of join uses the union+window pattern: instead of a non-equi join
+(which Spark would execute as a broadcast-nested-loop at scale), both sides
+are unioned on the key, sorted by time within key, and the right side's
+attributes are forward-filled with ``last(..., ignorenulls=True)``. Cost: a
+single shuffle on the key — the same partitioning a downstream keyed agg
+would reuse. This is the standard scalable formulation of point-in-time
+joins on Spark.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    suffix: str = "_right",
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` (direction='backward') or the least
+    ``right_ts >= left_ts`` ('forward') within the same ``on`` key.
+
+    Right columns (except the key) come back suffixed; all left columns pass
+    through unchanged. Left rows with no match keep NULL right columns
+    (left-outer as-of semantics, matching DuckDB's ASOF LEFT JOIN).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+
+    left_cols = left.columns
+    right_cols = [c for c in right.columns if c != on]
+    out_right = [f"{c}{suffix}" for c in right_cols]
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c != on
+        ],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols if c != on],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    unioned = r.unionByName(l)
+
+    # Right rows sort before left rows at equal ts, so right_ts == left_ts
+    # counts as "at or before" (ASOF >= semantics), both directions.
+    order = (
+        [F.col("__t").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side").asc()]
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
+            .over(w)
+            .alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    extra: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose [start, end] intervals overlap:
+    ``l.start < r.end AND r.start < l.end``.
+
+    At 100 TB this is the operator to pair with a coarse equi-join key
+    (e.g. day bucket) so the non-equi predicate only runs within buckets;
+    pass that bucket equality via ``extra``.
+    """
+    cond = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    if extra is not None:
+        cond = cond & extra
+    return left.join(right, cond, how)

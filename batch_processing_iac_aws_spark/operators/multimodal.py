@@ -1,0 +1,127 @@
+"""Multimodal columns: image/audio/video as opaque BinaryType payloads with
+typed metadata structs, processed via Arrow-batched mapInPandas.
+
+The Spark-side plumbing here is real and tested — schema contracts,
+partition-sized Arrow batches, deterministic outputs. The actual codec work
+(JPEG decode, audio resample, video frame-sample) is stubbed: the container
+has no image/audio libraries, so ``decode_fn=None`` uses a deterministic
+fake "decoder" (content-hash features), and passing a real decoder is the
+single integration point (see ``decode_image_real`` which raises
+NotImplementedError until PIL/ffmpeg are available).
+
+Scale notes: binary payloads ride Parquet natively; keep them OUT of shuffle
+keys and project them away before wide operations. mapInPandas streams Arrow
+batches, so peak executor memory is one batch of payloads, not a partition —
+set spark.sql.execution.arrow.maxRecordsPerBatch to bound it for large blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal column convention: payload + typed metadata struct.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("width", LongType(), True),
+                    StructField("height", LongType(), True),
+                    StructField("n_bytes", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> list[float]:
+    """Real decoder integration point — requires an image library."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not present in this environment; "
+        "pass decode_fn=... with a real implementation"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic content-derived pseudo-features: sha256 bytes scaled to
+    [0,1). Stands in for a decoder so the full pipeline shape is testable."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    decode_fn=None,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    ``decode_fn: bytes -> list[float]`` defaults to the deterministic fake.
+    Arrow-batched: one pandas frame per batch, vectorized metadata, per-row
+    decode only for the payload itself.
+    """
+    fn = decode_fn or (lambda p: _fake_features(p, feature_dim))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else 0
+                    ).astype("int64"),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "features": payloads.map(fn),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def text_as_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: build a MEDIA_SCHEMA frame from the documents table (UTF-8
+    payloads) so the multimodal plumbing is exercisable on the test data."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

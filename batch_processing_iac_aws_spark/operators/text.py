@@ -1,0 +1,137 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+heuristics, language-ID, and document fingerprinting — all built-in
+pyspark.sql.functions (split/transform/aggregate), zero Python UDFs, so
+the whole surface runs in whole-stage codegen at fact-table scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
+#: Public common-word lists; intentionally minimal — the operator's value is
+#: the scalable voting plumbing, not lexicon quality.
+_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "est", "en", "que", "une", "pour"),
+    "zh": ("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"),
+}
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), r"\s+")
+
+
+def bpe_ish_tokens(text_col: Column | str) -> Column:
+    """Subword-ish tokenization: split on word boundaries AND punctuation,
+    keeping digit runs separate — a regex approximation of BPE pre-tokenizer
+    behavior (GPT-2 style contractions/letters/digits/other classes)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.expr(
+        f"filter(regexp_extract_all({_sql(c)}, \"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+\", 0), x -> x != '')"
+    )
+
+
+def _sql(c: Column) -> str:
+    # pragma helper: Column -> SQL text for use inside F.expr
+    return c._jc.toString()  # noqa: SLF001
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Append per-doc quality heuristics: token counts, distinct-token
+    ratio, mean token length, and a composite [0,1] quality score. Integer
+    arithmetic + one final division => bit-identical across engines."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_uniq_tokens", n_uniq)
+        .withColumn("uniq_ratio", F.round(uniq_ratio, 4))
+        .withColumn(
+            "avg_token_len", F.round(sum_len.cast("double") / n_tok, 4)
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+                + uniq_ratio * 0.5,
+                4,
+            ),
+        )
+    )
+
+
+def language_id(df: DataFrame, *, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-voting language ID: score per language = number of that
+    language's stopwords present as tokens; argmax wins, 'und' (undetermined)
+    when all scores are zero. Deterministic tie-break by language code.
+
+    Expressed as array ops over a literal lexicon — at scale this is a
+    map-only pass (no shuffle, no UDF)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = []
+    for lang in sorted(_STOPWORDS):
+        lex = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(toks, lex)).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct: orders by (score, lang) — ties resolve to the
+    # lexicographically greatest lang; invert lang for deterministic a<z wins
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best.getField("score") > 0, best.getField("lang")).otherwise("und"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """128-bit content fingerprint (md5 of normalized text): collapse
+    whitespace + lowercase, so formatting-only variants collide — the cheap
+    first pass before MinHash."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(F.trim(normalized)))
+
+
+def rolling_hash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "rolling_hash",
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Polynomial rolling hash over characters (Rabin-Karp style), computed
+    with a single aggregate fold over the character array — demonstrates
+    order-sensitive hashing without leaving the JVM."""
+    chars = F.split(F.col(text_col), "")
+    return df.withColumn(
+        out_col,
+        F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(
+                acc * base + F.ascii(ch).cast("long"), F.lit(mod)
+            ),
+        ),
+    )

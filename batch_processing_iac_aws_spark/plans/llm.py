@@ -1,0 +1,277 @@
+"""LLM-training-data queries (SURVEY.md §2B): deduplication, similarity
+search, text analysis, multimodal plumbing — each over the driver's
+documents/embeddings tables. SQL-expressible ones carry a DuckDB oracle;
+sketch/LSH ops are rows-only and verified by property tests instead."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash,
+)
+from ..operators.multimodal import extract_features, text_as_media
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.text import fingerprint, language_id, quality_features
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: one surviving doc_id (smallest) per distinct text,
+    plus the multiplicity it absorbed. Single hash-aggregate shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "n_copies")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+SELECT sha256(text) AS text_hash,
+       min(doc_id)  AS keeper,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed exact dedup — at 100 TB you group by a 32-byte digest, not
+    the document body, so the shuffle moves hashes instead of texts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.sha2("text", 256))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query("dedup_keep_first")  # deterministic survivor selection; oracle below
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup operator: full surviving rows (deterministic smallest
+    doc_id per fingerprint)."""
+    d = fingerprint(_t(spark, sf_dir, "documents"))
+    return exact_dedup(d, ["fingerprint"], tiebreaker="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# rows-only: MinHash-LSH (hash-family specifics aren't SQL-portable)
+@query("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs: MinHash (64 perms) + LSH (16 bands).
+    Verified by property tests (tests/test_dedup.py) against exact Jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, id_col="doc_id", text_col="text", num_perm=64, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash (rows-only; determinism + near-dup behavior
+    property-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, id_col="doc_id", text_col="text")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])) AS score
+    FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 4) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 20 query vectors — the baseline
+    ANN answers are measured against."""
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 20), k=5
+    )
+
+
+@query("similarity_lsh")
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only; recall vs brute force
+    asserted in tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e, e.filter(F.col("vec_id") < 20), k=5, n_planes=12, bands=4
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       round(avg(n_chars), 2)    AS avg_chars,
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks, text FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT)                    AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT)     AS n_uniq_tokens,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+       round(list_reduce([CAST(length(x) AS BIGINT) FOR x IN toks],
+                         (a, b) -> a + b) * 1.0 / len(toks), 4) AS avg_token_len,
+       round(least(len(toks) / 100.0, 1.0) * 0.5
+             + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.5, 4) AS quality_score
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        "uniq_ratio",
+        "avg_token_len",
+        "quality_score",
+    )
+
+
+@query(
+    "text_token_topk",
+    oracle="""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 — explode + count, partial agg does the
+    heavy lifting map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@query("text_langid")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID (rows-only: heuristic lexicon isn't
+    SQL-portable; determinism property-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang", "lang_pred")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload convention: UTF-8 payload bytes + digest, computed
+    JVM-side (the mapInPandas feature path is exercised separately)."""
+    d = _t(spark, sf_dir, "documents")
+    media = text_as_media(d)
+    return media.select(
+        "media_id",
+        F.col("meta").getField("n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic stub decoder — see operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(text_as_media(d)).select(
+        "media_id", "n_bytes", "sha256"
+    )

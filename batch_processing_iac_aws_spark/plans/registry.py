@@ -1,0 +1,44 @@
+"""Registration decorator for the queries()/oracle_sql() driver contract.
+
+Canonicalization rules every registered pair follows (so the driver's
+order-insensitive value hash matches across Spark and DuckDB):
+
+* every computed column is aliased identically on both sides;
+* double aggregates are ``round``-ed (2 decimals for money-grid sums,
+  4-6 for averages and transcendentals) — both engines land on the same
+  nearest-double;
+* DuckDB integer sums are ``CAST(... AS BIGINT)`` (DuckDB widens to
+  HUGEINT, Spark to LONG);
+* timestamps are compared as TIMESTAMP_NTZ (session TZ pinned to UTC) or as
+  BIGINT epoch micros; events.ts nanoseconds are truncated to micros
+  identically in catalog.load_table and DuckDB's reader;
+* any LIMIT/top-k is made deterministic with a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``name`` with an optional DuckDB oracle twin.
+
+    Queries without an oracle get the driver's weaker rows-only check; keep
+    those to genuinely non-SQL-expressible ops (MinHash-LSH, approx sketches,
+    stateful streaming) and compensate with property tests.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

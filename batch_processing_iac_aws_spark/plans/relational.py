@@ -1,0 +1,771 @@
+"""Relational operator surface (SURVEY.md §2B): TPC-H-style analytics, every
+join type (incl. broadcast / semi / anti / non-equi range / as-of / interval
+overlap), aggregation variants (distinct, approx, rollup/cube/grouping sets,
+pivot), sort/limit, set ops, and subquery patterns.
+
+Scale notes that apply throughout:
+* dimension tables (region/nation/supplier/customer/part) are broadcast —
+  explicitly via F.broadcast or implicitly via autoBroadcastJoinThreshold —
+  so the fact-table scan never shuffles for them;
+* filters are expressed on base columns before joins so Catalyst pushes them
+  into the parquet scan (verified in tests/test_plans.py);
+* every top-k uses a unique tiebreaker so results are deterministic under
+  parallel execution.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import ensure_views, load_table
+from ..operators.joins import asof_join
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                    AS avg_qty,
+       round(avg(l_extendedprice), 6)                               AS avg_price,
+       round(avg(l_discount), 6)                                    AS avg_disc,
+       CAST(count(*) AS BIGINT)                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_top_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join types
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+WITH cc AS (
+    SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_nationkey
+), ss AS (
+    SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(cc.nk, ss.nk) AS nationkey, cc.n_customers, ss.n_suppliers
+FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND year(l.l_shipdate) = 1995
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: parts never shipped in 1995."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    p = _t(spark, sf_dir, "part")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r.r_name, s.s_name FROM region r CROSS JOIN supplier s",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    return r.crossJoin(s).select("r_name", "s_name")
+
+
+@query(
+    "join_range",
+    oracle="""
+SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+GROUP BY e1.user_id
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: event pairs within one hour, per user. The
+    equi part (user_id) keeps this a hash/sort-merge join, not a cartesian;
+    at scale, bucketing both sides by user_id makes it co-located."""
+    e = _t(spark, sf_dir, "events")
+    e1 = e.select(F.col("user_id"), F.col("ts").alias("ts1"))
+    e2 = e.select(F.col("user_id").alias("user_id2"), F.col("ts").alias("ts2"))
+    return (
+        e1.join(
+            e2,
+            (e1.user_id == e2.user_id2)
+            & (e2.ts2 > e1.ts1)
+            & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(v.ts) AS view_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest view at-or-before it
+    for the same user — implemented shuffle-once via union + window
+    (operators/joins.py), the Spark-native pattern for point-in-time joins."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        purchases,
+        views.select("user_id", "ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("view_us"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+    SELECT user_id, min(ts) AS s, max(ts) AS e FROM events
+    WHERE event_type = 'click' GROUP BY user_id
+), b AS (
+    SELECT user_id, min(ts) AS s, max(ts) AS e FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_overlaps
+FROM a JOIN b ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (a.start < b.end AND b.start < a.end) between
+    per-user activity spans of two event types."""
+    e = _t(spark, sf_dir, "events")
+
+    def spans(etype: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        )
+
+    a = spans("click").alias("a")
+    b = spans("view").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+       round(sum(l_quantity), 2)           AS sum_qty,
+       round(avg(l_extendedprice), 6)      AS avg_price,
+       round(min(l_extendedprice), 2)      AS min_price,
+       round(max(l_extendedprice), 2)      AS max_price,
+       round(stddev_samp(l_quantity), 6)   AS sd_qty,
+       round(var_samp(l_quantity), 6)      AS var_qty
+FROM lineitem
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct")  # sketch-based: no exact SQL oracle, rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
+    countDistinct's full shuffle. Accuracy asserted vs exact in tests."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT n.n_name, c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS sum_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT n.n_name, c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_mktsegment, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .fillna(0, subset=["F", "O", "P"])
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / distinct / set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "distinct_set",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "union_all",
+    oracle="""
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+)
+GROUP BY nationkey
+""",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT p_size FROM part WHERE p_size <= 30
+EXCEPT
+SELECT p_size FROM part WHERE p_size <= 20
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") <= 30).select("p_size")
+    b = p.filter(F.col("p_size") <= 20).select("p_size")
+    return a.subtract(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+# --------------------------------------------------------------------------
+# Subquery patterns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_above,
+       round(avg(o_totalprice), 4) AS avg_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    mean = o.agg(F.avg("o_totalprice").alias("mean_price"))
+    return (
+        o.join(F.broadcast(mean))
+        .filter(F.col("o_totalprice") > F.col("mean_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_above"),
+        )
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+)
+GROUP BY c_mktsegment
+""",
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    return (
+        c.join(
+            F.broadcast(asia_nations),
+            c.c_nationkey == asia_nations.n_nationkey,
+            "left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

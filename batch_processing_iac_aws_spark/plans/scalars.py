@@ -1,0 +1,293 @@
+"""Scalar-function surface (SURVEY.md §2B): string, date/time, math, array
+(incl. higher-order functions — the reference's core trick,
+pyspark_skript/pyspark_script.py:80-96), map, JSON, conditional/null, and
+cast semantics. All JVM-side built-ins — none of this touches Python row
+processing, so every expression stays inside whole-stage codegen.
+
+Cross-engine canonicalization notes (Spark vs DuckDB):
+* dayofweek: Spark is 1-7 Sunday=1, DuckDB 0-6 Sunday=0 -> oracle adds 1;
+* year()/month()/day(): Spark INT, DuckDB BIGINT -> oracle casts to INT;
+* transcendentals (ln/exp/sqrt) rounded to 6 — libm results agree to well
+  under 1e-6 at these magnitudes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "string_funcs",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name)                                   AS name_lower,
+       upper(p_brand)                                  AS brand_upper,
+       CAST(length(p_name) AS INT)                     AS name_len,
+       substr(p_name, 1, 5)                            AS name_pfx,
+       concat_ws('-', p_brand, p_type)                 AS brand_type,
+       replace(p_name, ' ', '_')                       AS name_snake,
+       reverse(p_type)                                 AS type_rev,
+       CAST(contains(p_name, 'a') AS INT)              AS has_a,
+       CAST(starts_with(p_type, 'S') AS INT)           AS is_s,
+       CAST(strpos(p_name, 'e') AS INT)                AS first_e,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0')        AS key_padded,
+       regexp_extract(p_type, '([A-Z]+)', 1)           AS type_word,
+       CAST(len(string_split(p_name, ' ')) AS INT)     AS n_words
+FROM part
+""",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_type").alias("type_rev"),
+        F.col("p_name").contains("a").cast("int").alias("has_a"),
+        F.col("p_type").startswith("S").cast("int").alias("is_s"),
+        F.instr("p_name", "e").alias("first_e"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)                   AS yr,
+       CAST(month(o_orderdate) AS INT)                  AS mo,
+       CAST(day(o_orderdate) AS INT)                    AS dom,
+       CAST(quarter(o_orderdate) AS INT)                AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INT)          AS dow,
+       date_trunc('month', o_orderdate)                 AS month_start,
+       CAST(o_orderdate AS DATE) + 30                   AS due_date,
+       CAST(date_diff('day', o_orderdate,
+                      TIMESTAMP '2002-01-01') AS INT)   AS days_to_2002,
+       last_day(CAST(o_orderdate AS DATE))              AS month_end,
+       epoch(o_orderdate)                               AS epoch_s
+FROM orders
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.last_day(d).alias("month_end"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("epoch_s"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+SELECT c_custkey,
+       round(abs(c_acctbal), 2)                    AS bal_abs,
+       CAST(ceil(c_acctbal) AS BIGINT)             AS bal_ceil,
+       CAST(floor(c_acctbal) AS BIGINT)            AS bal_floor,
+       round(c_acctbal, 1)                         AS bal_r1,
+       round(sqrt(abs(c_acctbal)), 6)              AS bal_sqrt,
+       round(power(c_acctbal / 1000, 2), 6)        AS bal_sq,
+       CAST(mod(c_custkey, 7) AS BIGINT)           AS key_mod,
+       CAST(sign(c_acctbal) AS DOUBLE)             AS bal_sign,
+       round(ln(1 + abs(c_acctbal)), 6)            AS bal_ln,
+       round(log10(1 + abs(c_acctbal)), 6)         AS bal_log10,
+       round(greatest(c_acctbal, 0), 2)            AS bal_pos,
+       round(least(c_acctbal, 0), 2)               AS bal_neg
+FROM customer
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(bal), 2).alias("bal_abs"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.floor(bal).alias("bal_floor"),
+        F.round(bal, 1).alias("bal_r1"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.pow(bal / 1000, 2), 6).alias("bal_sq"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+        F.signum(bal).alias("bal_sign"),
+        F.round(F.log(F.lit(1) + F.abs(bal)), 6).alias("bal_ln"),
+        F.round(F.log10(F.lit(1) + F.abs(bal)), 6).alias("bal_log10"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("bal_pos"),
+        F.round(F.least(bal, F.lit(0.0)), 2).alias("bal_neg"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)                          AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4)               AS first_val,
+       [round(CAST(x AS DOUBLE), 4) FOR x IN embedding[1:3]] AS head3,
+       round(list_reduce([CAST(x AS DOUBLE) FOR x IN embedding],
+                         (a, b) -> a + b), 4)               AS vec_sum
+FROM embeddings
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface incl. the HOFs the reference leans on (sequence/
+    transform, pyspark_script.py:80-96): size, indexing, slice+transform,
+    and aggregate (fold) — all JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
+        F.transform(
+            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+        F.round(
+            F.aggregate(
+                emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+@query(
+    "array_agg_funcs",
+    oracle="""
+SELECT label,
+       list_sort(list(vec_id))         AS vec_ids,
+       CAST(count(*) AS BIGINT)        AS n_vecs
+FROM embeddings GROUP BY label
+""",
+)
+def array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+SELECT c_custkey,
+       round(c_acctbal, 2)   AS bal_from_map,
+       c_mktsegment          AS seg_from_map,
+       ['bal', 'seg']        AS map_keys_sorted
+FROM customer
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element access + key listing. The oracle states the
+    expected ground truth directly — the roundtrip through MapType is the
+    Spark behavior under test."""
+    c = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("bal"), F.round("c_acctbal", 2).cast("string"),
+        F.lit("seg"), F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "bal").cast("double").alias("bal_from_map"),
+        F.element_at(m, "seg").alias("seg_from_map"),
+        F.sort_array(F.map_keys(m)).alias("map_keys_sorted"),
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+FROM events
+""",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-as-string column access two ways: path extraction
+    (get_json_object) and full parse to struct (from_json) — both JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+    )
+
+
+@query(
+    "case_null_funcs",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END                                    AS bal_band,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')    AS seg_or_other,
+       CAST(c_acctbal IS NULL AS INT)                          AS bal_is_null,
+       CAST(c_acctbal IS NOT NULL AS INT)                      AS bal_not_null
+FROM customer
+""",
+)
+def case_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias(
+            "bal_band"
+        ),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        bal.isNull().cast("int").alias("bal_is_null"),
+        bal.isNotNull().cast("int").alias("bal_not_null"),
+    )
+
+
+@query(
+    "cast_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)                    AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)    AS key_roundtrip,
+       CAST(floor(o_totalprice) AS BIGINT)            AS price_floor,
+       CAST(o_orderdate AS DATE)                      AS odate,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)     AS odate_str
+FROM orders
+""",
+)
+def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.to_date("o_orderdate").alias("odate"),
+        F.to_date("o_orderdate").cast("string").alias("odate_str"),
+    )

@@ -1,0 +1,152 @@
+"""Time-window aggregation surface (SURVEY.md §2B streaming): tumbling,
+sliding, and session windows over `events` — the same F.window /
+F.session_window operators Structured Streaming uses, here verified in batch
+against gaps-and-islands SQL oracles. `streaming_tumbling` additionally runs
+the REAL streaming path (readStream + Trigger.AvailableNow + memory sink)
+and must produce byte-identical results to the batch oracle — the
+exactly-once replacement for the reference's cron + Glue-bookmark pattern
+(batch_processing_IaC.py:301,:388)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+_HOUR_US = 3_600_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_TUMBLING_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("window_tumbling", oracle=_TUMBLING_ORACLE)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+WITH offsets AS (SELECT unnest([0, 1800000000]) AS off),
+assigned AS (
+    SELECT ((epoch_us(e.ts) - o.off) // 3600000000) * 3600000000 + o.off
+               AS window_start_us,
+           e.value
+    FROM events e CROSS JOIN offsets o
+)
+SELECT window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM assigned GROUP BY window_start_us
+""",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h windows sliding every 30 min: each event lands in 2 windows; the
+    oracle reproduces Spark's epoch-aligned window assignment."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts, epoch_us(ts) AS us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000 THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT user_id, us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM o
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) AS last_event_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10 min inactivity gap) per user via
+    F.session_window; oracle is the classic gaps-and-islands formulation.
+    Spark merges events strictly less than `gap` apart (window is
+    [start, last+gap)), hence `>=` in the oracle's new-session test."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("last_ts").cast("timestamp")).alias(
+                "last_event_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed through Structured Streaming:
+    file source -> watermark -> windowed agg -> memory sink, drained with
+    Trigger.AvailableNow (the engine-native replacement for cron + Glue
+    bookmarks). Same oracle as the batch version: streaming and batch MUST
+    agree."""
+    from ..streaming.pipeline import run_available_now_aggregation
+
+    return run_available_now_aggregation(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", name=f"st_{uuid.uuid4().hex[:8]}"
+    )

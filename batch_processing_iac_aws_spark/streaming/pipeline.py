@@ -1,0 +1,109 @@
+"""Incremental processing via Structured Streaming.
+
+The reference achieves incrementality operationally: monthly cron
+(batch_processing_IaC.py:388) + Glue job bookmarks (:301) skip
+already-processed S3 objects, and Step Functions sequences the single job
+(:329-352). The Spark-native equivalent is a file-source stream with a
+checkpoint, drained with ``Trigger.AvailableNow``: the checkpoint IS the
+bookmark (exactly-once over input files), any scheduler can invoke it, and
+the transformation is the same DataFrame code as batch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import apply_runtime_conf
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events parquet layout, normalizing the ns-encoded
+    timestamp exactly like catalog.load_table does for batch."""
+    apply_runtime_conf(spark)
+    schema = spark.read.parquet(path).schema
+    if not path.endswith("/") and path.endswith(".parquet"):
+        # the streaming file source needs a directory or glob; turn a single
+        # file path into an equivalent glob so its parent becomes basePath
+        head, _, tail = path.rpartition("/")
+        path = f"{head}/[{tail[0]}]{tail[1:]}"
+    raw = spark.readStream.schema(schema).parquet(path)
+    # keep TIMESTAMP (not NTZ): watermarks require event time in TIMESTAMP;
+    # session TZ is pinned to UTC so epoch arithmetic matches the batch path
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now_aggregation(
+    spark: SparkSession, events_path: str, *, name: str
+) -> DataFrame:
+    """Run the tumbling-window aggregation through the streaming engine and
+    return the drained result as a batch DataFrame (memory sink, complete
+    mode). Trigger.AvailableNow processes exactly the currently-available
+    input and stops — the cron-batch replacement."""
+    stream = events_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_incremental_expand(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema,
+) -> None:
+    """Incrementally expand interval-encoded CSV/parquet drops into per-sample
+    parquet — the reference's whole pipeline (latest-file selection + Glue
+    bookmark + append) as one checkpointed stream. Re-runs process only new
+    files: exactly-once, no duplicate output, no driver-side file bookkeeping.
+    """
+    from ..operators.timeseries import expand_intervals
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+    expanded = expand_intervals(raw, mode="strict")
+    q = (
+        expanded.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def dedup_within_watermark(
+    events: DataFrame, *, keys: list[str], ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming dedup bounded by watermark — duplicate events
+    arriving within `delay` are dropped, state is garbage-collected past the
+    watermark (unbounded-state-safe at 100 TB/day ingest)."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)

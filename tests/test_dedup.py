@@ -1,0 +1,99 @@
+"""Property tests for dedup operators: determinism, MinHash estimate quality
+vs exact Jaccard, SimHash behavior on near-identical texts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from batch_processing_iac_aws_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near-duplicate of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "another unrelated document discussing parquet column pruning"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_smallest_id(spark, docs):
+    out = exact_dedup(docs, ["text"], tiebreaker="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5}
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert a == b
+
+
+def test_lsh_finds_exact_and_near_duplicates(spark, docs):
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] > 0.5
+    assert (4, 5) not in got
+
+
+def test_minhash_estimate_close_to_exact_jaccard(spark, docs):
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    exact = exact_jaccard(docs, pairs.select("id_a", "id_b"))
+    joined = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()
+    }
+    for r in pairs.collect():
+        est, true = r["est_jaccard"], joined[(r["id_a"], r["id_b"])]
+        assert abs(est - true) < 0.25, (r["id_a"], r["id_b"], est, true)
+
+
+def test_simhash_properties(spark, docs):
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert hashes[1] == hashes[2]  # identical text -> identical hash
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(hashes[1], hashes[3]) < hamming(hashes[1], hashes[4])
+
+
+def test_simhash_near_duplicates(spark, docs):
+    out = simhash_near_duplicates(docs, max_hamming=6)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_minhash_on_real_documents(spark):
+    """sf0.001 documents: candidates (if any) must all verify with nonzero
+    exact shingle overlap — LSH shouldn't produce wild false positives at
+    64/16 parameters."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    verified = exact_jaccard(docs, pairs.select("id_a", "id_b"))
+    rows = verified.collect()
+    for r in rows:
+        assert r["jaccard"] > 0.0, f"false positive pair {r}"

@@ -1,0 +1,86 @@
+"""Differential correctness: every registered query with a DuckDB oracle is
+executed both ways at sf0.01 and compared exactly — row count, column names,
+and order-insensitive values — mirroring the driver's t2 gate."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES
+
+from .conftest import SF_CORRECT
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        import datetime as dt
+
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            return v
+        if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+            return dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, (list, tuple)):
+            return tuple(cell(x) for x in v)
+        try:
+            import numpy as np
+
+            if isinstance(v, np.ndarray):
+                return tuple(cell(x) for x in v.tolist())
+            if isinstance(v, np.generic):
+                return cell(v.item())
+        except ImportError:
+            pass
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        if v is pd.NaT:
+            return None
+        return v
+
+    records = [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
+    records.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return pd.DataFrame(records, columns=df.columns)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_CORRECT).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
+    assert sorted(map(str.lower, sdf.columns)) == sorted(
+        map(str.lower, odf.columns)
+    ), f"{name}: columns {sorted(sdf.columns)} != {sorted(odf.columns)}"
+
+    sdf.columns = [c.lower() for c in sdf.columns]
+    odf.columns = [c.lower() for c in odf.columns]
+    a, b = _canon(sdf), _canon(odf)
+    mismatches = []
+    for col in a.columns:
+        if not a[col].equals(b[col]):
+            for i, (x, y) in enumerate(zip(a[col], b[col])):
+                if x != y and not (x is None and y is None):
+                    mismatches.append((col, i, x, y))
+                if len(mismatches) > 5:
+                    break
+    assert not mismatches, f"{name}: value mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_CORRECT)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,80 @@
+"""Physical-plan quality gates: these assert the *shape* of execution, not
+just results — filters reach the parquet scan, projections prune columns,
+small dimensions broadcast, and no Python UDF sneaks into hot paths.
+This is the 100 TB insurance: a plan that scans all columns or shuffles a
+dimension table is wrong even when its output is right."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from batch_processing_iac_aws_spark.catalog import load_table
+from batch_processing_iac_aws_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_tree_of(df) -> str:
+    """Just the operator tree (formatted explain repeats every operator in a
+    detail section below the tree, which would double every count)."""
+    return plan_of(df).split("\n\n")[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    l = load_table(spark, SF, "lineitem")
+    df = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    plan = plan_of(df)
+    # only the four referenced columns are read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_tree_of(QUERIES["q5_region_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only sort-merge/shuffle join permitted is lineitem x orders
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q1_single_shuffle(spark):
+    plan = plan_tree_of(QUERIES["q1_pricing_summary"](spark, SF))
+    assert plan.count("Exchange") <= 1  # one agg shuffle, partials map-side
+    assert "HashAggregate" in plan
+
+
+def test_no_python_udfs_in_registered_queries(spark):
+    """Everything except the explicitly-pandas multimodal path must stay
+    JVM-side (BatchEvalPython/ArrowEvalPython absent from plans)."""
+    allowed_python = {"multimodal_features"}
+    for name, fn in QUERIES.items():
+        if name in allowed_python or name == "streaming_tumbling":
+            continue
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # under AQE the pre-execution plan hides codegen ids, so check the
+    # non-adaptive plan: every operator around the Exchange must codegen
+    df = QUERIES["interval_expand"](spark, SF)
+    # load_table re-applies runtime conf, so disable AQE *after* building —
+    # the physical plan is only materialized at explain time
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "codegen id" in plan

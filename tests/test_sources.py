@@ -1,0 +1,74 @@
+"""Dataset-of-files: latest-partition selection (driver- and engine-side),
+landing, explicit-schema CSV reads, idempotent partitioned writes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from batch_processing_iac_aws_spark.io import read_csv, write_parquet
+from batch_processing_iac_aws_spark.sources.files import (
+    land,
+    latest_dated_file,
+    latest_partition,
+    parse_file_date,
+    with_file_date,
+)
+
+CSV = "start_time,end_time,samples,temperature\n2023-07-03 00:00:00,2023-07-03 00:01:00,4,21.5\n"
+
+
+def _write_dataset(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    for name in (
+        "20230603_measurement_data.csv",
+        "20230703_measurement_data.csv",
+        "notes.csv",
+    ):
+        (d / name).write_text(CSV)
+    return d
+
+
+def test_latest_dated_file_skips_nonconforming(tmp_path):
+    d = _write_dataset(tmp_path)
+    latest = latest_dated_file(str(d))
+    assert latest is not None and latest.name == "20230703_measurement_data.csv"
+    assert parse_file_date("notes.csv") is None
+
+
+def test_latest_dated_file_empty_dir_returns_none(tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert latest_dated_file(str(d)) is None
+
+
+def test_land_is_idempotent(tmp_path):
+    src = tmp_path / "20230803_measurement_data.csv"
+    src.write_text(CSV)
+    ds = tmp_path / "ds2"
+    p1 = land(src, ds)
+    p2 = land(src, ds)
+    assert p1 == p2 and p1.read_text() == CSV
+
+
+def test_engine_side_latest_partition(spark, tmp_path):
+    d = _write_dataset(tmp_path)
+    df = read_csv(spark, f"{d}/*_measurement_data.csv", infer=True)
+    dated = with_file_date(df)
+    latest = latest_partition(dated, "file_date")
+    dates = {str(r["file_date"]) for r in latest.collect()}
+    assert dates == {"2023-07-03"}
+
+
+def test_write_parquet_partition_overwrite_idempotent(spark, tmp_path):
+    out = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [("2023-07-03", 1.0), ("2023-07-03", 2.0)], "ingest_date string, v double"
+    )
+    write_parquet(df, out, partition_by=["ingest_date"])
+    write_parquet(df, out, partition_by=["ingest_date"])  # re-run: no dupes
+    assert spark.read.parquet(out).count() == 2
+
+    other = spark.createDataFrame([("2023-08-03", 3.0)], "ingest_date string, v double")
+    write_parquet(other, out, partition_by=["ingest_date"])
+    assert spark.read.parquet(out).count() == 3  # other partition untouched
