@@ -68,12 +68,11 @@ def write_parquet(
     monoliths are both failure modes.
     """
     spark = df.sparkSession
-    if target_file_rows:
-        # cheap driver-free heuristic: let AQE coalesce; only set an explicit
-        # repartition when the caller asked for file sizing.
-        n = max(1, df.rdd.getNumPartitions())
-        df = df.repartition(n)
     writer = df.write.mode(mode)
+    if target_file_rows:
+        # file-size targeting without an extra shuffle or a driver-side
+        # count: the writer splits any task output at this row count
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
     if partition_by:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_by)

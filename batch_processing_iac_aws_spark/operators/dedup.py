@@ -78,16 +78,43 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>[num_perm]) — min over shingles of (a*h+b) mod P
-    per permutation. One explode + one groupBy; the 64 mins are 64 agg
-    columns, so map-side combine keeps the shuffle at one row per doc."""
+    per permutation.
+
+    Computed entirely with array HOFs: hash the shingle array once
+    (xxhash64 folded into [0, P)), then per permutation take
+    ``array_min(transform(...))`` over the hashed array. This is MAP-ONLY —
+    no explode, no groupBy, no shuffle; at 100 TB the signature stage
+    costs exactly one pass over the documents."""
     params = _hash_params(num_perm, seed)
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__s")
+    # Shingling via explode + slice PROJECTION, not an array HOF: Spark
+    # evaluates higher-order-function lambdas interpreted (outside codegen),
+    # which at num_perm * n_shingles ops/doc is the difference between
+    # seconds and minutes. explode/slice/concat_ws/xxhash64 all stay inside
+    # whole-stage codegen; duplicate shingles need no dedup under min().
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), words.alias("__w"), F.size(words).alias("__n")
     )
-    # fold xxhash64 into [0, P) so the affine step can't overflow
-    sh = sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_P)))
+    pos = base.select(
+        id_col,
+        "__w",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - shingle_k, F.lit(0)))
+        ).alias("__i"),
+    )
+    # slice clamps past the end, so the n < k case degrades to one shingle
+    # of all words — same semantics as shingles()
+    sh = pos.select(
+        F.col(id_col),
+        F.pmod(
+            F.xxhash64(F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, shingle_k))),
+            F.lit(_P),
+        ).alias("__h"),
+    )
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(f"__m{i}")
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(
+            f"__m{i}"
+        )
         for i, (a, b) in enumerate(params)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -223,28 +250,44 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash over word tokens: per bit j, sign of the sum of
     (+1/-1) weighted by token-hash bit j; near-duplicates have small
-    Hamming distance. The 64 bit-sums are agg columns (map-side combine),
-    one explode + one groupBy — same scale shape as minhash."""
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"__b{j}")
-        for j in range(bits)
-    ]
-    sums = tokens.groupBy(id_col).agg(*aggs)
-    hash_expr = None
-    for j in range(bits):
-        bit = F.when(F.col(f"__b{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, j)
-        hash_expr = term if hash_expr is None else hash_expr.bitwiseXOR(term)
-    return sums.select(F.col(id_col), hash_expr.alias("simhash"))
+    Hamming distance. Map-only like minhash_signatures: token hashes live
+    in an array column, each bit-sum is an ``aggregate`` HOF over it —
+    no explode, no groupBy, no shuffle."""
+    hashed = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    out = df.select(F.col(id_col), hashed.alias("__hs"))
+    # nested HOFs keep codegen small: one inner aggregate per bit position
+    # driven by a sequence literal, one outer aggregate packing the bits
+    # (F.shiftright/shiftleft only take int shift amounts, so the
+    # column-shift goes through call_function)
+    bitsums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc.bitwiseOR(
+            F.call_function(
+                "shiftleft",
+                F.when(F.element_at(F.col("__bs"), j + 1) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+                j,
+            )
+        ),
+    )
+    return out.withColumn("__bs", bitsums).select(
+        F.col(id_col), packed.alias("simhash")
+    )
 
 
 def simhash_near_duplicates(

@@ -17,10 +17,12 @@ Two tiers (SURVEY.md §2B):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, l2_norm
 
 # deterministic pseudo-random doubles in [-1, 1) from a fixed LCG: avoids a
 # numpy dependency at definition time and guarantees reproducible planes
@@ -50,11 +52,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded when ids
     collide). Returns (query_id, neighbor_id, rank, score)."""
+    # norms are computed ONCE per row before the pairwise join — cosine()
+    # inside the join would recompute both norms for every pair (3x the
+    # array-HOF work, and HOF lambdas evaluate interpreted)
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -62,7 +71,11 @@ def brute_force_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__score"),
+            F.when(
+                F.col("__qn") * F.col("__cn") > 0,
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+            ).alias("__score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -105,6 +118,135 @@ def add_lsh_signature(
             F.shiftleft(F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i)
         )
     return df.withColumn(out_col, sig)
+
+
+def _centroid_scores_udf(centroids: list[tuple[int, list[float]]]):
+    """Vectorized (Arrow-batched) cosine scores against every centroid:
+    one numpy matmul per batch — (batch x dim) @ (dim x k). Spark's array
+    HOFs evaluate their lambdas interpreted (outside codegen), so for
+    dense k x dim scoring a pandas UDF is the fast path by an order of
+    magnitude; zero-norm vectors score -2.0 (below any real cosine)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.inf
+    Cu = (C / cn[:, None]).T  # dim x k, unit-normalized
+
+    @pandas_udf("array<double>")
+    def scores(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = np.inf
+        S = (M / n) @ Cu
+        S[~np.isfinite(S)] = -2.0
+        return pd.Series(list(S))
+
+    return scores
+
+
+def assign_ivf_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine): a map-only
+    pass — Arrow-batched matmul for the scores, JVM argmax over the small
+    score array. No shuffle."""
+    scored = df.withColumn(
+        "__scores", _centroid_scores_udf(centroids)(F.col(vec_col))
+    )
+    return scored.withColumn(
+        out_col,
+        F.array_position(F.col("__scores"), F.array_max("__scores")).cast("int")
+        - 1,
+    ).drop("__scores")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
+    exact cosine re-scoring inside the probed cells only.
+
+    Index build: centroids are a deterministic sample (the ``n_centroids``
+    smallest ids — for random embeddings a random-subset init, the standard
+    IVF bootstrap). The ONE driver-side collect is the centroid set itself
+    (n_centroids * dim floats, bounded and tiny); everything after is
+    map-only assignment + an equi-join on the cell id. Scale shape: candidate
+    volume per query is ~ n_probe/n_centroids of the corpus; cell-size skew
+    is AQE-split. Recall vs brute force is measured in
+    tests/test_similarity.py.
+    """
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
+
+    c = assign_ivf_clusters(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        ),
+        centroids,
+        vec_col="__cv",
+    )
+
+    # per-query probe list: indices of the n_probe highest-scoring centroids
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    q = q.withColumn("__qscores", _centroid_scores_udf(centroids)(F.col("__qv")))
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            (-F.element_at(F.col("__qscores"), i + 1)).alias("neg"),
+            i.alias("cid"),
+        ),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(ranked), 1, n_probe), lambda s: s.getField("cid")
+    )
+    qp = q.withColumn("ivf_cluster", F.explode(probes)).drop("__qscores")
+
+    cands = qp.join(c, "ivf_cluster").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = cands.select(
+        query_id_col,
+        "neighbor_id",
+        F.when(
+            F.col("__qn") * F.col("__cn") > 0,
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        ).alias("__score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "rank",
+            F.round("__score", 4).alias("score"),
+        )
+    )
 
 
 def lsh_topk(

@@ -9,6 +9,7 @@ from .registry import ORACLES, QUERIES
 # importing a module registers its queries
 from . import reference  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
+from . import tpch_extra  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import scalars  # noqa: E402,F401
 from . import llm  # noqa: E402,F401

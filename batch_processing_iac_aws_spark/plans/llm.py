@@ -11,11 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import load_table
 from ..operators.dedup import (
     exact_dedup,
+    exact_jaccard,
     minhash_lsh_candidates,
     simhash,
 )
 from ..operators.multimodal import extract_features, text_as_media
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..operators.text import fingerprint, language_id, quality_features
 from .registry import query
 
@@ -112,6 +113,72 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(d).select("doc_id", "fingerprint")
 
 
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents WHERE doc_id < 40
+), s AS (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS sh
+    FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for a bounded pair set — the verify stage
+    that runs after LSH candidate generation, here oracled end-to-end."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = d.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return exact_jaccard(d, pairs)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.25
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a bounded slice (semantic
+    dedup). At corpus scale the same shape runs behind LSH/IVF bucketing so
+    only candidate pairs are scored; here the slice is small enough to score
+    exhaustively, which makes it oracle-checkable."""
+    from ..functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("__c", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__c") >= 0.25)
+        .select("id_a", "id_b", F.round("__c", 4).alias("cos_sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -142,6 +209,16 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(
         e, e.filter(F.col("vec_id") < 20), k=5
+    )
+
+
+@query("similarity_ivf")
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (rows-only; recall vs brute force
+    asserted in tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=4
     )
 
 

@@ -138,6 +138,35 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup through the REAL streaming engine:
+    dropDuplicatesWithinWatermark over (user_id, event_type), keys-only
+    projection so the surviving-copy choice (scheduling-dependent) can't
+    leak into the result — output is exactly the distinct key set."""
+    from ..streaming.pipeline import dedup_within_watermark, events_stream
+
+    stream = events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    deduped = dedup_within_watermark(
+        stream, keys=["user_id", "event_type"], delay="24 hours"
+    ).select("user_id", "event_type")
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation executed through Structured Streaming:

@@ -23,13 +23,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q9_product_profit",
     "q10_top_customers",
+    "q18_large_orders",
     "window_rank",
     "window_session",
     "join_asof",
     "dedup_exact_hash",
     "dedup_minhash",
     "similarity_topk",
+    "similarity_ivf",
     "text_quality",
 ]
 

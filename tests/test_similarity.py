@@ -68,3 +68,34 @@ def test_lsh_recall_vs_brute_force(spark, emb):
     # 12 planes / 4 bands on random 64-dim data: banding keeps candidates
     # sub-linear; recall must beat random-candidate levels by far
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    from batch_processing_iac_aws_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter("vec_id < 20")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid, truth in exact_sets.items():
+        hits += len(truth & approx_sets.get(qid, set()))
+        total += len(truth)
+    recall = hits / total
+    # probing 4/16 cells scans ~25% of the corpus; recall must clearly
+    # beat that random-scan floor
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_deterministic(spark, emb):
+    from batch_processing_iac_aws_spark.operators.similarity import ivf_topk
+
+    q = emb.filter("vec_id < 5")
+    a = [tuple(r) for r in ivf_topk(emb, q, k=3).collect()]
+    b = [tuple(r) for r in ivf_topk(emb, q, k=3).collect()]
+    assert sorted(a) == sorted(b)
