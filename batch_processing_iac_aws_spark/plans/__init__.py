@@ -13,6 +13,7 @@ from . import tpch_extra  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import scalars  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import udfs  # noqa: E402,F401
 from . import stream_windows  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -167,6 +167,39 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through the real streaming engine:
+    applyInPandasWithState keeps per-user running totals in group state.
+    A single AvailableNow batch over one parquet file emits exactly one
+    row per user — the final totals — so the batch groupBy is the oracle."""
+    from ..streaming.pipeline import events_stream
+    from ..streaming.stateful import running_user_totals
+
+    stream = events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    totals = running_user_totals(stream)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
 @query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation executed through Structured Streaming:

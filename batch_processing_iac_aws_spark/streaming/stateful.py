@@ -1,0 +1,59 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Where dropDuplicatesWithinWatermark / session_window cover the built-in
+stateful shapes, applyInPandasWithState is the escape hatch for operator
+semantics Spark doesn't ship: arbitrary per-key state (here, running
+totals) updated per micro-batch with Arrow-batched pandas UDFs.
+
+Scale posture: state lives in the state store partitioned by the grouping
+key (one shuffle, same key a downstream keyed agg would reuse); memory is
+bounded per key, and for time-bounded semantics pass a GroupStateTimeout
+instead of NoTimeout so idle keys are garbage-collected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output row per key per micro-batch: the running totals after the batch.
+_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+_STATE_SCHEMA = "n bigint, s double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user (count, sum(value)) maintained in group state.
+
+    Each micro-batch emits one row per active user with the totals seen so
+    far — the streaming analogue of a cumulative groupBy that batch mode
+    can't express incrementally without reprocessing history.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

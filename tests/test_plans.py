@@ -78,3 +78,24 @@ def test_whole_stage_codegen_on_flagship(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "codegen id" in plan
+
+
+def test_tpch_extra_no_shuffle_joins_on_dims(spark):
+    """Every dimension join in the extended TPC-H set must broadcast; no
+    sort-merge join should appear at test scale."""
+    for name in (
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q18_large_orders",
+    ):
+        tree = plan_tree_of(QUERIES[name](spark, SF))
+        assert tree.count("SortMergeJoin") == 0, f"{name} shuffles a join"
+        assert tree.count("BroadcastHashJoin") >= 1, f"{name} lost broadcast"
+
+
+def test_q4_semi_join_shape(spark):
+    tree = plan_tree_of(QUERIES["q4_order_priority"](spark, SF))
+    # EXISTS must decorrelate to a (broadcast) semi join, not a nested loop
+    assert "BroadcastNestedLoop" not in tree
+    assert "Join" in tree

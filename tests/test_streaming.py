@@ -106,3 +106,42 @@ def test_dedup_within_watermark_plumbing(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("t_dedup_wm").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    """applyInPandasWithState totals over one AvailableNow batch must equal
+    the batch groupBy."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.streaming.pipeline import events_stream
+    from batch_processing_iac_aws_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(events_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table(name).collect()
+    }
+    from batch_processing_iac_aws_spark.catalog import load_table
+
+    exp = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == exp
