@@ -19,9 +19,23 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def money_sum(expr: Column, scale: int = 2) -> Column:
+    """Engine-order-proof money aggregation: cast each item to
+    DECIMAL(18,6) before summing, round, return DOUBLE.
+
+    Plain double sums depend on partition/accumulation order; when a
+    rounded sum lands within an ulp of a .005 boundary the Spark and DuckDB
+    cent roundings diverge. Exact decimal accumulation makes round(scale)
+    identical on both sides. SQL twin:
+    ``CAST(round(sum(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)``.
+    """
+    return F.round(F.sum(expr.cast("decimal(18,6)")), scale).cast("double")
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}

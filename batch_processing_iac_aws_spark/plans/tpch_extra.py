@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
-from .registry import query
+from .registry import money_sum, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,7 +56,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INT) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
 JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -96,8 +97,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -279,13 +280,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           sum(l_extendedprice * (1 - l_discount)) AS total_rev
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
     GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, round(r.total_rev, 2) AS total_revenue
+SELECT s.s_suppkey, s.s_name, CAST(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
 """,
@@ -300,16 +301,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_rev"
-        )
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_rev")
     )
     w = Window.orderBy(F.col("total_rev").desc())
     top = revenue.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") == 1)
     return (
         top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
         .select(
-            "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -317,7 +322,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity",
     oracle="""
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
@@ -337,7 +342,11 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2))
+            .cast("double")
+            .alias("avg_yearly")
+        )
     )
 
 
@@ -346,7 +355,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
        round(o.o_totalprice, 2) AS o_totalprice,
-       round(sum(l.l_quantity), 2) AS sum_qty
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -375,7 +384,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(money_sum(F.col("l_quantity")).alias("sum_qty"))
         .withColumn("o_totalprice", F.round("o_totalprice", 2))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
@@ -389,7 +398,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
        AND l.l_quantity BETWEEN 1 AND 15)
@@ -425,8 +435,8 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -441,7 +451,7 @@ WITH rich AS (
 )
 SELECT r.c_mktsegment,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(r.c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(r.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
 FROM rich r
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = r.c_custkey
@@ -466,6 +476,6 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
