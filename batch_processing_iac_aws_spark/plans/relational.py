@@ -766,3 +766,54 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS p50_qty,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+       round(median(l_extendedprice), 4)         AS med_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics match
+    DuckDB's quantile_cont). At 100 TB prefer approx_percentile — exact
+    percentile keeps per-group value buffers."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c_mktsegment
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation — collect_set + sort + join
+    (deterministic regardless of task order)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

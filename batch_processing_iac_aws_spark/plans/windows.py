@@ -143,8 +143,10 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpartitioned window — fine at dimension-table scale; at fact scale,
-    an unpartitioned ORDER BY window is a single-task bottleneck and should
-    become a two-pass percentile computation instead."""
+    an unpartitioned ORDER BY window is a single-task bottleneck — use
+    operators/ranking.py (global_row_number / global_ntile /
+    global_percent_rank: range shuffle + per-partition offsets, verified
+    equal to these window results in tests/test_ranking.py)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
