@@ -352,3 +352,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(text_as_media(d)).select(
         "media_id", "n_bytes", "sha256"
     )
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate candidates: 16-bit chunk bucketing (pigeonhole
+    guarantees hamming<=3 pairs collide) + bit_count verification — rows-only,
+    property-tested in tests/test_dedup.py."""
+    from ..operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3)

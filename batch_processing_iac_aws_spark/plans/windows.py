@@ -187,3 +187,22 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+@query(
+    "window_ntile_scalable",
+    oracle="""
+SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale ntile path (operators/ranking.py): range shuffle +
+    per-partition offsets, no single-task window — same oracle as the
+    window formulation."""
+    from ..operators.ranking import global_ntile
+
+    c = _t(spark, sf_dir, "customer")
+    return global_ntile(c, 4, "c_acctbal", "c_custkey", out="quartile").select(
+        "c_custkey", "quartile"
+    )

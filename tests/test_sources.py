@@ -72,3 +72,13 @@ def test_write_parquet_partition_overwrite_idempotent(spark, tmp_path):
     other = spark.createDataFrame([("2023-08-03", 3.0)], "ingest_date string, v double")
     write_parquet(other, out, partition_by=["ingest_date"])
     assert spark.read.parquet(out).count() == 3  # other partition untouched
+
+
+def test_read_json_lines(spark, tmp_path):
+    from batch_processing_iac_aws_spark.io import read_json
+
+    p = tmp_path / "events.jsonl"
+    p.write_text('{"id": 1, "v": 1.5}\n{"id": 2, "v": null}\n')
+    df = read_json(spark, str(p), schema="id long, v double")
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, 1.5), (2, None)]
