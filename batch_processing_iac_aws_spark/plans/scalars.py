@@ -78,7 +78,7 @@ SELECT o_orderkey,
        CAST(date_diff('day', o_orderdate,
                       TIMESTAMP '2002-01-01') AS INT)   AS days_to_2002,
        last_day(CAST(o_orderdate AS DATE))              AS month_end,
-       epoch(o_orderdate)                               AS epoch_s
+       CAST(epoch(o_orderdate) AS BIGINT)               AS epoch_s
 FROM orders
 """,
 )
