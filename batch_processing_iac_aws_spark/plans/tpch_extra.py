@@ -479,3 +479,284 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+mc AS (
+    SELECT ps_partkey, min(ps_supplycost) AS min_cost
+    FROM ps GROUP BY ps_partkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+       ps.ps_supplycost AS supplycost
+FROM part p
+JOIN ps ON ps.ps_partkey = p.p_partkey
+JOIN mc ON mc.ps_partkey = ps.ps_partkey AND ps.ps_supplycost = mc.min_cost
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size <= 15 AND p.p_type = 'SMALL'
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part. The schema has no
+    partsupp, so the supply relation is derived from lineitem
+    (min unit price per part x supplier) — the correlated MIN subquery is
+    decorrelated into a per-part min + equality join (exact: min over
+    identical IEEE doubles is bit-stable on both engines). Dimension sides
+    (part, supplier, nation) broadcast; the only wide shuffles are the two
+    lineitem aggregations, which reuse one (partkey, suppkey) partitioning."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    mc = ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        ps.join(
+            mc,
+            (ps.ps_partkey == mc.ps_partkey)
+            & (ps.ps_supplycost == mc.min_cost),
+        )
+        .drop(mc.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH ps AS (
+    SELECT l.l_partkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS value_d
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(round(value_d, 2) AS DOUBLE) AS value
+FROM ps
+WHERE value_d > (SELECT sum(value_d) * 0.002 FROM ps)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's supply value (lineitem stands in for partsupp). The HAVING
+    threshold is a scalar aggregate broadcast against the per-part rollup;
+    exact DECIMAL accumulation keeps the > comparison engine-order-proof."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("value_d"))
+    )
+    total = ps.agg((F.sum("value_d") * F.lit(0.002)).alias("__thr"))
+    return (
+        ps.join(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("__thr"))
+        .select(
+            "l_partkey", F.round("value_d", 2).cast("double").alias("value")
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    zero-order customers included via the outer join (priority filter in
+    the join condition, not WHERE, so it can't turn the join inner)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_supplier_relationship",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size),
+    excluding a denylist of suppliers (NOT IN -> left anti join against the
+    broadcast-small negative-balance supplier set)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+WITH pq AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l_shipdate <  TIMESTAMP '1998-01-01'
+                    THEN l_quantity ELSE 0 END) AS qty_1997,
+           sum(l_quantity) AS qty_total
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM pq
+JOIN part p     ON p.p_partkey = pq.l_partkey AND p.p_name LIKE 'red%'
+JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE pq.qty_1997 > 0.5 * pq.qty_total
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved most of a part's volume in one
+    year (availqty stands in as shipped quantity; quantities are integral
+    doubles, so the sums are exact and the 0.5x comparison is stable).
+    One lineitem aggregation; every dimension side broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    pq = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0.0)).alias(
+            "qty_1997"
+        ),
+        F.sum("l_quantity").alias("qty_total"),
+    )
+    return (
+        pq.filter(F.col("qty_1997") > 0.5 * F.col("qty_total"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH ls AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey, l.l_suppkey
+),
+po AS (
+    SELECT l_orderkey,
+           count(*)     AS n_supp,
+           sum(is_late) AS n_late
+    FROM ls GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ls
+JOIN po ON ls.l_orderkey = po.l_orderkey
+JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+WHERE ls.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+GROUP BY s.s_name
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order (late = shipped >60d after order date; the schema
+    has no commit/receipt dates). The EXISTS / NOT EXISTS self-joins are
+    decorrelated into one per-(order, supplier) rollup plus a window over
+    the order — one extra shuffle instead of two self-joins of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    ls = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
