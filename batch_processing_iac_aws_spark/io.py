@@ -48,6 +48,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning guarantees as parquet
+    (both are native vectorized Spark formats)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same dynamic-partition-overwrite idempotency as
+    :func:`write_parquet` (for warehouses standardized on ORC/Hive)."""
+    spark = df.sparkSession
+    writer = df.write.mode(mode)
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

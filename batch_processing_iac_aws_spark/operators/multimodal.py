@@ -111,6 +111,103 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("pts_ms", LongType(), True),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a pixel resample: content-hash bytes
+    cycled to a size proportional to the target area (capped small)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    n = min(width * height, 4096)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    resize_fn=None,
+) -> DataFrame:
+    """Resize pass over MEDIA_SCHEMA frames: mapInPandas, output is again
+    MEDIA_SCHEMA with payload transformed and meta.width/height updated.
+
+    ``resize_fn: (bytes, w, h) -> bytes`` is the codec integration point
+    (PIL/opencv not in this container — the default is a deterministic
+    fake so the schema contract and batch plumbing stay testable).
+    Map-only: no shuffle; Arrow batch size bounds peak memory, not
+    partition size.
+    """
+    fn = resize_fn or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: fn(p, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "mime": (m or {}).get("mime"),
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(r),
+                        }
+                        for m, r in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    n_frames: int = 4,
+    frame_ms: int = 1000,
+    frame_fn=None,
+) -> DataFrame:
+    """Frame sampling over video payloads: each input row fans out to
+    ``n_frames`` FRAME_SCHEMA rows (mapInPandas is a generator — output
+    cardinality is free, the Spark-native LATERAL VIEW for Python).
+
+    ``frame_fn: (bytes, idx) -> bytes`` extracts one frame (ffmpeg
+    integration point; default deterministic fake). Presentation times are
+    ``idx * frame_ms``. Keep payloads out of downstream shuffle keys —
+    project to (media_id, frame_idx) + derived features before joining.
+    """
+    fn = frame_fn or (
+        lambda p, i: hashlib.sha256((p or b"") + bytes([i & 0xFF])).digest()
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "pts_ms": [],
+                "frame": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["pts_ms"].append(i * frame_ms)
+                    out["frame"].append(fn(payload, i))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def text_as_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter: build a MEDIA_SCHEMA frame from the documents table (UTF-8
     payloads) so the multimodal plumbing is exercisable on the test data."""

@@ -363,3 +363,56 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, max_hamming=3)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT)  AS width,
+       CAST(48 AS BIGINT)  AS height,
+       CAST(least(64 * 48, 4096) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary media: mapInPandas pass that rewrites
+    payload + meta (stub resampler; the oracle checks the schema contract —
+    target dims and payload size — which the deterministic fake fixes)."""
+    from ..operators.multimodal import resize_media
+
+    d = _t(spark, sf_dir, "documents")
+    out = resize_media(text_as_media(d), width=64, height=48)
+    return out.select(
+        "media_id",
+        F.col("meta").getField("width").alias("width"),
+        F.col("meta").getField("height").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+SELECT d.doc_id AS media_id,
+       CAST(g.range AS BIGINT)        AS frame_idx,
+       CAST(g.range * 250 AS BIGINT)  AS pts_ms,
+       CAST(32 AS BIGINT)             AS frame_bytes
+FROM documents d CROSS JOIN range(4) g
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one media row fans out to n_frames frame rows via a
+    generator mapInPandas (cardinality change in Python, Arrow-batched).
+    Frame bytes come from the stub extractor (32-byte digest), so count,
+    timing grid, and sizes are all oracle-checkable."""
+    from ..operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_frames(text_as_media(d), n_frames=4, frame_ms=250)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "pts_ms",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )

@@ -206,3 +206,40 @@ def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_ntile(c, 4, "c_acctbal", "c_custkey", out="quartile").select(
         "c_custkey", "quartile"
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w                  AS first_key,
+       last_value(o_orderkey)  OVER w                  AS latest_key,
+       nth_value(o_orderkey, 2) OVER w                 AS second_key,
+       round(o_totalprice - first_value(o_totalprice) OVER w, 2)
+                                                       AS delta_vs_first
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit growing frame
+    per customer order history. The frame is UNBOUNDED PRECEDING..CURRENT
+    ROW on BOTH sides (it is Spark's default but NOT DuckDB's for
+    last_value, which defaults to a full-partition frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("latest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.round(
+            F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+        ).alias("delta_vs_first"),
+    )

@@ -82,3 +82,17 @@ def test_read_json_lines(spark, tmp_path):
     df = read_json(spark, str(p), schema="id long, v double")
     rows = sorted((r["id"], r["v"]) for r in df.collect())
     assert rows == [(1, 1.5), (2, None)]
+
+
+def test_orc_roundtrip_with_partition_overwrite(spark, tmp_path):
+    from batch_processing_iac_aws_spark.io import read_orc, write_orc
+
+    out = str(tmp_path / "orc")
+    df = spark.createDataFrame(
+        [("2023-07-03", 1.0), ("2023-07-03", 2.0)], "ingest_date string, v double"
+    )
+    write_orc(df, out, partition_by=["ingest_date"])
+    write_orc(df, out, partition_by=["ingest_date"])  # idempotent re-run
+    back = read_orc(spark, out)
+    assert back.count() == 2
+    assert sorted(r["v"] for r in back.collect()) == [1.0, 2.0]
