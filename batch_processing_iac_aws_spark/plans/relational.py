@@ -817,3 +817,42 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+       round(l_quantity, 2) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', round(l_extendedprice, 2)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 2)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 2) FROM lineitem
+""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape with DataFrame.unpivot (SQL UNPIVOT / melt):
+    one output row per (row, measure). Map-only — the generator expands
+    in-task, no shuffle, no UNION re-scan (the oracle's UNION ALL form
+    scans lineitem 4x; unpivot scans once)."""
+    l = _t(spark, sf_dir, "lineitem")
+    renamed = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return renamed.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "discount", "tax"],
+        "measure",
+        "__v",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("__v", 2).alias("value")
+    )

@@ -103,3 +103,31 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula in SQL."""
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return e.groupBy("user_id").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+
+
+@query(
+    "udf_rowwise_python",
+    oracle="""
+SELECT c_custkey,
+       reverse(CAST(c_custkey AS VARCHAR)) AS key_reversed,
+       CAST(length(c_name) AS INT)         AS name_len
+FROM customer
+""",
+)
+def udf_rowwise_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the SLOW path, registered to complete the
+    UDF surface (SURVEY.md §2B), deliberately over the small dimension
+    table. Each row round-trips driver JVM -> Python worker -> JVM with
+    pickle serialization; at fact-table scale use pandas_udf (Arrow) or a
+    builtin (reverse() exists JVM-side — this exact query needs no Python
+    at all, which is the point the docstring makes)."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    rev = udf(lambda k: str(k)[::-1], StringType())
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        rev(F.col("c_custkey")).alias("key_reversed"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )

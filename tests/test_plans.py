@@ -58,7 +58,14 @@ def test_q1_single_shuffle(spark):
 def test_no_python_udfs_in_registered_queries(spark):
     """Everything except the explicitly-pandas multimodal path must stay
     JVM-side (BatchEvalPython/ArrowEvalPython absent from plans)."""
-    allowed_python = {"multimodal_features"}
+    # udf_rowwise_python is the deliberate slow-path demo; the multimodal
+    # and resize/frame paths are Arrow-batched mapInPandas by design
+    allowed_python = {
+        "multimodal_features",
+        "multimodal_resize",
+        "multimodal_frames",
+        "udf_rowwise_python",
+    }
     for name, fn in QUERIES.items():
         if name in allowed_python or name == "streaming_tumbling":
             continue
