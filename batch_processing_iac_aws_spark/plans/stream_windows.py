@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from .registry import query
+from .registry import ORACLES, query
 
 _HOUR_US = 3_600_000_000
 
@@ -211,4 +211,21 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_available_now_aggregation(
         spark, f"{sf_dir.rstrip('/')}/events.parquet", name=f"st_{uuid.uuid4().hex[:8]}"
+    )
+
+
+_SESSION_ORACLE = ORACLES["window_session"]
+
+
+@query("streaming_session", oracle=_SESSION_ORACLE)
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through the REAL streaming engine (watermark +
+    session_window + AvailableNow): must agree with the batch
+    window_session query and its gaps-and-islands oracle."""
+    from ..streaming.pipeline import run_available_now_sessions
+
+    return run_available_now_sessions(
+        spark,
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        name=f"ss_{uuid.uuid4().hex[:8]}",
     )

@@ -107,3 +107,40 @@ def dedup_within_watermark(
     arriving within `delay` are dropped, state is garbage-collected past the
     watermark (unbounded-state-safe at 100 TB/day ingest)."""
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now_sessions(
+    spark: SparkSession, events_path: str, *, name: str, gap: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session windows through the streaming engine (memory sink,
+    complete mode, drained with Trigger.AvailableNow). Same session
+    semantics as the batch F.session_window query — streaming and batch
+    MUST agree on a static input."""
+    stream = events_stream(spark, events_path)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("last_ts").cast("timestamp")).alias(
+                "last_event_us"
+            ),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -145,3 +145,56 @@ def test_stateful_running_totals_matches_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark: an event arriving
+    a day late (second trigger, event time far behind the advanced
+    watermark) must be DROPPED — its window was already finalized."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    src.mkdir()
+
+    def write_batch(rows, fname):
+        spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(str(src / fname))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    write_batch([(t0, 1.0), (t0 + dt.timedelta(days=1), 1.0)], "b1")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, v double")
+            .option("maxFilesPerTrigger", 100)
+            .parquet(str(src / "*"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # second drop: one on-time event near the max seen, one event a full
+    # day BEHIND the watermark (its hour-window is long closed)
+    late = t0  # day-old window
+    ontime = t0 + dt.timedelta(days=1, hours=2)
+    write_batch([(late, 99.0), (ontime, 1.0)], "b2")
+    run_once()
+
+    rows = {r["ws"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    # the late duplicate of t0's window never re-emits: t0's window shows
+    # only the first-batch count
+    assert rows.get(dt.datetime(2024, 1, 1, 0, 0)) == 1
