@@ -95,6 +95,8 @@ def test_tpch_extra_no_shuffle_joins_on_dims(spark):
         "q8_market_share",
         "q9_product_profit",
         "q18_large_orders",
+        "q16_supplier_relationship",
+        "q20_excess_suppliers",
     ):
         tree = plan_tree_of(QUERIES[name](spark, SF))
         assert tree.count("SortMergeJoin") == 0, f"{name} shuffles a join"
@@ -106,3 +108,23 @@ def test_q4_semi_join_shape(spark):
     # EXISTS must decorrelate to a (broadcast) semi join, not a nested loop
     assert "BroadcastNestedLoop" not in tree
     assert "Join" in tree
+
+
+def test_q2_reuses_partitioning_between_aggs(spark):
+    """Q2's per-(part,supplier) agg and the per-part min must NOT insert a
+    second full shuffle of lineitem: the (partkey, suppkey) partitioning
+    satisfies the partkey-only agg (hash partitioning on a superset key is
+    NOT reusable in general — but the min-cost join itself must broadcast,
+    and lineitem must be scanned exactly once per branch, not re-shuffled
+    into a sort-merge join)."""
+    tree = plan_tree_of(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert tree.count("SortMergeJoin") == 0, "q2 fell back to sort-merge"
+
+
+def test_q21_single_wide_shuffle_plus_window(spark):
+    """Q21 decorrelates the EXISTS/NOT-EXISTS self-joins into one rollup +
+    window — the plan must contain a Window operator and no nested-loop
+    join."""
+    tree = plan_tree_of(QUERIES["q21_waiting_suppliers"](spark, SF))
+    assert "Window" in tree
+    assert "BroadcastNestedLoop" not in tree
