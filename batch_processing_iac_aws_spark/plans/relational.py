@@ -856,3 +856,37 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "measure", F.round("__v", 2).alias("value")
     )
+
+
+@query(
+    "sql_entrypoint",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) entry point: ensure_views registers every dataset
+    as a temp view (the idempotent-bootstrap pattern replacing the
+    reference's check-then-create provisioning, batch_processing_IaC.py:45-567)
+    and the query is a plain SQL string through Catalyst's parser — same
+    engine, same plan as the DataFrame API."""
+    from ..catalog import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        """
+    )
