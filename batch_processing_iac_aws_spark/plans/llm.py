@@ -71,7 +71,20 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_keep_first")  # deterministic survivor selection; oracle below
+@query(
+    "dedup_keep_first",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, lang, source, n_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM f
+)
+SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
+""",
+)
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact_dedup operator: full surviving rows (deterministic smallest
     doc_id per fingerprint)."""
@@ -344,7 +357,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (deterministic stub decoder — see operators/multimodal.py)."""
