@@ -21,6 +21,9 @@ from batch_processing_iac_aws_spark.session import get_spark
 HEADLINE = [
     "interval_expand",
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "multimodal_frames",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q9_product_profit",
