@@ -518,6 +518,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
+    # push the part predicate BELOW the aggregation: a broadcast semi join
+    # restricts lineitem to qualifying parts before the wide groupBy, so the
+    # shuffle carries ~|selectivity| of the fact table instead of all of it
+    # (per-part min cost only needs that part's own rows — safe to prune).
+    # Catalyst can't infer this itself because the filter is on a joined
+    # dimension, not a scan column.
+    l = l.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
     ps = l.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
