@@ -437,3 +437,56 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pts_ms",
         F.length("frame").cast("long").alias("frame_bytes"),
     )
+
+
+@query(
+    "docs_prep_pipeline",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, source, text,
+           string_split(lower(text), ' ') AS toks
+    FROM documents
+), q AS (
+    SELECT doc_id, source, text,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(least(len(toks) / 100.0, 1.0) * 0.5
+                 + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.5,
+                 4) AS quality_score
+    FROM t
+), f AS (
+    SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM q
+    WHERE quality_score >= 0.5
+), d AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM f
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)  AS total_tokens,
+       CAST(round(sum(CAST(quality_score AS DECIMAL(9,4))), 4) AS DOUBLE)
+                                      AS sum_quality
+FROM d WHERE rn = 1
+GROUP BY source
+""",
+)
+def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality scoring -> threshold filter ->
+    fingerprint dedup (deterministic keep-first) -> per-source corpus stats.
+    The composition is the point: quality filter runs BEFORE dedup so the
+    only shuffle (the dedup window) carries pre-filtered rows; at 100 TB the
+    order of these stages dominates cost."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import fingerprint, quality_features
+
+    d = quality_features(_t(spark, sf_dir, "documents")).filter(
+        F.col("quality_score") >= 0.5
+    )
+    deduped = exact_dedup(fingerprint(d), ["fingerprint"], tiebreaker="doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum(F.col("quality_score").cast("decimal(9,4)")), 4)
+        .cast("double")
+        .alias("sum_quality"),
+    )
