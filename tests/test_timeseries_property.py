@@ -106,3 +106,26 @@ def test_bounds_and_monotonicity(spark, rows):
         starts = [g["start_time"] for g in group]
         assert starts == sorted(starts)
         assert [g["sample_idx"] for g in group] == list(range(len(group)))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("ab c\t\n"), min_size=0, max_size=40
+    )
+)
+def test_fingerprint_is_formatting_invariant(spark, text):
+    """fingerprint() must collapse case and whitespace runs: any
+    formatting-only variant of a doc collides with the original."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.text import fingerprint
+
+    messy = "  " + text.upper().replace(" ", "   ") + "\t"
+    df = spark.createDataFrame([(1, text), (2, messy)], "doc_id long, text string")
+    fps = [r["fingerprint"] for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1]
