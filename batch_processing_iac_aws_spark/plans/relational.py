@@ -946,3 +946,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(covar_pop(l_quantity, l_discount), 8)       AS qty_disc_covar_pop
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covariance) per return flag — both
+    engines accumulate co-moments; rounding grids absorb the sub-ulp
+    order drift of the partial-merge tree."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 8).alias(
+            "qty_disc_covar_pop"
+        ),
+    )
