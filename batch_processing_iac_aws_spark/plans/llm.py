@@ -490,3 +490,52 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_quality"),
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, text, lang, source, n_chars // 16 AS bkt FROM documents
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
+       levenshtein(a.text, c.text)
+         <= CAST(0.3 * greatest(length(a.text), length(c.text)) AS INT)
+         AS near
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.source = c.source AND a.bkt = c.bkt
+ AND a.doc_id < c.doc_id
+""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with BLOCKING: candidate pairs must share
+    (lang, source, length-bucket) — an equi-join, never a cross join — then
+    exact levenshtein verifies each candidate (identical classic DP in
+    Spark and DuckDB). The blocking-then-verify shape is the scalable
+    pattern: candidate volume is sum of C(block,2), tuned by bucket width;
+    boundary-straddling near-dups are the documented recall tradeoff
+    (MinHash-LSH is the recall-robust alternative)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", (F.col("n_chars") / 16).cast("long").alias("bkt")
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"), "lang", "source", "bkt"
+    )
+    c = d.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"), "lang", "source", "bkt"
+    )
+    dist = F.levenshtein("t_a", "t_b")
+    return (
+        a.join(c, ["lang", "source", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("dist"),
+            (
+                dist
+                <= (0.3 * F.greatest(F.length("t_a"), F.length("t_b"))).cast("int")
+            ).alias("near"),
+        )
+    )
