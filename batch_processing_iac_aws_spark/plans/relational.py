@@ -975,3 +975,85 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_disc_covar_pop"
         ),
     )
+
+
+@query(
+    "histogram_prices",
+    oracle="""
+SELECT CAST(floor(l_extendedprice * 22 / 110000) + 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY bucket
+""",
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — single map-side-combined
+    aggregation, the scalable way to profile a 100 TB column (vs orderBy
+    or percentile passes)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.width_bucket("l_extendedprice", F.lit(0), F.lit(110000), F.lit(22))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+WITH bounds AS (
+    SELECT user_id,
+           date_trunc('hour', min(ts)) AS t0,
+           date_trunc('hour', max(ts)) AS t1
+    FROM events GROUP BY user_id
+), grid AS (
+    SELECT user_id,
+           unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+), actual AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT g.user_id,
+       epoch_us(g.hour_start) AS hour_us,
+       coalesce(a.n_events, 0) AS n_events
+FROM grid g
+LEFT JOIN actual a
+  ON a.user_id = g.user_id AND a.hour_start = g.hour_start
+""",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per user: a dense time grid generated
+    with sequence+explode (the reference's own interval-expansion idiom,
+    pyspark_skript/pyspark_script.py:80-105, turned into a resampler),
+    left-joined with actual per-hour counts, gaps filled with 0. The grid
+    generation is map-only over the tiny per-user bounds frame; the only
+    wide shuffles are the two per-user aggs and the grid-to-actual join,
+    all on (user_id, hour)."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    actual = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        grid.join(actual, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("hour_start").cast("timestamp")).alias("hour_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
