@@ -229,3 +229,42 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir.rstrip('/')}/events.parquet",
         name=f"ss_{uuid.uuid4().hex[:8]}",
     )
+
+
+_SLIDING_ORACLE = ORACLES["window_sliding"]
+
+
+@query("streaming_sliding", oracle=_SLIDING_ORACLE)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the streaming engine (watermark + overlap
+    assignment + AvailableNow, complete mode): completes the streaming
+    window trio (tumbling / sliding / session), each agreeing exactly with
+    its batch twin's oracle."""
+    from ..streaming.pipeline import events_stream
+
+    stream = events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"sl_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -128,3 +128,23 @@ def test_q21_single_wide_shuffle_plus_window(spark):
     tree = plan_tree_of(QUERIES["q21_waiting_suppliers"](spark, SF))
     assert "Window" in tree
     assert "BroadcastNestedLoop" not in tree
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A filter on the partition column of a partitionBy layout must become
+    a PartitionFilter (pruned directories), not a post-scan Filter — the
+    mechanism behind 'latest partition' selection at 100 TB."""
+    from batch_processing_iac_aws_spark.io import write_parquet
+
+    df = spark.createDataFrame(
+        [("2023-07-03", i, float(i)) for i in range(10)]
+        + [("2023-08-03", i, float(i)) for i in range(10)],
+        "ingest_date string, k int, v double",
+    )
+    out = str(tmp_path / "part")
+    write_parquet(df, out, partition_by=["ingest_date"])
+    read = spark.read.parquet(out).filter(F.col("ingest_date") == "2023-08-03")
+    plan = plan_of(read)
+    assert "PartitionFilters: [" in plan
+    assert "ingest_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert read.count() == 10
