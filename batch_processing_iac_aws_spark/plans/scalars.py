@@ -291,3 +291,39 @@ def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("odate"),
         F.to_date("o_orderdate").cast("string").alias("odate_str"),
     )
+
+
+@query(
+    "array_hof_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)   AS n_pos,
+       len(list_filter(embedding, x -> x > 0.49)) > 0         AS any_big,
+       len(list_filter(embedding, x -> abs(x) <= 0.5)) = len(embedding)
+                                                              AS all_small,
+       round(list_reduce(
+           [abs(CAST(x AS DOUBLE)) FOR x IN embedding],
+           (a, b) -> a + b), 4)                               AS l1_norm
+FROM embeddings
+""",
+)
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / exists / forall / aggregate
+    (fold). Fine OUTSIDE hot loops — each lambda evaluates interpreted
+    (not codegen), so per-element work over thousands of rows is fine,
+    per-element work x 64 permutations over documents is not (see
+    operators/dedup.py for the explode+projection alternative)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.49).alias("any_big"),
+        F.forall(v, lambda x: F.abs(x) <= 0.5).alias("all_small"),
+        F.round(
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
