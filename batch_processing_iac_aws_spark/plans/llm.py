@@ -539,3 +539,25 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near"),
         )
     )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+           (a, b) -> (a * 257 + b) % 1000000007
+       ) AS rolling_hash
+FROM documents
+""",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash per document — order-sensitive
+    content hashing as one JVM-side fold (map-only, no shuffle). DuckDB
+    twin seeds the fold by prepending 0 (list_reduce has no seed arg)."""
+    from ..operators.text import rolling_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return rolling_hash(d).select("doc_id", "rolling_hash")
