@@ -1,0 +1,31 @@
+"""Quantitative bounds for sketch-based aggregates (the rows-only ops the
+DuckDB oracle can't hash-match): the estimate must land within the
+configured error envelope of the exact answer."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from batch_processing_iac_aws_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    l = load_table(spark, SF, "lineitem")
+    row = l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    # rsd=0.05 is one standard deviation; 3 sigma is a safe deterministic
+    # bound for a fixed dataset (the sketch itself is deterministic)
+    assert abs(row["approx"] - row["exact"]) <= 0.15 * row["exact"]
+
+
+def test_approx_percentile_brackets_exact(spark):
+    l = load_table(spark, SF, "lineitem")
+    row = l.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+    ).collect()[0]
+    assert abs(row["approx_med"] - row["exact_med"]) <= 0.02 * row["exact_med"]
