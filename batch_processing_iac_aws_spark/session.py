@@ -56,6 +56,53 @@ BUILD_CONF: dict[str, str] = {
 }
 
 
+def cluster_conf(
+    *,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gib: int = 32,
+) -> dict[str, str]:
+    """Concrete conf profile for the 100 TB deployment target (a cluster
+    this repo is designed for but cannot run locally — the local tests
+    exercise the same plans at small SF).
+
+    Sizing logic, stated so reviewers can re-derive it:
+
+    * shuffle width: ~3x total cores as the AQE *ceiling* — AQE coalesces
+      down per-stage, so over-provisioning costs nothing, while a low
+      ceiling forces multi-GiB partitions that spill;
+    * target shuffle-partition bytes ~128 MiB keeps post-shuffle
+      partitions comfortably in executor memory (32 GiB / 4 cores =
+      8 GiB per task slot, >>128 MiB working set);
+    * input split 256 MiB halves task-scheduling overhead on 100k+ file
+      datasets vs the 128 MiB default while staying well under slot
+      memory;
+    * broadcast threshold stays modest (64 MiB): with 4000 slots a
+      broadcast is replicated per executor — 1000 x 64 MiB = 64 GB of
+      aggregate copy is the acceptable ceiling, dims beyond that should
+      shuffle or be bucket-joined;
+    * no dynamic allocation here: steady batch jobs on a dedicated fleet
+      re-negotiate executors only to lose shuffle locality.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        **RUNTIME_CONF,
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gib}g",
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # large shuffles: fewer, bigger fetches + off-heap transport
+        "spark.reducer.maxSizeInFlight": "96m",
+        "spark.shuffle.file.buffer": "1m",
+        # parquet writers: bound files per task via maxRecordsPerFile at
+        # the write call (io.write_parquet), not globally
+        "spark.speculation": "true",
+    }
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to an existing session (idempotent)."""
     for key, value in RUNTIME_CONF.items():

@@ -29,3 +29,13 @@ def test_approx_percentile_brackets_exact(spark):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
     ).collect()[0]
     assert abs(row["approx_med"] - row["exact_med"]) <= 0.02 * row["exact_med"]
+
+
+def test_cluster_conf_scales_with_fleet():
+    from batch_processing_iac_aws_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == str(3 * 1000 * 4)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    small = cluster_conf(executors=10, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == str(3 * 10 * 8)
