@@ -1057,3 +1057,29 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+SELECT l_returnflag,
+       arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+       arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+       round(max(l_extendedprice), 2)       AS max_price,
+       round(min(l_extendedprice), 2)       AS min_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) aggregates — one pass, no window,
+    no self-join; deterministic here because l_extendedprice has no ties
+    at the extremes per group (both engines would otherwise pick an
+    arbitrary row)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+    )
