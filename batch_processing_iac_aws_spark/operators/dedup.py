@@ -250,44 +250,38 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash over word tokens: per bit j, sign of the sum of
     (+1/-1) weighted by token-hash bit j; near-duplicates have small
-    Hamming distance. Map-only like minhash_signatures: token hashes live
-    in an array column, each bit-sum is an ``aggregate`` HOF over it —
-    no explode, no groupBy, no shuffle."""
-    hashed = F.transform(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
-    )
-    out = df.select(F.col(id_col), hashed.alias("__hs"))
-    # nested HOFs keep codegen small: one inner aggregate per bit position
-    # driven by a sequence literal, one outer aggregate packing the bits
-    # (F.shiftright/shiftleft only take int shift amounts, so the
-    # column-shift goes through call_function)
-    bitsums = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.aggregate(
-            F.col("__hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        ),
-    )
-    packed = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc.bitwiseOR(
-            F.call_function(
-                "shiftleft",
-                F.when(F.element_at(F.col("__bs"), j + 1) > 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long"),
-                j,
-            )
-        ),
-    )
-    return out.withColumn("__bs", bitsums).select(
-        F.col(id_col), packed.alias("simhash")
-    )
+    Hamming distance.
+
+    Codegen form (the minhash_signatures recipe): explode tokens, hash each
+    once, then ONE groupBy(id) carrying ``bits`` conditional sums — all
+    inside whole-stage codegen with map-side partial aggregation, so only
+    (id, bits+1 longs) per doc cross the shuffle. The earlier array-HOF
+    ``aggregate`` form evaluated its lambdas interpreted (outside codegen)
+    at bits * n_tokens ops per doc — the same perf cliff measured on
+    minhash (223 s -> 2.5 s at sf0.1).
+
+    Per bit j the +1/-1 sum is recovered from the cheaper popcount sum:
+    sign(sum +/-1) > 0  <=>  2 * sum(bit_j) > n_tokens (bit-exact with the
+    previous HOF implementation, including the j=63 sign bit)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
+    ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    aggs = [
+        F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+        for j in range(bits)
+    ]
+    counted = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    # disjoint bit terms OR-ed together; j=63 must be the wrapped sign-bit
+    # constant (1<<63 overflows signed long)
+    packed = None
+    for j in range(bits):
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(
+            F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return counted.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -4,9 +4,13 @@ overlap), aggregation variants (distinct, approx, rollup/cube/grouping sets,
 pivot), sort/limit, set ops, and subquery patterns.
 
 Scale notes that apply throughout:
-* dimension tables (region/nation/supplier/customer/part) are broadcast —
-  explicitly via F.broadcast or implicitly via autoBroadcastJoinThreshold —
-  so the fact-table scan never shuffles for them;
+* only BOUNDED-size frames carry an explicit F.broadcast hint: region (5
+  rows), nation (25 rows), and single-row/scalar aggregates. customer,
+  supplier, and part GROW with scale factor (at TPC-H 100 TB customer is
+  ~15 B rows) — a forced broadcast hint bypasses AQE's size check and OOMs
+  executors, so those ride spark.sql.autoBroadcastJoinThreshold + AQE
+  dynamic join selection instead: broadcast when small, shuffle join when
+  not. tests/test_plans.py asserts no forced broadcast on scaling tables;
 * filters are expressed on base columns before joins so Catalyst pushes them
   into the parquet scan (verified in tests/test_plans.py);
 * every top-k uses a unique tiebreaker so results are deterministic under
@@ -100,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             money_sum(
@@ -142,9 +146,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -210,7 +214,7 @@ def q10_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -239,7 +243,7 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
     )
 
@@ -249,7 +253,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey,
        CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+       coalesce(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS total_spend
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
 """,
@@ -262,7 +266,7 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            F.coalesce(money_sum(F.col("o_totalprice")), F.lit(0.0)).alias(
                 "total_spend"
             ),
         )
@@ -599,7 +603,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()

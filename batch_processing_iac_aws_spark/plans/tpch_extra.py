@@ -1,7 +1,9 @@
 """Extended TPC-H-style coverage, adapted to the driver schema (no partsupp
 table, no commit/receipt dates — lateness is expressed against o_orderdate).
 
-Same scale discipline as plans/relational.py: dimension sides broadcast,
+Same scale discipline as plans/relational.py: explicit F.broadcast only on
+bounded frames (nation/region/filtered part/scalar aggregates) — customer
+and supplier GROW with SF, so they ride autoBroadcastJoinThreshold + AQE —
 filters on base columns (pushdown), deterministic tiebreakers on every
 top-k, aliases identical to the DuckDB oracle.
 """
@@ -86,8 +88,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(
@@ -146,10 +148,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
@@ -201,7 +203,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,6)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
@@ -310,7 +312,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("total_rev").desc())
     top = revenue.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") == 1)
     return (
-        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        # broadcast the single-digit-row `top` frame, not supplier (which
+        # grows with SF): the big side stays in place, top ships to it
+        F.broadcast(top).join(s, top.supplier_no == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -390,7 +394,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(big.withColumnRenamed("l_orderkey", "__bk"),
                F.col("l_orderkey") == F.col("__bk"), "left_semi")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(money_sum(F.col("l_quantity")).alias("sum_qty"))
         .withColumn("o_totalprice", F.round("o_totalprice", 2))
@@ -517,9 +521,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp, so the supply relation is derived from lineitem
     (min unit price per part x supplier) — the correlated MIN subquery is
     decorrelated into a per-part min + equality join (exact: min over
-    identical IEEE doubles is bit-stable on both engines). Dimension sides
-    (part, supplier, nation) broadcast; the only wide shuffles are the two
-    lineitem aggregations, which reuse one (partkey, suppkey) partitioning."""
+    identical IEEE doubles is bit-stable on both engines). Bounded sides
+    (filtered part, nation) broadcast; supplier rides AQE; the only wide
+    shuffles are the two lineitem aggregations, which reuse one
+    (partkey, suppkey) partitioning."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
@@ -550,7 +555,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop(mc.ps_partkey)
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             "s_acctbal",
@@ -588,7 +593,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     ps = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("value_d"))
@@ -654,7 +659,7 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per (brand, type, size),
     excluding a denylist of suppliers (NOT IN -> left anti join against the
-    broadcast-small negative-balance supplier set)."""
+    negative-balance supplier set; AQE broadcasts it while it fits)."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#9")
         & (F.col("p_type") != "PROMO")
@@ -663,7 +668,7 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -694,7 +699,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who moved most of a part's volume in one
     year (availqty stands in as shipped quantity; quantities are integral
     doubles, so the sums are exact and the 0.5x comparison is stable).
-    One lineitem aggregation; every dimension side broadcasts."""
+    One lineitem aggregation; bounded sides (filtered part, nation)
+    broadcast, supplier rides AQE."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     s = _t(spark, sf_dir, "supplier")
@@ -718,7 +724,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pq.filter(F.col("qty_1997") > 0.5 * F.col("qty_total"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
@@ -782,7 +788,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") > 1)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -103,6 +103,50 @@ def test_tpch_extra_no_shuffle_joins_on_dims(spark):
         assert tree.count("BroadcastHashJoin") >= 1, f"{name} lost broadcast"
 
 
+def _hint_violations(node, under_hint=False):
+    """Walk an analyzed logical plan (py4j): collect leaf relations that sit
+    under a ResolvedHint without an intervening Aggregate. An Aggregate
+    bounds the frame (scalar/grouped rollup), so hinting it is fine; a raw
+    customer/supplier scan under a broadcast hint is a 100 TB OOM."""
+    viol = []
+    sname = node.getClass().getSimpleName()
+    if under_hint and sname == "Aggregate":
+        return viol
+    children = []
+    it = node.children().iterator()
+    while it.hasNext():
+        children.append(it.next())
+    if under_hint and not children:
+        names = set()
+        out = node.output().iterator()
+        while out.hasNext():
+            names.add(out.next().name())
+        if "c_custkey" in names or "s_suppkey" in names:
+            viol.append(sorted(names)[:4])
+    under_hint = under_hint or sname == "ResolvedHint"
+    for ch in children:
+        viol += _hint_violations(ch, under_hint)
+    return viol
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    """customer and supplier GROW with scale factor (~15 B / 1 B rows at
+    TPC-H 100 TB): an explicit F.broadcast on them bypasses AQE's size
+    check and OOMs every executor. Explicit hints are reserved for bounded
+    frames — nation, region, filtered part, and aggregates."""
+    for name in (
+        "q3_shipping_priority", "q5_region_revenue", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit", "q10_top_customers",
+        "q11_important_stock", "q15_top_supplier", "q16_supplier_relationship",
+        "q18_large_orders", "q20_excess_suppliers", "q21_waiting_suppliers",
+        "q22_idle_customers", "q2_min_cost_supplier", "join_inner",
+        "pivot_status", "agg_rollup", "agg_string_concat",
+    ):
+        analyzed = QUERIES[name](spark, SF)._jdf.queryExecution().analyzed()
+        viol = _hint_violations(analyzed)
+        assert not viol, f"{name} force-broadcasts a scaling table: {viol}"
+
+
 def test_q4_semi_join_shape(spark):
     tree = plan_tree_of(QUERIES["q4_order_priority"](spark, SF))
     # EXISTS must decorrelate to a (broadcast) semi join, not a nested loop
