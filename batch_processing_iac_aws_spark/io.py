@@ -63,10 +63,12 @@ def write_orc(
 ) -> None:
     """ORC sink with the same dynamic-partition-overwrite idempotency as
     :func:`write_parquet` (for warehouses standardized on ORC/Hive)."""
-    spark = df.sparkSession
     writer = df.write.mode(mode)
     if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # per-write option, NOT session conf: mutating the shared session's
+        # partitionOverwriteMode would silently change the overwrite
+        # semantics of unrelated later writes
+        writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
 
@@ -90,13 +92,13 @@ def write_parquet(
     output file count/size — at 100 TB, small-file explosions and single-file
     monoliths are both failure modes.
     """
-    spark = df.sparkSession
     writer = df.write.mode(mode)
     if target_file_rows:
         # file-size targeting without an extra shuffle or a driver-side
         # count: the writer splits any task output at this row count
         writer = writer.option("maxRecordsPerFile", target_file_rows)
     if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # per-write option, NOT session conf (see write_orc)
+        writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

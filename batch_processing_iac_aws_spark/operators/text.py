@@ -90,16 +90,18 @@ def language_id(df: DataFrame, *, text_col: str = "text", out_col: str = "lang_p
         lex = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
         scores.append(
             F.struct(
-                F.size(F.array_intersect(toks, lex)).alias("score"),
+                (-F.size(F.array_intersect(toks, lex))).alias("neg_score"),
                 F.lit(lang).alias("lang"),
             )
         )
-    # array_max on struct: orders by (score, lang) — ties resolve to the
-    # lexicographically greatest lang; invert lang for deterministic a<z wins
-    best = F.array_max(F.array(*scores))
+    # array_min on struct orders by (neg_score, lang): highest score wins,
+    # and score ties resolve to the lexicographically SMALLEST lang (a<z)
+    best = F.array_min(F.array(*scores))
     return df.withColumn(
         out_col,
-        F.when(best.getField("score") > 0, best.getField("lang")).otherwise("und"),
+        F.when(best.getField("neg_score") < 0, best.getField("lang")).otherwise(
+            "und"
+        ),
     )
 
 

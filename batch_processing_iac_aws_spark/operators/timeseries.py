@@ -57,11 +57,19 @@ def expand_intervals(
 
     compat mode reproduces the reference's output exactly (string timestamps,
     second truncation, [0,-1] artifact for samples=0).
+
+    ``keep_interval_cols=True`` additionally retains the ORIGINAL interval
+    bounds as ``interval_start`` / ``interval_end`` (the per-sample values
+    overwrite ``start``/``end``), so downstream code can recover which run
+    a sample came from without a join back.
     """
     if mode not in ("strict", "compat"):
         raise ValueError(f"mode must be 'strict' or 'compat', got {mode!r}")
 
     s, e, n = F.col(start), F.col(end), F.col(samples)
+
+    if keep_interval_cols:
+        df = df.withColumn("interval_start", s).withColumn("interval_end", e)
 
     if mode == "strict":
         out = df.filter(n.isNotNull() & (n >= 1))
@@ -112,14 +120,11 @@ def expand_intervals(
     ).withColumn(
         "__new_end", F.from_unixtime(base + (F.col(idx_col) + 1) * delta)
     )
-    out = (
+    return (
         out.withColumn(start, F.col("__new_start"))
         .withColumn(end, F.col("__new_end"))
         .drop("__new_start", "__new_end", "timedelta_per_sample", "__i")
     )
-    if not keep_interval_cols:
-        return out
-    return out
 
 
 def intervals_from_events(

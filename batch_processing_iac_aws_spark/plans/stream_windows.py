@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from .registry import ORACLES, query
+from .registry import ORACLES, money_sum, query
 
 _HOUR_US = 3_600_000_000
 
@@ -28,7 +28,7 @@ _TUMBLING_ORACLE = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -41,7 +41,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias(
@@ -66,7 +66,7 @@ assigned AS (
 )
 SELECT window_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM assigned GROUP BY window_start_us
 """,
 )
@@ -78,7 +78,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias(
@@ -248,7 +248,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias(

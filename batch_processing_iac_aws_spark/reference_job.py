@@ -58,6 +58,11 @@ def run_reference_job(
     df = read_csv(spark, str(latest), schema=schema, infer=schema is None)
     df = df.orderBy(F.col("start_time").asc())  # reference :67
     expanded = expand_intervals(df, mode="compat" if compat else "strict")
+    if compat:
+        # the reference drops samples, timedelta_per_sample and the
+        # posexplode index before writing (pyspark_script.py:118-124);
+        # match its written column set exactly
+        expanded = expanded.drop("samples", "sample_idx")
     file_date = parse_file_date(latest.name)
     expanded = expanded.withColumn(
         "ingest_date", F.lit(file_date.strftime("%Y-%m-%d"))

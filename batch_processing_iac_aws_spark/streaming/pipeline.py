@@ -46,7 +46,7 @@ def run_available_now_aggregation(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias(

@@ -59,8 +59,14 @@ def test_job_fails_hard_on_empty_source(spark, tmp_path):
 def test_compat_mode_emits_reference_strings(spark, dataset, tmp_path):
     out = str(tmp_path / "out_compat")
     run_reference_job(spark, str(dataset), out, compat=True)
-    row = spark.read.parquet(out).first()
+    written = spark.read.parquet(out)
+    row = written.first()
     assert isinstance(row["start_time"], str)  # from_unixtime string output
+    # column-set parity: the reference drops samples / timedelta_per_sample /
+    # the posexplode index before writing (pyspark_script.py:118-124)
+    assert "samples" not in written.columns
+    assert "sample_idx" not in written.columns
+    assert "timedelta_per_sample" not in written.columns
 
 
 def test_run_pipeline_sequences_and_stops_on_failure():

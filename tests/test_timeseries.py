@@ -130,3 +130,16 @@ def test_intervals_from_events(spark):
     assert iv["samples"] == 2
     assert iv["reading"] == 2.0
     assert iv["start_time"] == ts("2024-01-01 00:00:00")
+
+
+def test_keep_interval_cols_retains_original_bounds(fixture_df):
+    out = expand_intervals(fixture_df, keep_interval_cols=True)
+    assert "interval_start" in out.columns and "interval_end" in out.columns
+    first = out.filter(
+        (F.col("samples") == 4) & (F.col("sample_idx") == 3)
+    ).first()
+    # last sample's per-sample end == original interval end; original
+    # bounds survive untouched alongside the overwritten start/end
+    assert first["interval_start"] == ts("2023-07-03 00:00:00")
+    assert first["interval_end"] == ts("2023-07-03 00:01:00")
+    assert first["start_time"] != first["interval_start"]
