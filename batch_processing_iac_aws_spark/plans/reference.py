@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.timeseries import expand_intervals, intervals_from_events
-from .registry import query
+from .registry import money_sum, query
 
 
 @query(
@@ -51,11 +51,78 @@ def interval_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_DIR = "/root/repo/fixtures/csv_land"
+_CSV_LATEST = f"{_CSV_DIR}/20230703_intervals.csv"
+
+
+@query(
+    "csv_expand",
+    oracle=f"""
+WITH src AS (
+    SELECT sensor_id,
+           epoch_us(start_time) AS start_us,
+           epoch_us(end_time)   AS end_us,
+           samples, reading
+    FROM read_csv('{_CSV_LATEST}', header=true,
+                  columns={{'sensor_id': 'INT', 'start_time': 'TIMESTAMP',
+                            'end_time': 'TIMESTAMP', 'samples': 'INT',
+                            'reading': 'DOUBLE'}})
+    WHERE samples IS NOT NULL AND samples >= 1
+)
+SELECT sensor_id,
+       t.idx AS sample_idx,
+       CAST(start_us + FLOOR(t.idx * ((end_us - start_us) / samples))
+            AS BIGINT) AS sample_us,
+       samples, reading
+FROM src, UNNEST(generate_series(0, CAST(samples AS BIGINT) - 1)) AS t(idx)
+""",
+)
+def csv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CSV path end-to-end (§2A #1-#3): discover dated CSVs
+    in a dataset directory, pick the latest by filename date
+    (pyspark_skript/pyspark_script.py:20-52), read with an EXPLICIT schema
+    (the reference's inferSchema costs an extra eager scan, :56-61), and
+    run the strict interval expansion. The fixture directory contains an
+    older decoy file, so a wrong argmax would change the result."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from ..io import read_csv
+    from ..sources.files import latest_dated_file
+
+    latest = latest_dated_file(_CSV_DIR)
+    if latest is None:
+        raise FileNotFoundError(f"no dated CSV in {_CSV_DIR}")
+    schema = StructType(
+        [
+            StructField("sensor_id", IntegerType()),
+            StructField("start_time", TimestampNTZType()),
+            StructField("end_time", TimestampNTZType()),
+            StructField("samples", IntegerType()),
+            StructField("reading", DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(latest), schema=schema)
+    expanded = expand_intervals(df, mode="strict")
+    return expanded.select(
+        "sensor_id",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        F.unix_micros(F.col("start_time").cast("timestamp")).alias("sample_us"),
+        "samples",
+        "reading",
+    )
+
+
 @query(
     "latest_partition",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
 """,
@@ -73,6 +140,6 @@ def latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(F.broadcast(latest), "d")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum(F.col("value"), 4).alias("sum_value"),
         )
     )

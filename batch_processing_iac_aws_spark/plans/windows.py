@@ -142,11 +142,14 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpartitioned window — fine at dimension-table scale; at fact scale,
-    an unpartitioned ORDER BY window is a single-task bottleneck — use
-    operators/ranking.py (global_row_number / global_ntile /
-    global_percent_rank: range shuffle + per-partition offsets, verified
-    equal to these window results in tests/test_ranking.py)."""
+    """DIMENSION-ONLY demonstration of the SQL window form: an
+    unpartitioned ORDER BY window funnels the whole input through ONE task.
+    The DEFAULT path for anything that grows with the data is
+    window_ntile_scalable / operators/ranking.py (global_row_number /
+    global_ntile / global_percent_rank: range shuffle + per-partition
+    offsets, bounded one-row-per-partition driver collect, verified equal
+    to these window results in tests/test_ranking.py and by the shared
+    oracle below)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
