@@ -284,6 +284,105 @@ def simhash(
     return counted.select(F.col(id_col), packed.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair list via smallest-label
+    propagation: every vertex starts labeled with itself; each round takes
+    ``min(own label, neighbors' labels)``; converges in O(graph diameter)
+    rounds (near-dup clusters are dense, so diameter is tiny in practice).
+
+    Returns (vertex, component) where ``component`` is the smallest vertex
+    id in the component.
+
+    Scale shape: each round is one join + one groupBy on the edge list —
+    all equi-shuffles on vertex id. ``localCheckpoint`` truncates the plan
+    lineage every round (an iterative loop otherwise grows the plan
+    exponentially); the convergence probe is one count() job per round over
+    the label frame. On a real cluster, point the session at a reliable
+    checkpoint dir and swap localCheckpoint for checkpoint."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.vertex)
+            .groupBy("u")
+            .agg(F.min("component").alias("__nl"))
+        )
+        updated = (
+            labels.join(neigh_min, labels.vertex == neigh_min.u, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("__nl", F.col("component"))
+                ).alias("component"),
+                (F.col("__nl") < F.col("component")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def fuzzy_dedup_keep_one(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The full production near-duplicate flow in one call:
+
+    1. MinHash-LSH banding proposes candidate pairs (never all-pairs);
+    2. exact shingle Jaccard verifies each candidate against the threshold
+       (LSH est_jaccard over-proposes by design);
+    3. connected components groups transitive duplicates (a~b, b~c => one
+       cluster even when a~c was never proposed);
+    4. the smallest id per component survives; all other members drop.
+
+    Returns the surviving rows of ``df`` (all columns). Deterministic for a
+    fixed seed. Every stage is an equi-join / groupBy — the only iterative
+    part is the component propagation over the (tiny relative to the
+    corpus) verified-duplicate edge list."""
+    cands = minhash_lsh_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+    ).select("id_a", "id_b")
+    verified = exact_jaccard(
+        df, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    losers = comp.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     *,

@@ -105,6 +105,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# rows-only: seeded LSH candidates + iterative component propagation
+@query("dedup_fuzzy_pipeline")
+def dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production near-dup flow end-to-end: MinHash-LSH
+    candidates -> exact-Jaccard verify (>= 0.8) -> connected components ->
+    keep the smallest doc_id per duplicate cluster. Returns surviving
+    (doc_id, lang) rows; planted-duplicate behavior property-tested in
+    tests/test_dedup.py."""
+    from ..operators.dedup import fuzzy_dedup_keep_one
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        fuzzy_dedup_keep_one(d, id_col="doc_id", text_col="text")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash (rows-only; determinism + near-dup behavior

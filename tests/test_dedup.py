@@ -97,3 +97,48 @@ def test_minhash_on_real_documents(spark):
     rows = verified.collect()
     for r in rows:
         assert r["jaccard"] > 0.0, f"false positive pair {r}"
+
+
+def test_connected_components_transitive(spark):
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two components: {1,2,3,4} via a chain (1-2, 2-3, 3-4) and {7,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "id_a long, id_b long"
+    )
+    comp = {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_fuzzy_dedup_keep_one_planted_clusters(spark):
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        fuzzy_dedup_keep_one,
+    )
+
+    # planted cluster A = {1, 2, 3} (exact + one-word-change near-dups,
+    # transitively linked), cluster B = {10, 11}, uniques = {4, 5}
+    rows = [
+        (1, BASE),
+        (2, BASE),
+        (3, BASE.replace("lazy", "sleepy")),
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "another unrelated document discussing parquet column pruning"),
+        (10, BASE.replace("fox", "wolf").replace("garden", "meadow")),
+        (11, BASE.replace("fox", "wolf").replace("garden", "meadow")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # one changed word in a 24-word doc shifts 3 of ~22 shingles:
+    # J(1,3) ~ 0.76, so the verify threshold must sit below that to link
+    # the near-dup (and the default 0.8 correctly would NOT)
+    survivors = sorted(
+        r["doc_id"]
+        for r in fuzzy_dedup_keep_one(df, jaccard_threshold=0.7).collect()
+    )
+    assert survivors == [1, 4, 5, 10]
+    strict = sorted(r["doc_id"] for r in fuzzy_dedup_keep_one(df).collect())
+    assert strict == [1, 3, 4, 5, 10]  # 0.8 keeps the 0.76-similar doc
