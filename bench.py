@@ -4,9 +4,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed end-to-end (plan + execute + drain results via
-count/collect of the final frame). The headline set spans the engine's
-surface: reference-parity expansion, TPC-H-style joins/aggs, windows,
-dedup (exact + MinHash-LSH), similarity search, and session windows.
+count/collect of the final frame), twice:
+
+* cold (first run) — includes codegen compile + Python-worker startup; this
+  is what `value`/`queries` report, comparable across rounds;
+* warm (second run) — the data-path time once codegen/worker pools are hot;
+  reported as `value_warm`/`queries_warm`. Cold-vs-warm separates fixed
+  JIT/compile overhead (irrelevant at 100 TB, where it amortizes to zero)
+  from the scan/shuffle/compute time that actually scales with data.
+
+The headline set spans the engine's surface: reference-parity expansion,
+TPC-H-style joins/aggs, windows, dedup (exact + MinHash-LSH + SimHash),
+similarity search, and session windows.
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ HEADLINE = [
     "join_asof",
     "dedup_exact_hash",
     "dedup_minhash",
+    "dedup_simhash",
     "similarity_topk",
     "similarity_ivf",
     "text_quality",
@@ -51,22 +61,29 @@ def main() -> None:
     # queries, not session bootstrap
     QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+        n = QUERIES[name](spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t1, 3)
+        print(
+            f"# {name}: {cold[name]}s cold / {warm[name]}s warm ({n} rows)",
+            flush=True,
+        )
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": round(sum(cold.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),
