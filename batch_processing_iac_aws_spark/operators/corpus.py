@@ -1,0 +1,135 @@
+"""Corpus-management operators for training-data pipelines: reproducible
+sampling, weighted dataset mixing, greedy sequence packing, and PII
+scrubbing.
+
+Everything here is deterministic WITHOUT a random number generator: sampling
+decisions hash the row key (md5 prefix compared lexicographically), so a
+sample is reproducible across runs, engines, cluster sizes, and partition
+layouts — the property that matters when a 100 TB training mix must be
+re-materializable bit-for-bit. (Spark's df.sample() is seed-stable only for
+a fixed partitioning; hash-gating is stable unconditionally.)
+
+All ops are single-pass column expressions or one window/groupBy — no UDFs,
+no driver loops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def hash_gate(key: Column, keep_below_hex: str, *, salt: str = "") -> Column:
+    """Boolean sampling gate: md5(salt || key) first-2-hex-chars compared
+    lexicographically against ``keep_below_hex`` ('00'..'100'). The md5 hex
+    alphabet is uniform, so '29' keeps ~0x29/0x100 = 16% of keys; '100'
+    keeps everything. Lowercase-hex string comparison is identical in every
+    engine (the DuckDB oracle twin uses the same expression verbatim)."""
+    if not (len(keep_below_hex) in (2, 3) and keep_below_hex):
+        raise ValueError("keep_below_hex must be 2 hex chars (or '100')")
+    digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.substring(digest, 1, 2) < F.lit(keep_below_hex.lower())
+
+
+def deterministic_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    keep_below_hex: str,
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible ~(0xNN/256) sample of ``df`` keyed on ``key_col``.
+
+    Scale shape: a map-only filter on a hash of the key — pushes into the
+    scan stage, no shuffle, and (unlike LIMIT/TABLESAMPLE) yields the SAME
+    rows regardless of parallelism. Different ``salt`` values give
+    independent samples (e.g. train/validation splits that can never
+    overlap: gate with disjoint hex ranges on one salt)."""
+    return df.filter(hash_gate(F.col(key_col), keep_below_hex, salt=salt))
+
+
+def dataset_mixture(
+    sources: dict[str, tuple[DataFrame, str]],
+    *,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted deterministic mixture of corpora: each named source
+    contributes its hash-gated sample, tagged with ``mix_source``. The
+    weights are the per-source hex thresholds (a 100 TB mixture is then
+    fully described by {name: threshold} — re-materializable anywhere).
+
+    unionByName keeps it one wide scan per source with no shuffle; the
+    caller controls schema alignment."""
+    parts = []
+    for name, (df, keep_below_hex) in sorted(sources.items()):
+        parts.append(
+            deterministic_sample(
+                df, key_col=key_col, keep_below_hex=keep_below_hex, salt=salt
+            ).withColumn("mix_source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_len: int = 512,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy concat-then-chunk sequence packing (LLM pretraining layout):
+    documents are laid end-to-end in ``id_col`` order and cut into
+    ``context_len``-token bins; each doc gets (bin_id, bin_offset) of where
+    its first token lands. Token count = whitespace word count (swap in a
+    BPE count column upstream if available).
+
+    Scale shape: ONE running-sum window. With ``shard_col`` the window
+    partitions by shard — fully parallel packing, each shard packing its
+    own bins (the standard sharded-pretraining layout). Without it the
+    window is global = single task: dimension-scale only — always pass a
+    shard at fact scale.
+    """
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = df.select(
+        *( [shard_col] if shard_col else [] ),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+    )
+    return out.select(
+        *( [shard_col] if shard_col else [] ),
+        id_col,
+        "n_tokens",
+        F.floor(cum_before / context_len).cast("long").alias("bin_id"),
+        (cum_before % context_len).cast("long").alias("bin_offset"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d ()-]{6,}\d"
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact email addresses and phone-number-shaped digit runs with
+    typed placeholders, counting redactions per row. Map-only regexp
+    projection (both patterns are RE2-safe: no backtracking blowup on
+    adversarial documents)."""
+    emails = F.regexp_count(F.col(text_col), F.lit(_EMAIL_RE))
+    no_email = F.regexp_replace(F.col(text_col), _EMAIL_RE, "<EMAIL>")
+    phones = F.regexp_count(no_email, F.lit(_PHONE_RE))
+    return df.withColumn(
+        out_col, F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
+    ).withColumn("n_redactions", (emails + phones).cast("long"))

@@ -1,0 +1,141 @@
+"""Corpus-management queries (training-data pipeline surface, north-star
+extensions beyond the reference): reproducible hash-gated sampling, weighted
+dataset mixing, greedy sequence packing, and PII scrubbing — each with a
+DuckDB oracle built from the exact same expressions (md5-prefix compare,
+window cumsum, regexp), so the determinism claims are machine-checked."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.corpus import (
+    _EMAIL_RE,
+    _PHONE_RE,
+    dataset_mixture,
+    deterministic_sample,
+    pack_sequences,
+    scrub_pii,
+)
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~16% reproducible sample of the corpus, keyed on doc_id: the gate is
+    a hash-prefix compare, so membership is independent of partitioning,
+    parallelism, and engine — the oracle IS the reproducibility check."""
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(
+        d, key_col="doc_id", keep_below_hex="29", salt="s1"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "dataset_mixture",
+    oracle="""
+SELECT doc_id, lang, 'en' AS mix_source FROM documents
+WHERE lang = 'en'
+  AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+UNION ALL
+SELECT doc_id, lang, 'rest' AS mix_source FROM documents
+WHERE lang <> 'en'
+  AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+""",
+)
+def dataset_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic corpus mix: English at ~50%, everything else
+    at ~12.5% — the whole 100 TB mixture is described by two hex
+    thresholds and re-materializable anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = dataset_mixture(
+        {
+            "en": (d.filter(F.col("lang") == "en"), "80"),
+            "rest": (d.filter(F.col("lang") != "en"), "20"),
+        },
+        key_col="doc_id",
+    )
+    return mixed.select("doc_id", "lang", "mix_source")
+
+
+@query(
+    "docs_pack_sequences",
+    oracle="""
+WITH t AS (
+    SELECT source, doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT source, doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(cum_before / 512) AS BIGINT) AS bin_id,
+       CAST(cum_before % 512 AS BIGINT) AS bin_offset
+FROM c
+""",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 512-token bins, sharded by
+    source so the running-sum window parallelizes (one window shuffle on
+    the shard key — never a global single-task sort)."""
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, id_col="doc_id", text_col="text", context_len=512, shard_col="source"
+    )
+
+
+_PII_ORACLE = """
+WITH inj AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1 555 0100' AS t
+    FROM documents
+), e AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'EMAIL_RE')) AS BIGINT) AS n_email,
+           regexp_replace(t, 'EMAIL_RE', '<EMAIL>', 'g') AS t2
+    FROM inj
+)
+SELECT doc_id,
+       regexp_replace(t2, 'PHONE_RE', '<PHONE>', 'g') AS scrubbed,
+       n_email + CAST(len(regexp_extract_all(t2, 'PHONE_RE')) AS BIGINT)
+           AS n_redactions
+FROM e
+""".replace("EMAIL_RE", _EMAIL_RE).replace("PHONE_RE", _PHONE_RE)
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: a deterministic email + phone is appended to each doc
+    (the corpus itself contains none), then scrub_pii replaces both with
+    typed placeholders and counts redactions — map-only RE2-safe regexp
+    projection, verified against DuckDB's regexp engine."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 0100"),
+        ).alias("t"),
+    )
+    return scrub_pii(d, text_col="t").select(
+        "doc_id", "scrubbed", "n_redactions"
+    )

@@ -118,6 +118,66 @@ def csv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSONL = "/root/repo/fixtures/json_land/readings.jsonl"
+
+
+@query(
+    "json_expand",
+    oracle=f"""
+WITH src AS (
+    SELECT sensor_id,
+           epoch_us(start_time) AS start_us,
+           epoch_us(end_time)   AS end_us,
+           samples, reading
+    FROM read_json('{_JSONL}', format='newline_delimited',
+                   columns={{'sensor_id': 'INT', 'start_time': 'TIMESTAMP',
+                             'end_time': 'TIMESTAMP', 'samples': 'INT',
+                             'reading': 'DOUBLE'}})
+    WHERE samples IS NOT NULL AND samples >= 1
+)
+SELECT sensor_id,
+       t.idx AS sample_idx,
+       CAST(start_us + FLOOR(t.idx * ((end_us - start_us) / samples))
+            AS BIGINT) AS sample_us,
+       samples, reading
+FROM src, UNNEST(generate_series(0, CAST(samples AS BIGINT) - 1)) AS t(idx)
+""",
+)
+def json_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (§2B sources/sinks): explicit-schema read of a
+    newline-delimited JSON dataset (no schema inference scan) through the
+    same strict expansion as csv_expand — source formats are interchangeable
+    front-ends to one plan."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from ..io import read_json
+
+    schema = StructType(
+        [
+            StructField("sensor_id", IntegerType()),
+            StructField("start_time", TimestampNTZType()),
+            StructField("end_time", TimestampNTZType()),
+            StructField("samples", IntegerType()),
+            StructField("reading", DoubleType()),
+        ]
+    )
+    df = read_json(spark, _JSONL, schema=schema)
+    expanded = expand_intervals(df, mode="strict")
+    return expanded.select(
+        "sensor_id",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        F.unix_micros(F.col("start_time").cast("timestamp")).alias("sample_us"),
+        "samples",
+        "reading",
+    )
+
+
 @query(
     "latest_partition",
     oracle="""

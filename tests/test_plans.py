@@ -192,3 +192,22 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "ingest_date" in plan.split("PartitionFilters")[1].split("]")[0]
     assert read.count() == 10
+
+
+def test_sample_and_scrub_are_map_only(spark):
+    """Hash-gated sampling and PII scrubbing are pure projections/filters:
+    zero exchanges — they run inside the scan stage."""
+    for name in ("sample_deterministic", "text_pii_scrub"):
+        tree = plan_tree_of(QUERIES[name](spark, SF))
+        assert "Exchange" not in tree, f"{name} shuffles"
+
+
+def test_pack_sequences_single_shard_window(spark):
+    """Sequence packing = ONE hash exchange on the shard key feeding ONE
+    Window — never a global (unpartitioned) sort."""
+    tree = plan_tree_of(QUERIES["docs_pack_sequences"](spark, SF))
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+    # hashpartitioning on the shard col, not a singlePartition global sort
+    plan = plan_of(QUERIES["docs_pack_sequences"](spark, SF))
+    assert "SinglePartition" not in plan
