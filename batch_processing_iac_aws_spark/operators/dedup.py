@@ -68,6 +68,65 @@ def shingles(text_col, k: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows — one per word k-shingle — via explode + slice
+    PROJECTION (whole-stage codegen), not an array HOF (interpreted; the
+    measured cliff). Duplicate shingles are kept (callers distinct() when
+    set semantics matter); docs shorter than k yield one whole-doc
+    shingle (slice clamps past the end)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), words.alias("__w"), F.size(words).alias("__n")
+    )
+    pos = base.select(
+        id_col,
+        "__w",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
+        ).alias("__i"),
+    )
+    return pos.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k)).alias("shingle"),
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: ids of training docs sharing ANY word
+    ``ngram``-shingle with the benchmark corpus (the standard n-gram-overlap
+    contamination test for pretraining data).
+
+    Scale shape: the train side streams through codegen shingling into a
+    semi join; the benchmark shingle set is DISTINCT and broadcast —
+    eval sets are bounded by construction (thousands of docs), so the 100 TB
+    side never shuffles. If the benchmark outgrows the broadcast cap, drop
+    the hint and let AQE fall back to a shuffle semi join."""
+    t = shingle_rows(train, id_col=id_col, text_col=text_col, k=ngram)
+    b = (
+        shingle_rows(benchmark, id_col=id_col, text_col=text_col, k=ngram)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -86,30 +145,15 @@ def minhash_signatures(
     no explode, no groupBy, no shuffle; at 100 TB the signature stage
     costs exactly one pass over the documents."""
     params = _hash_params(num_perm, seed)
-    # Shingling via explode + slice PROJECTION, not an array HOF: Spark
-    # evaluates higher-order-function lambdas interpreted (outside codegen),
-    # which at num_perm * n_shingles ops/doc is the difference between
-    # seconds and minutes. explode/slice/concat_ws/xxhash64 all stay inside
-    # whole-stage codegen; duplicate shingles need no dedup under min().
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    base = df.select(
-        F.col(id_col), words.alias("__w"), F.size(words).alias("__n")
-    )
-    pos = base.select(
-        id_col,
-        "__w",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("__n") - shingle_k, F.lit(0)))
-        ).alias("__i"),
-    )
-    # slice clamps past the end, so the n < k case degrades to one shingle
-    # of all words — same semantics as shingles()
-    sh = pos.select(
+    # shingle_rows keeps everything inside whole-stage codegen (the array-HOF
+    # form evaluates interpreted at num_perm * n_shingles ops/doc — the
+    # difference between seconds and minutes); duplicate shingles need no
+    # dedup under min()
+    sh = shingle_rows(
+        df, id_col=id_col, text_col=text_col, k=shingle_k
+    ).select(
         F.col(id_col),
-        F.pmod(
-            F.xxhash64(F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, shingle_k))),
-            F.lit(_P),
-        ).alias("__h"),
+        F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("__h"),
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(

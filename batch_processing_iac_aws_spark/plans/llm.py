@@ -105,6 +105,40 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "text_decontaminate",
+    oracle="""
+WITH tr AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents WHERE doc_id < 480
+), tg AS (
+    SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS sh
+    FROM tr, UNNEST(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+), bn AS (
+    SELECT string_split_regex(lower(text), '\\s+') AS w
+    FROM documents WHERE doc_id >= 480
+), bg AS (
+    SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS sh
+    FROM bn, UNNEST(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+)
+SELECT DISTINCT doc_id FROM tg JOIN bg USING (sh)
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs (doc_id < 480) sharing any
+    word 8-gram with the held-out benchmark slice (doc_id >= 480). The
+    benchmark shingle set broadcasts; the training side streams through
+    codegen shingling into a semi join — the 100 TB side never shuffles."""
+    from ..operators.dedup import contaminated_ids
+
+    d = _t(spark, sf_dir, "documents")
+    return contaminated_ids(
+        d.filter(F.col("doc_id") < 480),
+        d.filter(F.col("doc_id") >= 480),
+        ngram=8,
+    ).orderBy("doc_id")
+
+
 # rows-only: seeded LSH candidates + iterative component propagation
 @query("dedup_fuzzy_pipeline")
 def dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

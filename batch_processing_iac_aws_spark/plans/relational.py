@@ -773,6 +773,69 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_salted",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a pathologically hot key space
+    (l_returnflag has 3 values — every group IS a hot key): phase one
+    spreads each key over 32 (key, salt) reducers, phase two merges. The
+    oracle is the PLAIN group-by — salting must be invisible in results.
+    l_quantity is integral, so the two-phase sum is exact (cast to BIGINT
+    on both sides)."""
+    from ..operators.skew import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "__qty_long", F.col("l_quantity").cast("long")
+    )
+    return salted_aggregate(
+        l,
+        "l_returnflag",
+        {"sum_qty": "sum:__qty_long", "n_rows": "count:*"},
+        salt_col="l_orderkey",
+        n_salts=32,
+    ).select(
+        "l_returnflag",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        "n_rows",
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join: fact rows get a deterministic salt, the
+    dimension side is replicated once per salt, and the join key becomes
+    (key, salt) — one hot customer fans across 8 tasks instead of one.
+    The oracle is the PLAIN join + group-by: salting is semantics-free."""
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey", salt_from="o_orderkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,

@@ -22,8 +22,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 118
-    assert len(ORACLES) == 110
+    assert len(QUERIES) == 121
+    assert len(ORACLES) == 113
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
