@@ -1,7 +1,11 @@
 """Vector math over array<float> columns using array HOFs (zip_with +
-aggregate) — stays in the JVM, vectorizes under whole-stage codegen, and
-needs no UDF. For very wide vectors (>1k dims) a pandas UDF over Arrow
-batches can win; at 64-1024 dims the HOF form is the right default.
+aggregate) — stays in the JVM and needs no UDF, but NOTE: HOF lambdas
+evaluate INTERPRETED, outside whole-stage codegen (measured on minhash:
+same work was ~90x faster as explode+projection). That is acceptable here
+because these expressions score BOUNDED pair sets (queries x corpus after
+broadcast, or LSH/IVF candidates), never a full corpus cross product; when
+the pair count itself scales, score through the Arrow/numpy path instead
+(see operators/similarity.py ivf_topk's pandas_udf matmul).
 """
 
 from __future__ import annotations

@@ -25,7 +25,11 @@ def hash_gate(key: Column, keep_below_hex: str, *, salt: str = "") -> Column:
     alphabet is uniform, so '29' keeps ~0x29/0x100 = 16% of keys; '100'
     keeps everything. Lowercase-hex string comparison is identical in every
     engine (the DuckDB oracle twin uses the same expression verbatim)."""
-    if not (len(keep_below_hex) in (2, 3) and keep_below_hex):
+    if keep_below_hex == "100":
+        # keep-all must short-circuit: lexicographic compare of a 2-char
+        # digest prefix against the 3-char '100' would only pass '0?'
+        return F.lit(True)
+    if len(keep_below_hex) != 2:
         raise ValueError("keep_below_hex must be 2 hex chars (or '100')")
     digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
     return F.substring(digest, 1, 2) < F.lit(keep_below_hex.lower())
