@@ -214,6 +214,33 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_rollup", oracle=_TUMBLING_ORACLE)
+def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate through a REAL file sink: update-mode streaming
+    rollup merged into a partitioned parquet table via foreachBatch +
+    dynamic partition overwrite (streaming/pipeline.py:run_continuous_rollup
+    — the hypertable-rollup pattern). The read-back table must equal the
+    batch oracle exactly; idempotent restart covered in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.pipeline import run_continuous_rollup
+
+    base = tempfile.mkdtemp(prefix="rollup_")
+    run_continuous_rollup(
+        spark,
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        f"{base}/table",
+        f"{base}/ckpt",
+    )
+    return spark.read.parquet(f"{base}/table").select(
+        F.col("window_start_us").cast("long").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 _SESSION_ORACLE = ORACLES["window_session"]
 
 

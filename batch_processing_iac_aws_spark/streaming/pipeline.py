@@ -33,20 +33,17 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_available_now_aggregation(
-    spark: SparkSession, events_path: str, *, name: str
-) -> DataFrame:
-    """Run the tumbling-window aggregation through the streaming engine and
-    return the drained result as a batch DataFrame (memory sink, complete
-    mode). Trigger.AvailableNow processes exactly the currently-available
-    input and stops — the cron-batch replacement."""
-    stream = events_stream(spark, events_path)
-    agg = (
+def _tumbling_agg(stream: DataFrame) -> DataFrame:
+    """Shared 1 h tumbling rollup (watermarked), projected onto the oracle
+    column set — used by the memory-sink drain and the continuous rollup."""
+    return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias(
@@ -57,6 +54,16 @@ def run_available_now_aggregation(
             "sum_value",
         )
     )
+
+
+def run_available_now_aggregation(
+    spark: SparkSession, events_path: str, *, name: str
+) -> DataFrame:
+    """Run the tumbling-window aggregation through the streaming engine and
+    return the drained result as a batch DataFrame (memory sink, complete
+    mode). Trigger.AvailableNow processes exactly the currently-available
+    input and stops — the cron-batch replacement."""
+    agg = _tumbling_agg(events_stream(spark, events_path))
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -66,6 +73,51 @@ def run_available_now_aggregation(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_continuous_rollup(
+    spark: SparkSession,
+    events_path: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous aggregate (the hypertable-rollup pattern): the tumbling
+    rollup maintained INCREMENTALLY in a queryable parquet table.
+
+    Mechanism: update-mode streaming agg -> ``foreachBatch`` -> dynamic
+    partition overwrite with the table partitioned BY THE GROUPING KEYS
+    (window, event_type). Each updated key rewrites exactly its own
+    partition with its latest total, so:
+
+    * re-running a drained stream is a no-op (checkpoint = bookmark);
+    * reprocessing from a fresh checkpoint converges to the same table
+      (overwrite, not append — no duplicates);
+    * readers see a plain partitioned parquet table, partition-pruned on
+      window.
+
+    On an engine with a transactional table format you would MERGE instead;
+    per-key partition overwrite is the pure-parquet equivalent with the
+    same idempotency, at the cost of one directory per (window, type)."""
+    agg = _tumbling_agg(events_stream(spark, events_path))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start_us", "event_type")
+            .parquet(target_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_incremental_expand(

@@ -22,8 +22,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 121
-    assert len(ORACLES) == 113
+    assert len(QUERIES) == 122
+    assert len(ORACLES) == 114
 
 
 def test_rows_only_set_is_exactly_the_allowlist():

@@ -198,3 +198,40 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # the late duplicate of t0's window never re-emits: t0's window shows
     # only the first-batch count
     assert rows.get(dt.datetime(2024, 1, 1, 0, 0)) == 1
+
+
+def test_continuous_rollup_idempotent_and_convergent(spark, tmp_path):
+    """The foreachBatch partition-overwrite rollup must (a) equal the batch
+    aggregation, (b) be a no-op on re-run with the same checkpoint, and
+    (c) converge to the identical table when reprocessed from a FRESH
+    checkpoint (overwrite semantics — no duplicate rows)."""
+    import shutil
+
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_continuous_rollup,
+    )
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(table)
+                .select("window_start_us", "event_type", "n_events", "sum_value")
+                .collect(),
+            )
+        )
+
+    run_continuous_rollup(spark, events, table, ckpt)
+    first = snapshot()
+    assert len(first) > 0
+
+    run_continuous_rollup(spark, events, table, ckpt)  # bookmark no-op
+    assert snapshot() == first
+
+    shutil.rmtree(ckpt)  # full reprocess: overwrite, not append
+    run_continuous_rollup(spark, events, table, ckpt)
+    assert snapshot() == first
