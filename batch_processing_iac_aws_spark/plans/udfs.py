@@ -131,3 +131,50 @@ def udf_rowwise_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev(F.col("c_custkey")).alias("key_reversed"),
         F.length("c_name").cast("int").alias("name_len"),
     )
+
+
+@query(
+    "udtf_chunk_words",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+    FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+       array_to_string(list_slice(ws, t.i * 10 + 1, t.i * 10 + 10), ' ')
+           AS chunk
+FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1))
+         AS t(i)
+""",
+)
+def udtf_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): fan each document
+    out into fixed 10-word chunks via a LATERAL call — the API for
+    row-to-many-rows Python logic (tokenizer-with-overlap, document
+    splitters) when no builtin generator fits. Row-wise Python like the
+    rowwise demo: fine on bounded slices, Arrow/mapInPandas at corpus
+    scale. The oracle rebuilds the same chunks with list slicing."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import ensure_views
+
+    # defined inside the query fn: cloudpickle re-imports this module on
+    # the Python worker, where module-level Spark-dependent objects break
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split()
+            for i in range(0, len(words), 10):
+                yield i // 10, " ".join(words[i : i + 10])
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.chunk_idx, t.chunk
+        FROM documents d, LATERAL chunk_words(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

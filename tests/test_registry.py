@@ -22,8 +22,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 122
-    assert len(ORACLES) == 114
+    assert len(QUERIES) == 123
+    assert len(ORACLES) == 115
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
