@@ -528,6 +528,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_hll_rollup")  # sketch bytes aren't SQL-portable: rows-only
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (DataSketches HLL) — the 100 TB
+    incremental pattern: per-day partial sketches are persisted once, then
+    any cross-day rollup is a cheap hll_union_agg over sketch BYTES — no
+    rescan of the fact table, and late partitions just union in. Accuracy
+    vs exact countDistinct asserted in tests/test_sketches.py."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 @query(
     "agg_rollup",
     oracle="""

@@ -11,6 +11,7 @@ from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
 # with property tests
 ROWS_ONLY = {
     "agg_approx_distinct",
+    "agg_hll_rollup",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -22,7 +23,7 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 123
+    assert len(QUERIES) == 124
     assert len(ORACLES) == 115
 
 

@@ -39,3 +39,24 @@ def test_cluster_conf_scales_with_fleet():
     assert conf["spark.sql.adaptive.enabled"] == "true"
     small = cluster_conf(executors=10, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == str(3 * 10 * 8)
+
+
+def test_hll_rollup_matches_exact_and_merges(spark):
+    """The per-day-sketch union must estimate the same cardinality as a
+    direct whole-table sketch (merge correctness) and land within 5% of
+    exact (accuracy)."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.catalog import load_table
+    from batch_processing_iac_aws_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["agg_hll_rollup"](spark, sf).first()
+    e = load_table(spark, sf, "events")
+    exact = e.select(F.countDistinct("user_id").alias("n")).first()["n"]
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).first()["n"]
+    assert row["approx_users"] == direct  # union of partials == one pass
+    assert abs(row["approx_users"] - exact) / exact < 0.05
+    assert row["n_events"] == e.count()
