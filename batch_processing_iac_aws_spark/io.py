@@ -73,6 +73,31 @@ def write_orc(
     writer.orc(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_rows: int,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a parquet dataset with bounded file
+    sizes. Streaming appends and fine-grained partition overwrites both
+    accrete small files; at 100 TB the file count itself becomes the scan
+    bottleneck (driver listing + one task per tiny file). Rewrites
+    IN PLACE via an adjacent temp dir + atomic-ish rename, since
+    overwriting the path being read is undefined."""
+    import shutil
+    import uuid
+
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    write_parquet(
+        df, tmp, partition_by=partition_by, target_file_rows=target_file_rows
+    )
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -179,6 +179,30 @@ def json_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+""",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (§2B sources/sinks): write the nation table to ORC,
+    read it back, and prove value-identity against the parquet source —
+    both are native vectorized columnar formats with the same
+    pushdown/pruning guarantees. Unique temp dir per call; idempotent."""
+    import tempfile
+
+    from ..io import read_orc, write_orc
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/nation"
+    write_orc(n, out)
+    return read_orc(spark, out)
+
+
+@query(
     "latest_partition",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_events,

@@ -97,6 +97,13 @@ def cluster_conf(
         # large shuffles: fewer, bigger fetches + off-heap transport
         "spark.reducer.maxSizeInFlight": "96m",
         "spark.shuffle.file.buffer": "1m",
+        # runtime bloom-filter join pruning: inject a bloom of the small
+        # side's join keys into the fact scan when a selective dim filter
+        # exists — row-group skipping Catalyst can't get from static
+        # pushdown (the dynamic cousin of the manual semi-join pushdown
+        # in q2/q17/q20)
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "true",
         # parquet writers: bound files per task via maxRecordsPerFile at
         # the write call (io.write_parquet), not globally
         "spark.speculation": "true",

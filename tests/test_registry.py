@@ -23,8 +23,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 124
-    assert len(ORACLES) == 115
+    assert len(QUERIES) == 125
+    assert len(ORACLES) == 116
 
 
 def test_rows_only_set_is_exactly_the_allowlist():

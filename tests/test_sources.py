@@ -96,3 +96,22 @@ def test_orc_roundtrip_with_partition_overwrite(spark, tmp_path):
     back = read_orc(spark, out)
     assert back.count() == 2
     assert sorted(r["v"] for r in back.collect()) == [1.0, 2.0]
+
+
+def test_compact_parquet_bounds_files_and_preserves_rows(spark, tmp_path):
+    from batch_processing_iac_aws_spark.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # fragment: 20 files of 50 rows each
+    df = spark.range(1000).withColumn("v", F.col("id") * 2.0)
+    df.repartition(20).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) >= 20
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    compact_parquet(spark, path, target_file_rows=1000)
+    files_after = glob.glob(f"{path}/*.parquet")
+    assert len(files_after) < 20
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
