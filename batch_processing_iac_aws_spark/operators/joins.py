@@ -26,6 +26,7 @@ def asof_join(
     right_ts: str,
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (direction='backward') or the least
@@ -34,6 +35,13 @@ def asof_join(
     Right columns (except the key) come back suffixed; all left columns pass
     through unchanged. Left rows with no match keep NULL right columns
     (left-outer as-of semantics, matching DuckDB's ASOF LEFT JOIN).
+
+    ``tolerance`` (pandas merge_asof semantics): maximum allowed distance
+    between the two timestamps — a match farther away than this reverts to
+    NULL right columns. Pass an interval for timestamp keys
+    (``F.expr("INTERVAL 5 MINUTES")``) or a number for numeric keys; the
+    check is ``abs-distance <= tolerance`` computed in the time domain, so
+    it adds no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -87,9 +95,25 @@ def asof_join(
             for c in right_cols
         ],
     )
+    keep = None
+    if tolerance is not None:
+        matched_t = F.col(f"__f_{right_ts}")
+        dist = (
+            (F.col("__t") - matched_t)
+            if direction == "backward"
+            else (matched_t - F.col("__t"))
+        )
+        keep = dist <= tolerance
+
+    def _right_out(c: str) -> Column:
+        col = F.col(f"__f_{c}")
+        if keep is None:
+            return col.alias(f"{c}{suffix}")
+        return F.when(keep, col).alias(f"{c}{suffix}")
+
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[_right_out(c) for c in right_cols],
     )
 
 

@@ -115,3 +115,35 @@ def test_compact_parquet_bounds_files_and_preserves_rows(spark, tmp_path):
     assert len(files_after) < 20
     after = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Range clustering must produce files whose min/max footer stats are
+    DISJOINT on the cluster column — the property that lets readers skip
+    whole files on a range predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from batch_processing_iac_aws_spark.io import write_clustered_parquet
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(10_000).withColumn("v", (F.col("id") * 7919) % 10_000)
+    write_clustered_parquet(df, path, cluster_by=["v"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("v")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+    # nothing lost
+    assert spark.read.parquet(path).count() == 10_000
