@@ -528,6 +528,45 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_profile",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS n_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)   AS n_parts,
+       CAST(count(*) - count(l_returnflag) AS BIGINT) AS null_returnflag,
+       round(min(l_extendedprice), 2)              AS min_price,
+       round(max(l_extendedprice), 2)              AS max_price,
+       round(avg(l_discount), 6)                   AS avg_discount,
+       epoch_us(min(l_shipdate))                   AS first_ship_us,
+       epoch_us(max(l_shipdate))                   AS last_ship_us
+FROM lineitem
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling (the SUMMARIZE feature): row count,
+    per-column distinct/null counts, numeric ranges, string length bounds —
+    ONE scan + one aggregation, all partials map-side combined. At 100 TB
+    swap the exact countDistincts for approx_count_distinct (the HLL query
+    family) to keep the shuffle payload constant."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("null_returnflag"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.unix_micros(F.min("l_shipdate").cast("timestamp")).alias(
+            "first_ship_us"
+        ),
+        F.unix_micros(F.max("l_shipdate").cast("timestamp")).alias(
+            "last_ship_us"
+        ),
+    )
+
+
 @query("agg_hll_rollup")  # sketch bytes aren't SQL-portable: rows-only
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (DataSketches HLL) — the 100 TB

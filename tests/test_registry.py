@@ -23,8 +23,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 125
-    assert len(ORACLES) == 116
+    assert len(QUERIES) == 126
+    assert len(ORACLES) == 117
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
