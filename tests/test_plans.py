@@ -212,3 +212,12 @@ def test_pack_sequences_single_shard_window(spark):
     # hashpartitioning on the shard col, not a singlePartition global sort
     plan = plan_of(QUERIES["docs_pack_sequences"](spark, SF))
     assert "SinglePartition" not in plan
+
+
+def test_corpus_queries_prune_document_columns(spark):
+    """sample_deterministic projects (doc_id, lang): the text/source/n_chars
+    columns must never leave the parquet scan."""
+    plan = plan_of(QUERIES["sample_deterministic"](spark, SF))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema and "n_chars" not in read_schema
