@@ -567,6 +567,21 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_freq_items")  # KPS sketch: false positives allowed, rows-only
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via df.stat.freqItems (Karp-Papadimitriou-Shenker):
+    single pass, constant memory per column — the 100 TB answer to 'which
+    values dominate this column' without a full groupBy+sort. Guarantee is
+    one-sided (every truly-frequent item present, false positives possible)
+    — asserted in tests/test_sketches.py; arrays sorted for determinism."""
+    l = _t(spark, sf_dir, "lineitem")
+    fi = l.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
+    return fi.select(
+        F.sort_array("l_returnflag_freqItems").alias("returnflag_heavy"),
+        F.sort_array("l_linestatus_freqItems").alias("linestatus_heavy"),
+    )
+
+
 @query("agg_hll_rollup")  # sketch bytes aren't SQL-portable: rows-only
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (DataSketches HLL) — the 100 TB

@@ -11,6 +11,7 @@ from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
 # with property tests
 ROWS_ONLY = {
     "agg_approx_distinct",
+    "agg_freq_items",
     "agg_hll_rollup",
     "dedup_minhash",
     "dedup_simhash",
@@ -23,7 +24,7 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 126
+    assert len(QUERIES) == 127
     assert len(ORACLES) == 117
 
 

@@ -60,3 +60,27 @@ def test_hll_rollup_matches_exact_and_merges(spark):
     assert row["approx_users"] == direct  # union of partials == one pass
     assert abs(row["approx_users"] - exact) / exact < 0.05
     assert row["n_events"] == e.count()
+
+
+def test_freq_items_contains_all_true_heavy_hitters(spark):
+    """KPS guarantee is one-sided: every value with true frequency >= the
+    support threshold MUST appear (false positives are allowed)."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.catalog import load_table
+    from batch_processing_iac_aws_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["agg_freq_items"](spark, sf).first()
+    l = load_table(spark, sf, "lineitem")
+    n = l.count()
+    for col, out in (
+        ("l_returnflag", "returnflag_heavy"),
+        ("l_linestatus", "linestatus_heavy"),
+    ):
+        truth = [
+            r[col]
+            for r in l.groupBy(col).agg(F.count(F.lit(1)).alias("c")).collect()
+            if r["c"] >= 0.2 * n
+        ]
+        assert set(truth) <= set(row[out]), f"{col} missed a heavy hitter"
