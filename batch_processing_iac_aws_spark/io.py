@@ -13,6 +13,7 @@ reference: pyspark_skript/pyspark_script.py:30,:56-61) and appends parquet
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -95,6 +96,63 @@ def write_clustered_parquet(
         else df.repartitionByRange(*cluster_by)
     )
     parted.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout for MULTI-column
+    data skipping. ``write_clustered_parquet`` gives perfect skipping on its
+    leading column and none on the others; interleaving the bits of each
+    column's scaled rank instead gives every z-ordered column useful
+    (≈2^-bits-granular) file-level min/max locality, so point/range filters
+    on ANY of the columns prune most files from the footer stats alone —
+    Delta/Iceberg's OPTIMIZE ZORDER, as a plain write-time transform.
+
+    All numeric: per-column min/max (one tiny agg, collected once at write
+    time) scale each value into ``bits`` buckets; the z-value is a codegen'd
+    bit-interleave expression; layout is one range exchange on z + an
+    in-partition sort. Skipping effectiveness on both columns is asserted in
+    tests/test_zorder.py.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
+    ).first()
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(zorder_by):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+        ).cast("long")
+        # interleave: bit i of column j lands at z-bit i*len + j
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * len(zorder_by) + j,
+                )
+            )
+    tagged = df.withColumn("__z", z)
+    parted = (
+        tagged.repartitionByRange(num_files, "__z")
+        if num_files
+        else tagged.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(
+        path
+    )
 
 
 def compact_parquet(

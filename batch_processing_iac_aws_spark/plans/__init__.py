@@ -15,6 +15,7 @@ from . import scalars  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import stream_windows  # noqa: E402,F401
+from . import cdc  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 
 # The correctness driver hard-checks the FIRST 50 registered queries in

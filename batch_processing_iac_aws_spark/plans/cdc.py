@@ -1,0 +1,105 @@
+"""CDC / mutable-table surface: MERGE-INTO upsert apply and SCD2 history.
+
+The changeset in ``merge_upsert`` is synthesized deterministically from
+``customer`` (modulo gates) so the query is self-contained and the DuckDB
+twin can state the exact same merge in ANSI SQL. ``scd2_history`` treats
+``orders`` as a per-customer changelog of price versions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.merge import merge_changes, scd2_from_changelog
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+WITH target AS (
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey % 3 != 0
+),
+changes AS (
+    SELECT c_custkey,
+           upper(c_name) AS c_name,
+           -- halve in exact decimal (* 0.5 decimal literal — `/` would
+           -- degrade to DOUBLE): cents/2 hits .005 midpoints, where
+           -- binary-double rounding diverges between engines
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6))
+                      * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT COALESCE(c.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(c.c_name, t.c_name) AS c_name,
+       COALESCE(c.acctbal, t.acctbal) AS acctbal
+FROM target t FULL OUTER JOIN changes c ON t.c_custkey = c.c_custkey
+WHERE c.op IS NULL OR c.op != 'D'
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO: apply a deterministic synthetic changeset (updates,
+    inserts, deletes) to a customer snapshot via operators.merge.
+    merge_changes — one full-outer shuffle join, zero UDFs. The snapshot is
+    customers with custkey % 3 != 0; the changeset halves the balance and
+    uppercases the name for even keys, deleting keys divisible by 7."""
+    c = _t(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    changes = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        # decimal * decimal(0.5) stays exact; both engines then round the
+        # same .005 midpoint away from zero (HALF_UP)
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,6)")
+            * F.expr("CAST(0.5 AS DECIMAL(2,1))"),
+            2,
+        )
+        .cast("double")
+        .alias("acctbal"),
+        F.when(F.col("c_custkey") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    return merge_changes(target, changes, key="c_custkey")
+
+
+@query(
+    "scd2_history",
+    oracle="""
+SELECT o_custkey AS custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       round(o_totalprice, 2) AS price,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build: orders as a per-customer changelog of price
+    versions, each valid until the next order date; latest is current.
+    operators.merge.scd2_from_changelog — one key shuffle + in-partition
+    lead window (no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tie"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    out = scd2_from_changelog(
+        changes, key="custkey", ts="ts", tiebreak="tie", attrs=["price"]
+    )
+    return out.select(
+        "custkey", "version", "valid_from", "valid_to", "price", "is_current"
+    )

@@ -203,6 +203,41 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 30
+""",
+)
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink + scan (io.write_zorder_parquet): rewrite
+    lineitem Morton-interleaved on (l_partkey, l_suppkey), read it back, and
+    run a two-dimensional range filter — value-identical to the same filter
+    on the unclustered source, while the layout lets the scan prune most
+    files from footer min/max stats on EITHER column (asserted quantitatively
+    in tests/test_zorder.py). Unique temp dir per call; idempotent."""
+    import tempfile
+
+    from ..io import write_zorder_parquet
+
+    l = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="zorder_rt_") + "/lineitem"
+    write_zorder_parquet(
+        l, out, zorder_by=["l_partkey", "l_suppkey"], num_files=16
+    )
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("l_partkey").between(100, 200) & F.col("l_suppkey").between(10, 30)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@query(
     "latest_partition",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_events,

@@ -582,6 +582,64 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_quantile_bins",
+    oracle="""
+WITH b AS (
+    SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, bin, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS total
+    FROM b
+)
+SELECT event_type,
+       CAST(max(total) AS BIGINT) AS n_total,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) * 5.0
+            AS DOUBLE) AS p50_est,
+       CAST(min(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) * 5.0
+            AS DOUBLE) AS p95_est
+FROM c GROUP BY event_type
+""",
+)
+def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch from fixed-width bin counts: the per-
+    (group, bin) count table is the sketch — partials from any partition,
+    day, or cluster merge by integer addition, and any quantile is then the
+    first bin whose cumulative count crosses ceil(q*n), exact to bin width
+    (here 5.0). Unlike percentile_approx's opaque internal state, the
+    partials are plain rows you can persist and roll up incrementally
+    (agg_hll_rollup's pattern, for quantiles) — and the whole plan is two
+    hash aggregations plus a per-group window, fully deterministic, no
+    doubles summed. Estimate-vs-exact error bound asserted in
+    tests/test_sketches.py."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    binned = e.groupBy(
+        "event_type", F.floor(F.col("value") / 5.0).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    c = binned.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    return c.groupBy("event_type").agg(
+        F.max("total").alias("n_total"),
+        (
+            F.min(F.when(F.col("cum") >= F.ceil(0.5 * F.col("total")), F.col("bin")))
+            * 5.0
+        ).alias("p50_est"),
+        (
+            F.min(F.when(F.col("cum") >= F.ceil(0.95 * F.col("total")), F.col("bin")))
+            * 5.0
+        ).alias("p95_est"),
+    )
+
+
 @query("agg_hll_rollup")  # sketch bytes aren't SQL-portable: rows-only
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (DataSketches HLL) — the 100 TB

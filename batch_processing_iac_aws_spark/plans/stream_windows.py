@@ -258,6 +258,104 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_join_static",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type,
+       round(e.value, 2) AS value, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    customer dimension loaded as a plain batch frame. The static side is
+    re-planned per micro-batch (so a dimension refresh is picked up without
+    restarting the query) and, being dimension-sized, rides the broadcast
+    threshold — the streaming side never shuffles. Oracle: the same join in
+    batch SQL; every event row must survive enrichment identically."""
+    from ..streaming.pipeline import events_stream
+
+    stream = events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(dim, stream.user_id == dim.c_custkey).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "c_mktsegment",
+    )
+    name = f"sj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_join_stream",
+    oracle="""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000
+""",
+)
+def streaming_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound: views
+    matched to same-user purchases within the following 6 hours. Both sides
+    carry watermarks and the join predicate bounds event time on both
+    sides, so the state store evicts rows once the watermark passes
+    view_ts + 6h — bounded state at any scale, the non-negotiable
+    requirement for a 100 TB stream-stream join. Oracle: the identical
+    self-join in batch SQL."""
+    from ..streaming.pipeline import events_stream
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    views = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _SLIDING_ORACLE = ORACLES["window_sliding"]
 
 

@@ -1,0 +1,78 @@
+"""Unit semantics for operators/merge.py (MERGE INTO + SCD2) on tiny
+hand-built frames — each CDC outcome (update, insert, delete,
+delete-of-absent-key, untouched) pinned individually; the sf0.01
+differential check is the registered merge_upsert / scd2_history oracles."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from batch_processing_iac_aws_spark.operators.merge import (
+    merge_changes,
+    scd2_from_changelog,
+)
+
+
+def test_merge_changes_outcomes(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 22.0, "U"),  # matched update
+            (3, None, 0.0, "D"),  # matched delete
+            (4, "d", 40.0, "U"),  # unmatched insert
+            (5, None, 0.0, "D"),  # delete of absent key: no-op
+        ],
+        ["k", "name", "val", "op"],
+    )
+    got = {
+        r["k"]: (r["name"], r["val"])
+        for r in merge_changes(target, changes, key="k").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b2", 22.0), 4: ("d", 40.0)}
+
+
+def test_merge_changes_requires_full_column_set(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "name"])
+    changes = spark.createDataFrame([(1, "U")], ["k", "op"])
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_changes(target, changes, key="k")
+
+
+def test_scd2_versions_and_current_flag(spark):
+    d = datetime.date
+    changes = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 1, 10.0),
+            (1, d(2024, 2, 1), 2, 11.0),
+            # same-day pair: tiebreak orders them; first version zero-length
+            (2, d(2024, 1, 5), 1, 20.0),
+            (2, d(2024, 1, 5), 2, 21.0),
+        ],
+        ["k", "ts", "tie", "price"],
+    )
+    out = scd2_from_changelog(
+        changes, key="k", ts="ts", tiebreak="tie", attrs=["price"]
+    )
+    rows = {
+        (r["k"], r["version"]): (
+            r["valid_from"],
+            r["valid_to"],
+            r["price"],
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+    assert len(rows) == 4  # version count == change count (idempotent)
+    assert rows[(1, 1)] == (d(2024, 1, 1), d(2024, 2, 1), 10.0, False)
+    assert rows[(1, 2)] == (d(2024, 2, 1), None, 11.0, True)
+    # zero-length same-day version kept, deterministic via tiebreak
+    assert rows[(2, 1)] == (d(2024, 1, 5), d(2024, 1, 5), 20.0, False)
+    assert rows[(2, 2)] == (d(2024, 1, 5), None, 21.0, True)
+    # exactly one current version per key
+    cur = [k for (k, _v), (_f, to, _p, c) in rows.items() if c]
+    assert sorted(cur) == [1, 2]

@@ -62,6 +62,29 @@ def test_hll_rollup_matches_exact_and_merges(spark):
     assert row["n_events"] == e.count()
 
 
+def test_quantile_bins_within_bin_width_of_exact(spark, duck):
+    """The binned-quantile estimate is the lower edge of the bin where the
+    cumulative count crosses ceil(q*n), so it can sit at most one bin width
+    (5.0) below the exact quantile and never above it."""
+    from batch_processing_iac_aws_spark.plans import QUERIES
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_quantile_bins"](spark, "/root/testdata/sf0.01").collect()
+    }
+    for et, q, col in [
+        (et, q, col)
+        for et in rows
+        for q, col in ((0.5, "p50_est"), (0.95, "p95_est"))
+    ]:
+        exact = duck.execute(
+            "SELECT quantile_disc(value, ?) FROM events WHERE event_type = ?",
+            [q, et],
+        ).fetchone()[0]
+        est = rows[et][col]
+        assert est <= exact <= est + 5.0, (et, q, est, exact)
+
+
 def test_freq_items_contains_all_true_heavy_hitters(spark):
     """KPS guarantee is one-sided: every value with true frequency >= the
     support threshold MUST appear (false positives are allowed)."""

@@ -1,0 +1,97 @@
+"""Quantified data-skipping for io.write_zorder_parquet: after Z-ordering
+lineitem on (l_partkey, l_suppkey), a narrow range probe on EITHER column
+must overlap only a minority of files' footer [min, max] ranges — whereas a
+single-column range-clustered layout skips only on its leading column. This
+is the property that makes the layout pay at 100 TB: pruning happens from
+footer stats alone, before any data page is read."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from batch_processing_iac_aws_spark.catalog import load_table
+from batch_processing_iac_aws_spark.io import (
+    write_clustered_parquet,
+    write_zorder_parquet,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    out = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def _overlap_fraction(ranges, lo, hi) -> float:
+    hit = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+    return hit / len(ranges)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    l = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    zpath, cpath = str(base / "zorder"), str(base / "clustered")
+    write_zorder_parquet(
+        l, zpath, zorder_by=["l_partkey", "l_suppkey"], num_files=16
+    )
+    write_clustered_parquet(l, cpath, cluster_by=["l_partkey"], num_files=16)
+    bounds = {}
+    for col in ("l_partkey", "l_suppkey"):
+        mn, mx = (
+            l.selectExpr(f"min({col})", f"max({col})").first()[0],
+            l.selectExpr(f"min({col})", f"max({col})").first()[1],
+        )
+        span = mx - mn
+        # deterministic 5%-wide probe in the middle of the key space
+        bounds[col] = (mn + 0.40 * span, mn + 0.45 * span)
+    return zpath, cpath, bounds
+
+
+def test_zorder_skips_on_both_columns(layouts):
+    zpath, _, bounds = layouts
+    for col, (lo, hi) in bounds.items():
+        frac = _overlap_fraction(_file_ranges(zpath, col), lo, hi)
+        assert frac <= 0.5, f"z-order failed to skip on {col}: {frac:.2f}"
+
+
+def test_single_column_clustering_skips_only_its_leading_column(layouts):
+    zpath, cpath, bounds = layouts
+    lo, hi = bounds["l_partkey"]
+    assert _overlap_fraction(_file_ranges(cpath, "l_partkey"), lo, hi) <= 0.3
+    # the non-leading column gets no locality from range clustering...
+    lo, hi = bounds["l_suppkey"]
+    cfrac = _overlap_fraction(_file_ranges(cpath, "l_suppkey"), lo, hi)
+    assert cfrac >= 0.9
+    # ...while z-order is strictly better there
+    zfrac = _overlap_fraction(_file_ranges(zpath, "l_suppkey"), lo, hi)
+    assert zfrac < cfrac
+
+
+def test_zorder_roundtrip_preserves_rows(spark, layouts):
+    zpath, _, _ = layouts
+    orig = load_table(spark, SF, "lineitem")
+    back = spark.read.parquet(zpath)
+    assert back.count() == orig.count()
+    got = back.selectExpr(
+        "sum(l_partkey)", "sum(l_suppkey)", "count(distinct l_partkey)"
+    ).first()
+    want = orig.selectExpr(
+        "sum(l_partkey)", "sum(l_suppkey)", "count(distinct l_partkey)"
+    ).first()
+    assert got == want
