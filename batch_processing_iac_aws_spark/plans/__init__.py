@@ -23,31 +23,32 @@ from . import corpus  # noqa: E402,F401
 # representative(s) of EVERY SURVEY.md §2 component inside that window —
 # redundant variants of already-proven shapes (the 10 join types, set ops,
 # the classic TPC-H q1/q3/... already green in round 1) sort after it.
+# ROTATION: round 1 greened the classic relational surface (joins, aggs,
+# set ops, subqueries, 13 TPC-H). Round 2's window covers every component
+# with no green row yet — windows, scalars, the 9 driver-unseen TPC-H,
+# UDFs, the streaming engine, CDC/merge, z-order layout, sketches, skew,
+# and the whole LLM corpus surface. Variants proven by an in-window
+# sibling (lag/lead, first/last, map/cast/case scalars, batch stream
+# twins, hash/fingerprint dedup, resize/frames, json/orc sources) rotate
+# into round 3's window.
 _PRIORITY = [
-    # §2A reference surface: flagship, CSV land/discover/expand, partitions
+    # §2A reference surface + clustered layouts
     "interval_expand",
     "csv_expand",
-    "latest_partition",
+    "zorder_roundtrip",
     # window functions
     "window_rank",
-    "window_lag_lead",
     "window_running",
     "window_range_frame",
-    "window_first_last",
     "window_ntile",
     "window_ntile_scalable",
-    "topk_per_group",
     # scalar function families
     "string_funcs",
     "date_funcs",
     "math_funcs",
     "array_funcs",
-    "array_agg_funcs",
     "array_hof_funcs",
-    "map_funcs",
     "json_funcs",
-    "case_null_funcs",
-    "cast_funcs",
     # TPC-H shapes without a round-1 driver row
     "q2_min_cost_supplier",
     "q11_important_stock",
@@ -61,15 +62,20 @@ _PRIORITY = [
     # UDF surface (pandas UDAF + grouped applyInPandas)
     "udaf_geomean",
     "udf_grouped_zscore",
-    # time-window aggregation (batch twins) + the real streaming engine
-    "window_tumbling",
-    "window_session",
+    # streaming engine (each oracled vs identical batch SQL) + batch twin
     "streaming_tumbling",
-    # LLM-data surface: dedup / similarity / text / multimodal
+    "streaming_session",
+    "streaming_dedup",
+    "streaming_stateful_totals",
+    "streaming_join_stream",
+    # CDC / mutable tables
+    "merge_upsert",
+    "scd2_history",
+    # sketches + skew
+    "agg_quantile_bins",
+    "join_skew_salted",
+    # LLM-data surface: dedup / similarity / text / corpus / multimodal
     "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_keep_first",
-    "dedup_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
@@ -77,7 +83,11 @@ _PRIORITY = [
     "text_quality",
     "text_lang_profile",
     "text_token_topk",
-    "text_rolling_hash",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "sample_deterministic",
+    "dataset_mixture",
+    "docs_pack_sequences",
     "multimodal_meta",
     "multimodal_features",
     "docs_prep_pipeline",

@@ -48,16 +48,30 @@ def test_first_50_are_the_curated_component_representatives():
 def test_component_coverage_in_driver_window():
     head = set(list(QUERIES)[:50])
     representatives = {
-        "reference": {"interval_expand", "csv_expand", "latest_partition"},
-        "windows": {"window_rank", "window_ntile_scalable", "topk_per_group"},
+        "reference": {"interval_expand", "csv_expand"},
+        "layout": {"zorder_roundtrip"},
+        "windows": {"window_rank", "window_ntile", "window_ntile_scalable"},
         "scalars": {"string_funcs", "array_hof_funcs", "json_funcs"},
         "tpch_unseen_r1": {"q2_min_cost_supplier", "q21_waiting_suppliers"},
         "udfs": {"udaf_geomean", "udf_grouped_zscore"},
-        "stream_windows": {"window_tumbling", "window_session"},
-        "real_streaming": {"streaming_tumbling"},
+        "real_streaming": {
+            "streaming_tumbling",
+            "streaming_session",
+            "streaming_dedup",
+            "streaming_stateful_totals",
+            "streaming_join_stream",
+        },
+        "cdc": {"merge_upsert", "scd2_history"},
+        "sketch_skew": {"agg_quantile_bins", "join_skew_salted"},
         "dedup": {"dedup_exact", "dedup_ngram_jaccard", "dedup_edit_distance"},
         "similarity": {"similarity_topk"},
-        "text": {"text_quality", "text_lang_profile"},
+        "text": {"text_quality", "text_lang_profile", "text_decontaminate"},
+        "corpus": {
+            "text_pii_scrub",
+            "sample_deterministic",
+            "dataset_mixture",
+            "docs_pack_sequences",
+        },
         "multimodal": {"multimodal_meta", "multimodal_features"},
         "pipeline": {"docs_prep_pipeline"},
     }
