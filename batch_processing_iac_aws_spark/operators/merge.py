@@ -63,6 +63,43 @@ def merge_changes(
     return merged.select(key, *[F.col(f"__r.{c}").alias(c) for c in cols])
 
 
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    *,
+    key: str,
+) -> DataFrame:
+    """Diff two keyed snapshots into a changeset: one row per key that was
+    ``added``, ``removed``, or ``changed`` (any non-key column differs),
+    carrying the after-image for added/changed and the before-image for
+    removed. Unchanged keys are dropped.
+
+    The inverse of :func:`merge_changes` — applying the diff of (A, B) to A
+    reproduces B — which makes incremental re-publishes of a 100 TB table
+    shippable as a small changeset. One full-outer hash join on ``key``;
+    the change test is a single null-safe struct comparison (codegen), not
+    per-column Python. Both snapshots should share a clustered layout on
+    ``key`` so the join co-locates.
+    """
+    cols = [c for c in before.columns if c != key]
+    if set(cols) != set(after.columns) - {key}:
+        raise ValueError("snapshots must share one schema")
+    b = before.select(key, F.struct(*cols).alias("__b"))
+    a = after.select(key, F.struct(*cols).alias("__a"))
+    joined = b.join(a, key, "full_outer").withColumn(
+        "change_type",
+        F.when(F.col("__b").isNull(), "added")
+        .when(F.col("__a").isNull(), "removed")
+        .when(~F.col("__a").eqNullSafe(F.col("__b")), "changed"),
+    )
+    img = F.coalesce("__a", "__b")
+    return joined.filter(F.col("change_type").isNotNull()).select(
+        key,
+        "change_type",
+        *[img.getField(c).alias(c) for c in cols],
+    )
+
+
 def scd2_from_changelog(
     changes: DataFrame,
     *,

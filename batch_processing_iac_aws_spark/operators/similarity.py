@@ -93,6 +93,76 @@ def brute_force_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding, computed relationally: posexplode the
+    vector (codegen Generate), average per (label, dimension) with map-side
+    partial aggregation, then reassemble the ordered array per label. Two
+    shuffles of scalar rows — never a collect of vectors to the driver, so
+    the corpus side scales to any row count (centroid count stays
+    label-bounded)."""
+    exploded = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
+    )
+    comps = exploded.groupBy(label_col, "__pos").agg(
+        F.avg(F.col("__v").cast("double")).alias("__c")
+    )
+    return (
+        comps.groupBy(label_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__c"))).alias("__s")
+        )
+        .select(
+            label_col,
+            F.transform(F.col("__s"), lambda s: s.getField("__c")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding outlier detection: score every vector's cosine against its
+    own label's centroid and keep the k LEAST similar per label — the rows a
+    training-data pipeline routes to relabeling/review. The centroid table
+    is label-bounded, so the scoring join is a broadcast; ranking is a
+    per-label window on the (rounded) score with an id tie-break, which
+    keeps the result deterministic across engines and partitionings."""
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col)
+    scored = df.join(F.broadcast(cents), label_col).select(
+        F.col(label_col),
+        F.col(id_col),
+        F.round(
+            F.when(
+                l2_norm(F.col(vec_col)) * l2_norm(F.col("centroid")) > 0,
+                dot(F.col(vec_col), F.col("centroid"))
+                / (l2_norm(F.col(vec_col)) * l2_norm(F.col("centroid"))),
+            ),
+            4,
+        ).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("cos_to_centroid").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(label_col, id_col, "rank", "cos_to_centroid")
+    )
+
+
 def add_lsh_signature(
     df: DataFrame,
     *,

@@ -105,6 +105,61 @@ def language_id(df: DataFrame, *, text_col: str = "text", out_col: str = "lang_p
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_k: float = 1.0,
+) -> DataFrame:
+    """Self-trained bigram language-model surprisal per document — the
+    classic model-based quality score (boilerplate and gibberish both land
+    far from the corpus average). Returns (id, n_bigrams, avg_bits) where
+    ``avg_bits`` = mean -log2 P(w_i | w_{i-1}) under an add-k-smoothed
+    bigram model fit on the corpus itself.
+
+    All relational: tokenize (codegen split), one window per doc for bigram
+    formation, two hash-aggs for the model counts (map-side partials), two
+    shuffled joins to score, one final per-doc agg. The model tables are
+    token-bounded — at 100 TB the bigram table is the natural broadcast /
+    bucketed-join candidate, and the vocab size is one scalar cross join,
+    never a collect."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok")
+    ).filter(F.col("__tok") != "")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    bigrams = toks.select(
+        F.col(id_col),
+        F.lag("__tok").over(w).alias("__prev"),
+        F.col("__tok").alias("__cur"),
+    ).filter(F.col("__prev").isNotNull())
+    bigram_counts = bigrams.groupBy("__prev", "__cur").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    prefix_counts = bigrams.groupBy("__prev").agg(
+        F.count(F.lit(1)).alias("__cp")
+    )
+    vocab = toks.agg(F.countDistinct("__tok").alias("__vocab"))
+    scored = (
+        bigrams.join(bigram_counts, ["__prev", "__cur"])
+        .join(prefix_counts, "__prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__bits",
+            -F.log2(
+                (F.col("__cb") + F.lit(smoothing_k))
+                / (F.col("__cp") + F.lit(smoothing_k) * F.col("__vocab"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__bits"), 4).alias("avg_bits"),
+    )
+
+
 def fingerprint(
     df: DataFrame, *, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

@@ -17,6 +17,7 @@ from . import udfs  # noqa: E402,F401
 from . import stream_windows  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 # The correctness driver hard-checks the FIRST 50 registered queries in
 # insertion order; everything after gets no driver row. Keep one (or a few)

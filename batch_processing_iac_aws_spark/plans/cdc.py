@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators.merge import merge_changes, scd2_from_changelog
+from ..operators.merge import merge_changes, scd2_from_changelog, snapshot_diff
 from .registry import query
 
 
@@ -103,3 +103,48 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "custkey", "version", "valid_from", "valid_to", "price", "is_current"
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH before AS (
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey % 5 != 0
+),
+after AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 11 = 0 THEN 0.0
+                ELSE round(c_acctbal, 2) END AS acctbal
+    FROM customer WHERE c_custkey % 4 != 0
+)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'added'
+            WHEN a.c_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       COALESCE(a.c_name, b.c_name) AS c_name,
+       COALESCE(a.acctbal, b.acctbal) AS acctbal
+FROM before b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
+WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+   OR a.c_name IS DISTINCT FROM b.c_name
+   OR a.acctbal IS DISTINCT FROM b.acctbal
+""",
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (incremental re-publish): two deterministic customer
+    snapshots — "after" drops keys % 4, adds back keys % 5, and zeroes the
+    balance for keys % 11 — diffed into an added/removed/changed changeset
+    via operators.merge.snapshot_diff: one full-outer join + one null-safe
+    struct comparison, no per-column Python."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    before = base.filter(F.col("c_custkey") % 5 != 0)
+    after = base.filter(F.col("c_custkey") % 4 != 0).withColumn(
+        "acctbal",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(0.0)).otherwise(
+            F.col("acctbal")
+        ),
+    )
+    return snapshot_diff(before, after, key="c_custkey")

@@ -613,3 +613,88 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return rolling_hash(d).select("doc_id", "rolling_hash")
+
+
+@query(
+    "text_perplexity",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS arr
+              FROM documents)
+    ) WHERE tok != ''
+), big AS (
+    SELECT doc_id,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok AS cur
+    FROM toks
+    QUALIFY prev IS NOT NULL
+), bc AS (
+    SELECT prev, cur, count(*) AS cb FROM big GROUP BY prev, cur
+), pc AS (
+    SELECT prev, count(*) AS cp FROM big GROUP BY prev
+), v AS (
+    SELECT count(DISTINCT tok) AS vocab FROM toks
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2((bc.cb + 1.0) / (pc.cp + 1.0 * v.vocab))), 4)
+           AS avg_bits
+FROM big b
+JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+JOIN pc ON pc.prev = b.prev
+CROSS JOIN v
+GROUP BY b.doc_id
+""",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: per-doc mean surprisal under an
+    add-one-smoothed bigram LM fit on the corpus itself (boilerplate scores
+    low, gibberish high). operators.text.bigram_surprisal — tokenize +
+    per-doc lag window + two count aggs + scoring joins, fully relational."""
+    from ..operators.text import bigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(d)
+
+
+@query(
+    "embedding_centroid_outliers",
+    oracle="""
+WITH u AS (
+    SELECT label, vec_id,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+), cent AS (
+    SELECT label, pos, avg(v) AS c FROM u GROUP BY label, pos
+), sc AS (
+    SELECT u.label, u.vec_id,
+           round(sum(u.v * cent.c)
+                 / (sqrt(sum(u.v * u.v)) * sqrt(sum(cent.c * cent.c))),
+                 4) AS cos_to_centroid
+    FROM u JOIN cent ON cent.label = u.label AND cent.pos = u.pos
+    GROUP BY u.label, u.vec_id
+), r AS (
+    SELECT label, vec_id, cos_to_centroid,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY cos_to_centroid, vec_id) AS rank
+    FROM sc
+)
+SELECT label, vec_id, CAST(rank AS INT) AS rank, cos_to_centroid
+FROM r WHERE rank <= 5
+""",
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + 5 least-central vectors per label (embedding
+    outlier review queue). operators.similarity.label_centroids /
+    centroid_outliers — relational centroid build (posexplode + two scalar
+    shuffles), broadcast scoring join, per-label ranking window."""
+    from ..operators.similarity import centroid_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(e, k=5)

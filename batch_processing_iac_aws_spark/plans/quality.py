@@ -1,0 +1,120 @@
+"""Data-quality audit query: a whole-warehouse contract check as one
+long-format table. Null rules and range rules fold into one aggregation
+pass per table (operators/quality.check_counts); uniqueness and
+referential integrity are single hash-agg / anti-join counts. The ranges
+are chosen so some checks genuinely trip on TPC-H data (negative
+``c_acctbal`` exists by spec) and others are genuinely zero — both sides
+of the counter are exercised against the DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.quality import check_counts, orphan_count, uniqueness_violations
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+SELECT 'customer.name_null' AS check,
+       CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS n_violations
+FROM customer
+UNION ALL
+SELECT 'customer.acctbal_nonneg',
+       CAST(count(*) FILTER (WHERE NOT c_acctbal >= 0
+                                OR c_acctbal IS NULL) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'customer.key_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders.date_in_range',
+       CAST(count(*) FILTER (
+            WHERE NOT (o_orderdate BETWEEN DATE '1992-01-01'
+                                       AND DATE '1998-12-31')
+               OR o_orderdate IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.totalprice_positive',
+       CAST(count(*) FILTER (WHERE NOT o_totalprice > 0
+                                OR o_totalprice IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.custkey_resolves',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.discount_in_range',
+       CAST(count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 0.1)
+                                OR l_discount IS NULL) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.line_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem.orderkey_resolves',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+""",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse contract audit in long form ``(check, n_violations)``:
+    per-table null/range rules share one scan each; uniqueness and
+    referential checks are single-shuffle counts. 9 rules, 5 jobs, zero
+    collects — the shape that audits a 100 TB warehouse inside the
+    ingest pipeline itself."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        check_counts(
+            c,
+            {
+                "customer.name_null": F.col("c_name").isNull(),
+                "customer.acctbal_nonneg": ~(F.col("c_acctbal") >= 0),
+            },
+        ),
+        uniqueness_violations(c, ["c_custkey"], "customer.key_unique"),
+        check_counts(
+            o,
+            {
+                "orders.date_in_range": ~F.col("o_orderdate").between(
+                    "1992-01-01", "1998-12-31"
+                ),
+                "orders.totalprice_positive": ~(F.col("o_totalprice") > 0),
+            },
+        ),
+        orphan_count(
+            o, c, child_key="o_custkey", parent_key="c_custkey",
+            name="orders.custkey_resolves",
+        ),
+        check_counts(
+            li,
+            {
+                "lineitem.discount_in_range": ~F.col("l_discount").between(
+                    0.0, 0.1
+                ),
+            },
+        ),
+        uniqueness_violations(
+            li, ["l_orderkey", "l_linenumber"], "lineitem.line_unique"
+        ),
+        orphan_count(
+            li, o, child_key="l_orderkey", parent_key="o_orderkey",
+            name="lineitem.orderkey_resolves",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -9,9 +9,12 @@ import datetime
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from batch_processing_iac_aws_spark.operators.merge import (
     merge_changes,
     scd2_from_changelog,
+    snapshot_diff,
 )
 
 
@@ -76,3 +79,48 @@ def test_scd2_versions_and_current_flag(spark):
     # exactly one current version per key
     cur = [k for (k, _v), (_f, to, _p, c) in rows.items() if c]
     assert sorted(cur) == [1, 2]
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)],
+        ["k", "name", "val"],
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 21.0), (5, "e", 50.0), (4, "d", None)],
+        ["k", "name", "val"],
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(before, after, key="k").collect()
+    }
+    # k=1 unchanged and k=4 null-equal unchanged -> absent from the diff
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_applied_to_before_reproduces_after(spark):
+    """The docstring's inverse claim: merge_changes(A, diff(A, B)) == B."""
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"],
+    )
+    after = spark.createDataFrame(
+        [(2, "b2", 22.0), (3, "c", 30.0), (9, "z", 90.0)],
+        ["k", "name", "val"],
+    )
+    diff = snapshot_diff(before, after, key="k").withColumn(
+        "op", F.when(F.col("change_type") == "removed", "D").otherwise("U")
+    )
+    rebuilt = merge_changes(before, diff, key="k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, after.collect())
+    )
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    a = spark.createDataFrame([(1, "a")], ["k", "name"])
+    b = spark.createDataFrame([(1, 2.0)], ["k", "val"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share one schema"):
+        snapshot_diff(a, b, key="k")

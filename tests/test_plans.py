@@ -221,3 +221,39 @@ def test_corpus_queries_prune_document_columns(spark):
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "doc_id" in read_schema and "lang" in read_schema
     assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_snapshot_diff_is_single_join_no_python(spark):
+    plan = plan_tree_of(QUERIES["snapshot_diff"](spark, SF))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_merge_upsert_single_join_no_python(spark):
+    plan = plan_tree_of(QUERIES["merge_upsert"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_centroid_scoring_join_is_broadcast(spark):
+    """The label-bounded centroid table must broadcast; the corpus side is
+    never shuffled for the scoring join."""
+    plan = plan_tree_of(QUERIES["embedding_centroid_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_audit_no_cartesian_no_python(spark):
+    plan = plan_tree_of(QUERIES["data_quality_audit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_model_joins_stay_relational(spark):
+    plan = plan_tree_of(QUERIES["text_perplexity"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # vocab scalar rides a broadcast

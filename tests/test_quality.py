@@ -1,0 +1,54 @@
+"""Unit semantics for operators/quality.py: each audit primitive pinned on
+tiny frames with planted violations (including the NULL-counts-as-violation
+rule); the sf0.01 differential check is the registered data_quality_audit
+oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from batch_processing_iac_aws_spark.operators.quality import (
+    check_counts,
+    orphan_count,
+    uniqueness_violations,
+)
+
+
+def test_check_counts_single_pass_and_null_rule(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 40.0)], ["k", "val"]
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in check_counts(
+            df,
+            {
+                "val_nonneg": ~(F.col("val") >= 0),  # NULL -> violation
+                "k_small": F.col("k") > 10,  # never trips
+            },
+        ).collect()
+    }
+    assert out == {"val_nonneg": 2, "k_small": 0}
+
+
+def test_uniqueness_violations_counts_participating_rows(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (3,), (3,)], ["k"]
+    )
+    [row] = uniqueness_violations(df, ["k"], "k_unique").collect()
+    assert (row["check"], row["n_violations"]) == ("k_unique", 5)
+
+
+def test_uniqueness_violations_zero_on_unique(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    [row] = uniqueness_violations(df, ["k"], "k_unique").collect()
+    assert row["n_violations"] == 0
+
+
+def test_orphan_count(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (9,)], ["fk"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    [row] = orphan_count(
+        child, parent, child_key="fk", parent_key="pk", name="fk_resolves"
+    ).collect()
+    assert (row["check"], row["n_violations"]) == ("fk_resolves", 2)

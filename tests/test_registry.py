@@ -24,8 +24,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 133
-    assert len(ORACLES) == 123
+    assert len(QUERIES) == 137
+    assert len(ORACLES) == 127
 
 
 def test_rows_only_set_is_exactly_the_allowlist():

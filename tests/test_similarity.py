@@ -99,3 +99,35 @@ def test_ivf_deterministic(spark, emb):
     a = [tuple(r) for r in ivf_topk(emb, q, k=3).collect()]
     b = [tuple(r) for r in ivf_topk(emb, q, k=3).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_label_centroids_match_numpy(spark, emb):
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    got = {
+        r["label"]: np.array(r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        want = np.array(grp["embedding"].tolist(), dtype=np.float64).mean(
+            axis=0
+        )
+        assert np.allclose(got[label], want, atol=1e-9)
+
+
+def test_centroid_outliers_finds_planted_outlier(spark):
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    # 9 near-identical vectors + 1 anti-aligned outlier in one label
+    rows = [(i, [1.0, 0.0, 0.01 * i], 0) for i in range(9)]
+    rows.append((99, [-1.0, 0.0, 0.0], 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = centroid_outliers(df, k=1).collect()
+    assert len(out) == 1
+    assert out[0]["vec_id"] == 99 and out[0]["rank"] == 1
+    assert out[0]["cos_to_centroid"] < 0
