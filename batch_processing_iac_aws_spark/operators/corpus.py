@@ -137,3 +137,31 @@ def scrub_pii(
     return df.withColumn(
         out_col, F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
     ).withColumn("n_redactions", (emails + phones).cast("long"))
+
+
+def quota_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    max_per_group: int,
+) -> DataFrame:
+    """Per-group quota capping: keep at most ``max_per_group`` rows per
+    group, best-first by ``order_col`` (ties broken by ``id_col`` so the
+    kept set is deterministic under any partitioning). The corpus-curation
+    governor: no source may exceed its share of the final mixture
+    regardless of how much it contributes upstream.
+
+    One hash shuffle on the group key + an in-partition top-k window.
+    Skewed sources (one domain = half the crawl) should pre-aggregate with
+    the salted two-phase pattern in operators/skew.py; here the group
+    count is source-bounded, so a plain window is the right plan."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_per_group)
+        .drop("__rank")
+    )

@@ -105,6 +105,45 @@ def language_id(df: DataFrame, *, text_col: str = "text", out_col: str = "lang_p
     )
 
 
+def dedup_sentences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Intra-document exact sentence dedup (the line-dedup pass every web
+    corpus gets: boilerplate sentences repeat WITHIN a page). Splits on
+    sentence boundaries, keeps the FIRST occurrence of each distinct
+    sentence, and reassembles in original order. Returns
+    (id, out_col, n_sentences, n_removed).
+
+    Shape: posexplode (codegen Generate) -> one hash-agg on
+    (doc, sentence) taking min position -> one agg back per doc with an
+    in-group array_sort. Everything partitions by doc id; no windows over
+    the whole corpus, no Python."""
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias(
+            "__pos", "__sent"
+        ),
+    ).filter(F.col("__sent") != "")
+    firsts = sents.groupBy(id_col, "__sent").agg(
+        F.min("__pos").alias("__pos"), F.count(F.lit(1)).alias("__n")
+    )
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__sent"))),
+                lambda s: s.getField("__sent"),
+            ),
+            ". ",
+        ).alias(out_col),
+        F.sum("__n").cast("long").alias("n_sentences"),
+        (F.sum("__n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+    )
+
+
 def bigram_surprisal(
     df: DataFrame,
     *,

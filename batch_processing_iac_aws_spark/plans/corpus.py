@@ -139,3 +139,29 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(d, text_col="t").select(
         "doc_id", "scrubbed", "n_redactions"
     )
+
+
+@query(
+    "corpus_quota_cap",
+    oracle="""
+WITH scored AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+SELECT source, doc_id, n_chars FROM scored WHERE rn <= 40
+""",
+)
+def corpus_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota governor: keep the 40 best (longest) docs per
+    source — deterministic best-first capping so no domain dominates the
+    mixture. operators.corpus.quota_cap: one group shuffle + in-partition
+    top-k window, no global sort."""
+    from ..operators.corpus import quota_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return quota_cap(
+        d, group_col="source", order_col="n_chars", id_col="doc_id",
+        max_per_group=40,
+    ).select("source", "doc_id", "n_chars")

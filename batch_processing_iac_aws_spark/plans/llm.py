@@ -698,3 +698,47 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return centroid_outliers(e, k=5)
+
+
+@query(
+    "text_dedup_sentences",
+    oracle="""
+WITH inj AS (
+    -- plant duplication: doc as three sentences, first repeated
+    SELECT doc_id,
+           substr(text, 1, 40) || '. ' || substr(text, 41, 40) || '. '
+               || substr(text, 1, 40) || '. tail' || CAST(doc_id AS VARCHAR)
+               AS t
+    FROM documents
+), s AS (
+    SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS sent
+    FROM (SELECT doc_id, string_split_regex(t, '\\.\\s+') AS arr FROM inj)
+), f AS (
+    SELECT doc_id, sent, min(pos) AS pos, count(*) AS n
+    FROM s WHERE sent != '' GROUP BY doc_id, sent
+)
+SELECT doc_id,
+       string_agg(sent, '. ' ORDER BY pos) AS text_dedup,
+       CAST(sum(n) AS BIGINT) AS n_sentences,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_removed
+FROM f GROUP BY doc_id
+""",
+)
+def text_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document sentence dedup (web-corpus line-dedup pass). The
+    corpus has no natural sentence structure, so each doc is recast as
+    three sentences with the first planted twice — the operator must remove
+    exactly one copy per doc while preserving original order.
+    operators.text.dedup_sentences: explode + two doc-keyed hash-aggs."""
+    from ..operators.text import dedup_sentences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(". "),
+            F.substring("text", 41, 40), F.lit(". "),
+            F.substring("text", 1, 40), F.lit(". tail"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    return dedup_sentences(d, text_col="t")

@@ -114,3 +114,19 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[1]["n_redactions"] == 2
     assert out[2]["scrubbed"] == "no pii here at all"
     assert out[2]["n_redactions"] == 0
+
+
+def test_quota_cap_deterministic_best_first(spark):
+    from batch_processing_iac_aws_spark.operators.corpus import quota_cap
+
+    rows = [("a", i, float(i % 3)) for i in range(10)] + [("b", 99, 5.0)]
+    df = spark.createDataFrame(rows, ["src", "id", "score"])
+    got = quota_cap(
+        df, group_col="src", order_col="score", id_col="id", max_per_group=3
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src"], []).append(r["id"])
+    # best score 2.0 at ids 2,5,8 -> tie-broken by id ascending
+    assert sorted(by_src["a"]) == [2, 5, 8]
+    assert by_src["b"] == [99]

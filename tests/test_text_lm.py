@@ -32,3 +32,17 @@ def test_repetitive_text_is_more_predictable(spark):
     )
     got = {r["doc_id"]: r["avg_bits"] for r in bigram_surprisal(df).collect()}
     assert got[1] < got[2]
+
+
+def test_dedup_sentences_keeps_first_in_order(spark):
+    from batch_processing_iac_aws_spark.operators.text import dedup_sentences
+
+    df = spark.createDataFrame(
+        [(1, "alpha. beta. alpha. gamma. beta"), (2, "solo")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup_sentences(df).collect()}
+    assert got[1]["text_dedup"] == "alpha. beta. gamma"
+    assert got[1]["n_sentences"] == 5 and got[1]["n_removed"] == 2
+    assert got[2]["text_dedup"] == "solo"
+    assert got[2]["n_removed"] == 0
