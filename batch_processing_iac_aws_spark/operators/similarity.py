@@ -394,3 +394,41 @@ def lsh_topk(
             F.round("__score", 4).alias("score"),
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard 4× storage /
+    bandwidth reduction before shipping an embedding corpus to an ANN
+    index: ``scale = max|v| / 127``, ``code_i = round(v_i / scale)``.
+    Appends (q_scale, q_max_code, q_min_code, q_max_abs_err); the error
+    column is the per-vector reconstruction bound ``max|v - code*scale|``
+    (max, not sum — order-independent, so bit-identical under any
+    partitioning).
+
+    Map-only pass, no shuffle. The array lambdas evaluate interpreted
+    (outside codegen); at 100 TB batch the same arithmetic through a numpy
+    pandas_udf — the formula is three vectorized ops. Zero vectors get
+    scale=1 so codes are 0, not NaN."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127.0)
+    # explicit float->double widening: without it the error lambda stays
+    # FLOAT and loses the 6-decimal round downstream
+    codes = F.transform(
+        v, lambda x: F.round(x.cast("double") / F.col("q_scale")).cast("int")
+    )
+    err = F.transform(
+        v,
+        lambda x: F.abs(
+            x.cast("double")
+            - F.round(x.cast("double") / F.col("q_scale")) * F.col("q_scale")
+        ),
+    )
+    return (
+        df.withColumn("q_scale", scale)
+        .withColumn("q_max_code", F.array_max(codes))
+        .withColumn("q_min_code", F.array_min(codes))
+        .withColumn("q_max_abs_err", F.array_max(err))
+    )

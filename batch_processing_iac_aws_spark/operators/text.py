@@ -199,6 +199,126 @@ def bigram_surprisal(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k keyword extraction by smoothed TF-IDF
+    (sklearn-style ``idf = ln((N+1)/(df+1)) + 1``). Returns
+    (id, term, tfidf) with at most ``k`` rows per document, ranked by
+    score descending with the term as deterministic tie-break.
+
+    Scale shape: tokenize in codegen, ONE hash-agg for term frequencies,
+    then the document-frequency table is derived from that same agg (term
+    cardinality is vocabulary-bounded, so its join back is the natural
+    broadcast candidate at corpus scale); corpus size N is a scalar cross
+    join, never a driver collect. The final top-k window partitions by
+    document — no global sort. Scores are rounded to 6 decimals BEFORE
+    ranking so Spark and any libm-different engine order identically."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+    ).filter(F.col("__term") != "")
+    tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    dft = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = toks.agg(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dft, "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("__tf")
+                * (
+                    F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("__term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, F.col("__term").alias("term"), "tfidf")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.5,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 keyword search: score every document against a literal
+    query-term set, return the top-k (id, score, n_hits). The relational
+    complement to embedding similarity search — the same corpus, queried
+    lexically.
+
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``contrib = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Scale shape: the exploded token stream is filtered to the query terms
+    FIRST (isin over literals — codegen, pushes to the scan side of the
+    shuffle), so the per-term frequency agg touches only matching tokens.
+    Document length and corpus stats (N, avgdl) are scalar/bounded frames
+    (broadcast); per-doc summation goes through DECIMAL so the total is
+    partition-order-independent. Final top-k is one TakeOrdered, no global
+    sort."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+    ).filter(F.col("__term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    hits = toks.filter(F.col("__term").isin(query_terms))
+    tf = hits.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    dft = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    contrib = (
+        tf.join(F.broadcast(dft), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                1.0
+                + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            (
+                F.col("__idf")
+                * F.col("__tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).cast("decimal(24,10)"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.round(F.sum("__contrib").cast("double"), 4).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_query_terms_hit"),
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
 def fingerprint(
     df: DataFrame, *, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

@@ -701,6 +701,86 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_topk",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS dft FROM tf GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * (ln((n.n + 1.0) / (dfreq.dft + 1.0)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed sklearn idf).
+    operators.text.tfidf_top_terms: one tf hash-agg, vocabulary-bounded
+    df join, scalar N cross join, per-doc top-k window."""
+    from ..operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+@query(
+    "search_bm25",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN ('spark', 'window', 'merge')
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS dft FROM tf GROUP BY term
+), contrib AS (
+    SELECT tf.doc_id,
+           CAST(ln(1.0 + (stats.n - dfreq.dft + 0.5) / (dfreq.dft + 0.5))
+                * tf.tf * 2.5
+                / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                AS DECIMAL(24,10)) AS c
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_query_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search for the literal query {spark, window,
+    merge}: top-20 documents. operators.text.bm25_scores — lexical twin
+    of similarity_topk over the same corpus. The oracle inlines
+    k1=1.5, b=0.75: tf*(k1+1)=tf*2.5 and 1-b+b*dl/avgdl =
+    0.25+0.75*dl/avgdl."""
+    from ..operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "window", "merge"], k=20)
+
+
+@query(
     "text_dedup_sentences",
     oracle="""
 WITH inj AS (
@@ -742,3 +822,50 @@ def text_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return dedup_sentences(d, text_col="t")
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH q AS (
+    SELECT vec_id, label, embedding,
+           CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(list_max(list_transform(embedding, x -> abs(x)))
+                          AS DOUBLE) / 127.0
+           END AS q_scale
+    FROM embeddings
+)
+SELECT vec_id, label,
+       round(q_scale, 6) AS q_scale,
+       CAST(list_max(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS INTEGER)))
+            AS INTEGER) AS q_max_code,
+       CAST(list_min(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS INTEGER)))
+            AS INTEGER) AS q_min_code,
+       -- CAST to DOUBLE inside the lambda: DuckDB keeps FLOAT through
+       -- float-typed lambdas (and round() preserves it), while Spark's
+       -- arithmetic widens — both sides must round in double space
+       round(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)
+                         - round(CAST(x AS DOUBLE) / q_scale) * q_scale))), 6)
+           AS q_max_abs_err
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus with per-vector
+    scale and reconstruction-error bound.
+    operators.similarity.quantize_int8 — map-only, no shuffle."""
+    from ..operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(e).select(
+        "vec_id",
+        "label",
+        F.round("q_scale", 6).alias("q_scale"),
+        "q_max_code",
+        "q_min_code",
+        F.round("q_max_abs_err", 6).alias("q_max_abs_err"),
+    )

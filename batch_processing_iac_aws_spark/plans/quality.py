@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.quality import check_counts, orphan_count, uniqueness_violations
-from .registry import query
+from .registry import money_sum, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,3 +118,58 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "stat_winsorize",
+    oracle="""
+WITH pct AS (
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.05), 4) AS p_lo,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p_hi
+    FROM lineitem GROUP BY l_returnflag
+), clipped AS (
+    SELECT l.l_returnflag, pct.p_lo, pct.p_hi, l.l_extendedprice AS orig,
+           least(greatest(l.l_extendedprice, pct.p_lo), pct.p_hi) AS v
+    FROM lineitem l JOIN pct USING (l_returnflag)
+)
+SELECT l_returnflag, p_lo, p_hi,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE orig < p_lo OR orig > p_hi) AS BIGINT)
+           AS n_clipped,
+       CAST(round(sum(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_winsorized
+FROM clipped GROUP BY l_returnflag, p_lo, p_hi
+""",
+)
+def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust cleaning: winsorize l_extendedprice per returnflag at
+    the exact [p05, p95] percentiles, reporting clip counts and the
+    decimal-accumulated sum of the clipped column.
+
+    Scale shape: percentile pass is one groupBy over a bounded key (3
+    groups) whose 3-row result joins back via broadcast (bounded
+    AGGREGATE frame — the forced-broadcast policy allows it); the clip +
+    re-agg is a single map + hash-agg pass. Percentile thresholds are
+    rounded to 4 decimals on BOTH engines before comparing/clipping so
+    interpolation ulp differences cannot flip a clip decision. At 100 TB
+    swap percentile -> approx_percentile (exact keeps per-group buffers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 4).alias("p_lo"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p_hi"),
+    )
+    clipped = li.join(F.broadcast(pct), "l_returnflag").withColumn(
+        "__v",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p_lo")), F.col("p_hi")),
+    )
+    return clipped.groupBy("l_returnflag", "p_lo", "p_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (
+                (F.col("l_extendedprice") < F.col("p_lo"))
+                | (F.col("l_extendedprice") > F.col("p_hi"))
+            ).cast("long")
+        ).alias("n_clipped"),
+        money_sum(F.col("__v")).alias("sum_winsorized"),
+    )

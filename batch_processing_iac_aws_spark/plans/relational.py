@@ -1281,3 +1281,128 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares via the SQL regr_* aggregate
+    family (price regressed on quantity per returnflag). One hash-agg with
+    map-side partials — the closed-form regression aggregates are the
+    scalable way to fit millions of tiny per-key models (one pass, no ML
+    library, no iteration)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH cohort AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id,
+           CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+    FROM events e
+)
+SELECT c.cohort_week,
+       CAST(datediff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
+           AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cohort c JOIN activity a USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each subsequent active week. Two hash-aggs on user_id (the second is
+    a DISTINCT collapse), then one count per (cohort, offset). The cohort
+    frame is user-cardinality — joins back on user_id, which AQE resolves
+    to broadcast at small SF and shuffle join at fact scale. Week math is
+    Monday-truncated dates on both engines, so offsets divide exactly."""
+    e = _t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+WITH pts AS (
+    SELECT user_id, value, epoch_us(ts) AS t,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t_next
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(CAST(sum(CAST(value * (t_next - t) AS DECIMAL(28,6))) AS DOUBLE)
+             / sum(t_next - t), 4) AS twa_value
+FROM pts WHERE t_next IS NOT NULL
+GROUP BY user_id
+""",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the hypertable-rollup aggregate): each
+    reading weighted by how long it was current (until the next reading),
+    per user. Irregularly-sampled sensors make plain avg() wrong — this is
+    the correct integral / duration.
+
+    One per-user window (lead) + one hash-agg. Timestamps go through
+    exact integer microseconds (unix_micros / epoch_us — NOT float
+    seconds), and the value*duration products accumulate as DECIMAL, so
+    the result is identical under any partition order."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The NTZ->LTZ
+    # cast applies the session timezone (UTC here), and durations are
+    # offset-invariant anyway.
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = e.select(
+        "user_id",
+        "value",
+        t_us.alias("t"),
+        F.lead(t_us).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    return pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(
+            F.sum((F.col("value") * dur).cast("decimal(28,6)")).cast("double")
+            / F.sum(dur),
+            4,
+        ).alias("twa_value"),
+    )

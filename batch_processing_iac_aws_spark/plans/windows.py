@@ -246,3 +246,30 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
         ).alias("delta_vs_first"),
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist per nation over supplier account balance. The order key
+    includes s_suppkey so every rank is unique -> both ratios are exact
+    rationals, deterministic under any partitioning. One hash shuffle on
+    the (bounded-cardinality) nation key."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

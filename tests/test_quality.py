@@ -52,3 +52,14 @@ def test_orphan_count(spark):
         child, parent, child_key="fk", parent_key="pk", name="fk_resolves"
     ).collect()
     assert (row["check"], row["n_violations"]) == ("fk_resolves", 2)
+
+
+def test_winsorize_clips_and_counts(spark):
+    from batch_processing_iac_aws_spark.plans.quality import stat_winsorize
+
+    out = {r["l_returnflag"]: r for r in
+           stat_winsorize(spark, "/root/testdata/sf0.001").collect()}
+    for flag, r in out.items():
+        assert r["p_lo"] < r["p_hi"]
+        # ~10% of rows fall outside [p05, p95]
+        assert 0 < r["n_clipped"] < 0.2 * r["n"]

@@ -24,8 +24,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 139
-    assert len(ORACLES) == 129
+    assert len(QUERIES) == 147
+    assert len(ORACLES) == 137
 
 
 def test_rows_only_set_is_exactly_the_allowlist():

@@ -131,3 +131,20 @@ def test_centroid_outliers_finds_planted_outlier(spark):
     assert len(out) == 1
     assert out[0]["vec_id"] == 99 and out[0]["rank"] == 1
     assert out[0]["cos_to_centroid"] < 0
+
+
+def test_quantize_int8_bounds_and_zero_guard(spark):
+    from batch_processing_iac_aws_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r1 = got[1]
+    assert r1["q_max_code"] == 64 and r1["q_min_code"] == -127
+    # reconstruction error bounded by half a quantization step
+    assert r1["q_max_abs_err"] <= r1["q_scale"] / 2 + 1e-9
+    r2 = got[2]
+    assert r2["q_scale"] == 1.0 and r2["q_max_code"] == 0
+    assert r2["q_max_abs_err"] == 0.0
