@@ -869,3 +869,84 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_min_code",
         F.round("q_max_abs_err", 6).alias("q_max_abs_err"),
     )
+
+
+@query(
+    "text_pmi_pairs",
+    oracle="""
+WITH dt AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+), ct AS (
+    SELECT term, count(*) AS c FROM dt GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+p AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+)
+SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS n_docs_together,
+       round(ln(c_ab * 1.0 * n.n / (ca.c * 1.0 * cb.c)), 6) AS pmi
+FROM p
+JOIN ct ca ON p.term_a = ca.term
+JOIN ct cb ON p.term_b = cb.term
+CROSS JOIN n
+ORDER BY pmi DESC, term_a, term_b LIMIT 20
+""",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence by pointwise mutual information: which token
+    pairs appear in the same document more than independence predicts
+    (collocation discovery / phrase mining). Top-20 pairs.
+
+    Scale shape: the doc×term incidence list self-joins on doc_id — each
+    doc contributes |terms|² pairs, so at corpus scale you FIRST prune the
+    term list by document frequency (the ct frame here) to keep the fanout
+    bounded; the pair agg is one hash shuffle on (term_a, term_b) with
+    map-side partials, and the per-term count joins are vocabulary-bounded
+    broadcasts. Ranking uses the 6-decimal-rounded PMI so libm ulp
+    differences can't reorder the cutoff."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    ct = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = dt.agg(F.countDistinct("doc_id").alias("n"))
+    a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    p = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    scored = (
+        p.join(
+            F.broadcast(ct.select(F.col("term").alias("term_a"), F.col("c").alias("ca"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(ct.select(F.col("term").alias("term_b"), F.col("c").alias("cb"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("c_ab").cast("long").alias("n_docs_together"),
+            F.round(
+                F.log(
+                    F.col("c_ab") * 1.0 * F.col("n")
+                    / (F.col("ca") * 1.0 * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "term_a", "term_b"
+    ).limit(20)

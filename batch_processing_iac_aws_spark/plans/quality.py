@@ -173,3 +173,59 @@ def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_clipped"),
         money_sum(F.col("__v")).alias("sum_winsorized"),
     )
+
+
+@query(
+    "stat_robust_zscore",
+    oracle="""
+WITH med AS (
+    SELECT l_returnflag, round(median(l_extendedprice), 4) AS med
+    FROM lineitem GROUP BY l_returnflag
+), dev AS (
+    SELECT l.l_returnflag, med.med,
+           abs(l.l_extendedprice - med.med) AS absdev
+    FROM lineitem l JOIN med USING (l_returnflag)
+), mad AS (
+    SELECT l_returnflag, med, round(median(absdev), 4) AS mad
+    FROM dev GROUP BY l_returnflag, med
+)
+SELECT d.l_returnflag, m.med, m.mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE 0.6745 * d.absdev / m.mad > 3.5)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+GROUP BY d.l_returnflag, m.med, m.mad
+""",
+)
+def stat_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD z-scores (|0.6745·dev/MAD| >
+    3.5, the standard modified z-score): mean/stddev break under the very
+    outliers you hunt; median/MAD don't.
+
+    Two exact-median passes over a bounded group key, each producing a
+    3-row frame that joins back via broadcast (bounded AGGREGATE — the
+    forced-broadcast policy allows it); medians are rounded to 4 decimals
+    on both engines before the deviation pass so interpolation ulp can't
+    flip a threshold comparison. At 100 TB swap median -> approx_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "absdev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag", "med").agg(
+        F.round(F.median("absdev"), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("l_returnflag", "mad")), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.lit(0.6745) * F.col("absdev") / F.col("mad") > 3.5).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+    )

@@ -262,3 +262,33 @@ def latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "parquet_schema_merge",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END AS n_regionkey
+FROM nation
+""",
+)
+def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (§2B sources/sinks): an early batch written
+    WITHOUT n_regionkey and a later batch WITH it, scanned together under
+    mergeSchema=true — old files surface the added column as NULL, the
+    union schema comes from parquet footers only. This is how a 100 TB
+    append-only lake absorbs a column add without rewriting history.
+    Unique temp dir per call; idempotent."""
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="schema_merge_")
+    n.filter(F.col("n_nationkey") < 13).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(out + "/v1")
+    n.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(out + "/v2")
+    return spark.read.option("mergeSchema", "true").parquet(
+        out + "/v1", out + "/v2"
+    )

@@ -1406,3 +1406,46 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("twa_value"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), c AS (
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS prob
+FROM c
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current type). One per-user window (lead) + one
+    hash-agg to a type×type frame (bounded: |types|²), then the row
+    normalization is a window over that TINY aggregate — the heavy per-user
+    sequencing shuffles once on user_id. Probabilities are exact integer
+    ratios -> identical across engines."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = W.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 6).alias("prob"),
+    )

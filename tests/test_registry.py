@@ -24,8 +24,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 147
-    assert len(ORACLES) == 137
+    assert len(QUERIES) == 151
+    assert len(ORACLES) == 141
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
