@@ -225,7 +225,17 @@ def tfidf_top_terms(
     ).filter(F.col("__term") != "")
     tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
     dft = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
-    n_docs = toks.agg(F.countDistinct(id_col).alias("__n"))
+    # corpus size as a map-only count of docs with >=1 token (ids are
+    # unique) — cheaper than countDistinct over the exploded stream
+    n_docs = df.agg(
+        F.count(
+            F.when(
+                F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+                > 0,
+                1,
+            )
+        ).alias("__n")
+    )
     scored = (
         tf.join(dft, "__term")
         .crossJoin(F.broadcast(n_docs))
@@ -276,14 +286,18 @@ def bm25_scores(
     (broadcast); per-doc summation goes through DECIMAL so the total is
     partition-order-independent. Final top-k is one TakeOrdered, no global
     sort."""
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
-    ).filter(F.col("__term") != "")
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    # doc length as a map-only array size — no explode, no shuffle (the
+    # naive explode+groupBy form costs a full extra pass over the corpus)
+    nonempty = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    dl = df.select(F.col(id_col), F.size(nonempty).alias("__dl")).filter(
+        F.col("__dl") > 0
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
     )
-    hits = toks.filter(F.col("__term").isin(query_terms))
+    hits = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+    ).filter(F.col("__term").isin(query_terms))
     tf = hits.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
     dft = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     contrib = (

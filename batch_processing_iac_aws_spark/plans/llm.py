@@ -950,3 +950,21 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "term_a", "term_b"
     ).limit(20)
+
+
+# rows-only: eigendecomposition isn't SQL-expressible; variance ordering,
+# centering, and determinism are property-tested in tests/test_similarity.py
+@query("embedding_pca")
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component scores for every embedding.
+    operators.similarity.pca_project: Arrow-batched Gram partials, d²
+    tree-agg, bounded driver eigh, literal-matrix map-only projection."""
+    from ..operators.similarity import pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_project(e, k=2).select(
+        "vec_id",
+        "label",
+        F.round("pc1", 4).alias("pc1"),
+        F.round("pc2", 4).alias("pc2"),
+    )

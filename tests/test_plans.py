@@ -257,3 +257,38 @@ def test_perplexity_model_joins_stay_relational(spark):
     plan = plan_tree_of(QUERIES["text_perplexity"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan  # vocab scalar rides a broadcast
+
+
+def test_quantize_is_map_only(spark):
+    """int8 quantization is a pure per-row projection: zero exchanges."""
+    tree = plan_tree_of(QUERIES["embedding_quantize"](spark, SF))
+    assert "Exchange" not in tree, "embedding_quantize shuffles"
+
+
+def test_pca_projection_stage_is_map_only(spark):
+    """pca_project's RETURNED plan (after the bounded d² stats collect at
+    build time) must be a literal-matrix projection: zero exchanges."""
+    tree = plan_tree_of(QUERIES["embedding_pca"](spark, SF))
+    assert "Exchange" not in tree, "pca projection shuffles"
+
+
+def test_bm25_filters_tokens_before_aggregation(spark):
+    """The query-term isin filter must sit below the tf aggregation so the
+    shuffle carries only matching tokens, and doc length must come from a
+    map-only array size (no second exploded-aggregation pass)."""
+    # raw executedPlan string: the formatted tree elides expression detail
+    df = QUERIES["search_bm25"](spark, SF)
+    tree = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    lines = tree.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    # the tf subtree appears twice (score side + df side — identical
+    # exchanges, deduped by ReuseExchange at runtime); what must hold is
+    # that EVERY explode has the query-term isin filter directly above it,
+    # so no full token stream ever reaches a shuffle
+    assert gen_idx and len(gen_idx) <= 2
+    for i in gen_idx:
+        assert " IN (spark,window,merge)" in lines[i - 1], (
+            "bm25 explode not filtered to query terms"
+        )
+    # doc length comes from a map-only size(), not a third explode pass
+    assert "size(filter(split" in tree

@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_fuzzy_pipeline",
+    "embedding_pca",
     "similarity_ivf",
     "similarity_lsh",
     "text_langid",
@@ -24,7 +25,7 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 151
+    assert len(QUERIES) == 152
     assert len(ORACLES) == 141
 
 

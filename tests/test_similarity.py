@@ -148,3 +148,29 @@ def test_quantize_int8_bounds_and_zero_guard(spark):
     r2 = got[2]
     assert r2["q_scale"] == 1.0 and r2["q_max_code"] == 0
     assert r2["q_max_abs_err"] == 0.0
+
+
+def test_pca_project_variance_order_and_centering(spark):
+    import numpy as np
+
+    from batch_processing_iac_aws_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated on a known direction
+    base = rng.normal(size=(300, 8)) * np.array([5, 2, 1, 1, 0.5, 0.5, 0.1, 0.1])
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = pca_project(df, k=3)
+    pdf = got.select("vec_id", "pc1", "pc2", "pc3").toPandas()
+    v1, v2, v3 = pdf["pc1"].var(), pdf["pc2"].var(), pdf["pc3"].var()
+    assert v1 > v2 > v3
+    # scores are mean-centered
+    assert abs(pdf["pc1"].mean()) < 1e-6
+    assert abs(pdf["pc2"].mean()) < 1e-6
+    # pc1 captures the dominant axis: correlate with raw dim 0
+    raw0 = np.array([r[0] for r in base])
+    corr = np.corrcoef(raw0, pdf.sort_values("vec_id")["pc1"])[0, 1]
+    assert abs(corr) > 0.95
+    # deterministic across recomputation (sign-normalized components)
+    again = pca_project(df, k=3).select("pc1").toPandas()["pc1"]
+    assert np.allclose(again, pdf["pc1"], atol=1e-9)
