@@ -165,3 +165,24 @@ def quota_cap(
         .filter(F.col("__rank") <= max_per_group)
         .drop("__rank")
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    boundaries: dict[str, str] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test assignment by content hash: bucket =
+    md5(id) prefix compared against hex boundaries (default ~80/10/10).
+    Engine-portable (md5 prefixes compare identically everywhere), stable
+    under re-runs, repartitions, and corpus growth — a given id never
+    changes split. Map-only; composes with quota_cap / sample_gate."""
+    bounds = boundaries or {"train": "cc", "val": "e6"}
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    expr = None
+    for name, upper in bounds.items():
+        cond = h < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise("test"))

@@ -148,3 +148,69 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(before, after, key="c_custkey")
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+WITH scd AS (
+    SELECT o_custkey AS custkey,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), f AS (
+    SELECT o.o_custkey AS custkey, l.l_shipdate AS ts,
+           l.l_extendedprice AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.version,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(round(sum(CAST(f.price AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price
+FROM f JOIN scd s
+  ON f.custkey = s.custkey
+ AND f.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+GROUP BY s.version
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-validity) lookup against an SCD2 dimension:
+    every shipment joins the price version that was CURRENT at its ship
+    date — [valid_from, valid_to) semantics, the query every
+    correctly-versioned warehouse runs. Facts aggregate per version number.
+
+    Scale shape: the SCD build is one key shuffle + lead window; the PIT
+    join is an equi-join on the dimension key with the validity range as a
+    residual filter — it shuffles on custkey like any fact-dim join (NO
+    nested-loop: the range never becomes the join key). Each fact matches
+    exactly one version by construction."""
+    from ..plans.registry import money_sum
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    changes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    scd = scd2_from_changelog(
+        changes, key="custkey", ts="ts", tiebreak="tie", attrs=[]
+    ).select("custkey", "version", "valid_from", "valid_to")
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("fact_ts"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    j = f.join(
+        scd,
+        (f.custkey == scd.custkey)
+        & (F.col("fact_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to"))),
+    )
+    return j.groupBy("version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        money_sum(F.col("price")).alias("sum_price"),
+    )

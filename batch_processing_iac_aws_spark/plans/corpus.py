@@ -165,3 +165,25 @@ def corpus_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, group_col="source", order_col="n_chars", id_col="doc_id",
         max_per_group=40,
     ).select("source", "doc_id", "n_chars")
+
+
+@query(
+    "dataset_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                 THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by doc_id hash.
+    operators.corpus.deterministic_split — map-only, reproducible across
+    engines and re-runs (the md5-prefix gate from sample_deterministic)."""
+    from ..operators.corpus import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_split(d, id_col="doc_id").select("doc_id", "split")

@@ -1449,3 +1449,41 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 6).alias("prob"),
     )
+
+
+@query(
+    "events_rolling_distinct_users",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+    SELECT DISTINCT d FROM du
+)
+SELECT days.d AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+FROM days JOIN du ON du.d >= days.d - 6 AND du.d <= days.d
+GROUP BY days.d
+""",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-retention
+    metric a plain window can't express (DISTINCT isn't valid in a range
+    frame). Shape: collapse to the (day, user) incidence first (one
+    hash-agg — the fact table is touched once), then a bounded band join
+    (each incidence row lands in <= 7 day buckets) against the
+    date-cardinality day spine, then an exact distinct count per day. At
+    larger horizons swap the exact count for HLL partial merge
+    (agg_hll_rollup's pattern)."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "day")
+    j = days.join(
+        du,
+        (F.col("d") >= F.date_sub(F.col("day"), 6))
+        & (F.col("d") <= F.col("day")),
+    )
+    return j.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("users_7d")
+    )

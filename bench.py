@@ -47,6 +47,10 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ivf",
     "text_quality",
+    "text_tfidf_topk",
+    "search_bm25",
+    "embedding_pca",
+    "join_point_in_time",
 ]
 
 

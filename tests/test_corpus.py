@@ -130,3 +130,24 @@ def test_quota_cap_deterministic_best_first(spark):
     # best score 2.0 at ids 2,5,8 -> tie-broken by id ascending
     assert sorted(by_src["a"]) == [2, 5, 8]
     assert by_src["b"] == [99]
+
+
+def test_deterministic_split_proportions_and_stability(spark):
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        deterministic_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    got = deterministic_split(df, id_col="id").groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in got.collect()}
+    assert 0.74 < counts["train"] / 2000 < 0.86
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    assert 0.06 < counts["test"] / 2000 < 0.14
+    # same id -> same split on a differently-partitioned recomputation
+    again = deterministic_split(df.repartition(7), id_col="id")
+    merged = (
+        deterministic_split(df, id_col="id")
+        .withColumnRenamed("split", "a")
+        .join(again.withColumnRenamed("split", "b"), "id")
+    )
+    assert merged.filter("a != b").count() == 0

@@ -25,8 +25,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 152
-    assert len(ORACLES) == 141
+    assert len(QUERIES) == 155
+    assert len(ORACLES) == 144
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
