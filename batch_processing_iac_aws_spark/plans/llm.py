@@ -968,3 +968,52 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pc1", 4).alias("pc1"),
         F.round("pc2", 4).alias("pc2"),
     )
+
+
+@query(
+    "search_inverted_index",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+), tf AS (
+    SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+""",
+)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the ordered postings list (doc:tf). The batch artifact
+    behind search_bm25 — at corpus scale each term's postings shard
+    naturally by the same groupBy(term) shuffle, and posting lists are
+    sorted in-group (array_sort of structs), never via a global sort."""
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(
+                    ":",
+                    s.getField("doc_id").cast("string"),
+                    s.getField("tf").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -1487,3 +1487,95 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("users_7d")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag, l_quantity, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_quantity AS mode_qty, CAST(n AS BIGINT) AS n_occurrences
+FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, l_quantity) AS rn
+      FROM c)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic most-frequent-value per group (built-in mode() leaves
+    ties engine-defined, so this is the explicit two-agg form: value counts,
+    then argmax with the smallest value as tie-break). Both aggs hash with
+    map-side partials; the window runs over the value-cardinality frame,
+    not the fact table."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+WITH m AS (
+    SELECT l_returnflag, avg(l_quantity) AS mean
+    FROM lineitem GROUP BY l_returnflag
+), s AS (
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(pow(l.l_quantity - m.mean, 2)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(pow(l.l_quantity - m.mean, 3)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS s3,
+           CAST(sum(CAST(pow(l.l_quantity - m.mean, 4)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS s4
+    FROM lineitem l JOIN m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+)
+SELECT l_returnflag, n,
+       round((s3 / n) / pow(s2 / n, 1.5), 6) AS skewness,
+       round((s4 / n) / pow(s2 / n, 2) - 3.0, 6) AS kurtosis_excess
+FROM s
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from explicit central-moment
+    sums. The built-in skewness()/kurtosis() use different bias corrections
+    across engines AND accumulate doubles in partition order; explicit
+    decimal-accumulated power sums make the statistic identical everywhere
+    (l_quantity is integer-valued, so the mean is exact). Two passes: a
+    bounded mean frame broadcast back over the fact table, one moment agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("mean"))
+    d = F.col("l_quantity") - F.col("mean")
+    s = (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.pow(d, 2).cast("decimal(28,10)")).cast("double").alias("s2"),
+            F.sum(F.pow(d, 3).cast("decimal(28,10)")).cast("double").alias("s3"),
+            F.sum(F.pow(d, 4).cast("decimal(28,10)")).cast("double").alias("s4"),
+        )
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round((F.col("s3") / F.col("n")) / F.pow(F.col("s2") / F.col("n"), 1.5), 6).alias("skewness"),
+        F.round((F.col("s4") / F.col("n")) / F.pow(F.col("s2") / F.col("n"), 2) - 3.0, 6).alias("kurtosis_excess"),
+    )
