@@ -6,17 +6,21 @@ them) with idempotent exists-check-then-create calls
 idempotent :func:`ensure_views` that registers every dataset as a temp view
 so both the DataFrame and ``spark.sql`` entry points work over the same data.
 
-``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's parquet
-reader rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong`` we read
-the raw INT64 nanoseconds and truncate to microseconds here. Truncation (not
-rounding) matches DuckDB's ns->us behavior, which the correctness oracle
-relies on.
+``events.ts`` has shipped in two physical encodings across testdata
+generations: TIMESTAMP(NANOS) (which Spark only reads via
+``spark.sql.legacy.parquet.nanosAsLong`` as raw INT64 nanoseconds) and plain
+TIMESTAMP(MICROS). :func:`load_table` inspects the type actually read and
+normalizes both to TIMESTAMP_NTZ in microseconds, so every downstream query
+and every DuckDB oracle sees one stable logical schema. Nanos are truncated
+(not rounded) to micros — matching DuckDB's ns->us behavior, which the
+correctness oracle relies on.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from .session import apply_runtime_conf
 
@@ -34,8 +38,35 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-#: Columns stored as TIMESTAMP(NANOS) that arrive as INT64 nanoseconds.
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: Event-time columns normalized to TIMESTAMP_NTZ regardless of how the
+#: parquet writer encoded them (INT64 nanos under nanosAsLong, us/ms
+#: TIMESTAMP, or TIMESTAMP_NTZ).
+_EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Cast one event-time column to TIMESTAMP_NTZ(us), whatever was stored.
+
+    Type-adaptive on purpose: the driver regenerates testdata between rounds
+    and has switched ``events.ts`` between TIMESTAMP(NANOS)-as-INT64 and
+    TIMESTAMP(MICROS). Matching on the *read* type keeps every query and
+    oracle stable across both encodings.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # nanosAsLong path: integer div (not double math — precision at 1e18)
+        return df.withColumn(
+            col,
+            F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df
+    if isinstance(dt, TimestampType):
+        # session TZ is pinned to UTC, so this relabel is value-preserving
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
 
 #: Small dimension tables that should always be broadcast in joins.
 BROADCAST_TABLES: frozenset[str] = frozenset(
@@ -46,20 +77,15 @@ BROADCAST_TABLES: frozenset[str] = frozenset(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with normalized types.
 
-    - nanosecond timestamp columns -> TIMESTAMP_NTZ truncated to micros
-      (integer ``div 1000``: double math would lose precision at 1e18 ns)
-    - everything else as stored (ms/us timestamps read as TIMESTAMP_NTZ)
+    - event-time columns -> TIMESTAMP_NTZ in micros via
+      :func:`normalize_event_time` (adaptive to the stored encoding)
+    - everything else as stored
     """
     apply_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, ()):
+    for col in _EVENT_TIME_COLS.get(name, ()):
         if col in df.columns:
-            df = df.withColumn(
-                col,
-                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
-                    "timestamp_ntz"
-                ),
-            )
+            df = normalize_event_time(df, col)
     return df
 
 

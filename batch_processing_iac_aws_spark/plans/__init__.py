@@ -24,74 +24,84 @@ from . import quality  # noqa: E402,F401
 # representative(s) of EVERY SURVEY.md §2 component inside that window —
 # redundant variants of already-proven shapes (the 10 join types, set ops,
 # the classic TPC-H q1/q3/... already green in round 1) sort after it.
-# ROTATION: round 1 greened the classic relational surface (joins, aggs,
-# set ops, subqueries, 13 TPC-H). Round 2's window covers every component
-# with no green row yet — windows, scalars, the 9 driver-unseen TPC-H,
-# UDFs, the streaming engine, CDC/merge, z-order layout, sketches, skew,
-# and the whole LLM corpus surface. Variants proven by an in-window
-# sibling (lag/lead, first/last, map/cast/case scalars, batch stream
-# twins, hash/fingerprint dedup, resize/frames, json/orc sources) rotate
-# into round 3's window.
+# ROTATION LEDGER:
+#   round 1 greened the classic relational surface (joins, aggs, set ops,
+#     subqueries, 13 TPC-H, the reference pipeline).
+#   round 2 greened windows, scalars, the 9 remaining TPC-H, CDC/merge,
+#     skew joins, and the core LLM surface — but 12 in-window queries
+#     failed on a testdata regeneration (events.ts switched INT64-nanos ->
+#     TIMESTAMP_MICROS; fixed type-adaptively in catalog.normalize_event_time)
+#     plus one driver-hash crash on array-typed output (fixed: oracled
+#     queries now emit only scalar columns).
+#   round 3 window (this one) = the 12 repaired round-2 failures + 38
+#     never-green queries (sources, sketches, events analytics, corpus
+#     search/stats, ANN, CDC snapshot, quality audit).
+#   round 4 rotates in the ~22 deferred low-risk variants, each of which
+#     has a green or in-window sibling: lag/lead, first/last, top-k,
+#     percent_rank, case/cast scalars, hash/keep-first/fingerprint dedup,
+#     simhash_pairs, fuzzy pipeline, rowwise UDF demo, resize/frames,
+#     batch window twins, sliding/rollup/join-static streams, salted agg,
+#     langid.
 _PRIORITY = [
-    # §2A reference surface + clustered layouts
+    # repaired round-2 failures — must re-earn green rows this round
     "interval_expand",
-    "csv_expand",
-    "zorder_roundtrip",
-    # window functions
-    "window_rank",
-    "window_running",
     "window_range_frame",
-    "window_ntile",
-    "window_ntile_scalable",
-    # scalar function families
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
     "array_funcs",
-    "array_hof_funcs",
     "json_funcs",
-    # TPC-H shapes without a round-1 driver row
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q16_supplier_relationship",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # UDF surface (pandas UDAF + grouped applyInPandas)
     "udaf_geomean",
     "udf_grouped_zscore",
-    # streaming engine (each oracled vs identical batch SQL) + batch twin
     "streaming_tumbling",
     "streaming_session",
     "streaming_dedup",
     "streaming_stateful_totals",
     "streaming_join_stream",
-    # CDC / mutable tables
-    "merge_upsert",
-    "scd2_history",
-    # sketches + skew
     "agg_quantile_bins",
-    "join_skew_salted",
-    # LLM-data surface: dedup / similarity / text / corpus / multimodal
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_edit_distance",
-    "similarity_topk",
-    "text_quality",
-    "text_lang_profile",
-    "text_token_topk",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "sample_deterministic",
-    "dataset_mixture",
-    "docs_pack_sequences",
-    "multimodal_meta",
-    "multimodal_features",
-    "docs_prep_pipeline",
+    # sources / layout (never green)
+    "json_expand",
+    "orc_roundtrip",
+    "parquet_schema_merge",
+    # sketches + stats aggregates
+    "agg_approx_distinct",
+    "agg_hll_rollup",
+    "agg_freq_items",
+    "agg_mode",
+    "agg_higher_moments",
+    "agg_regression",
+    "table_profile",
+    "data_quality_audit",
+    "stat_winsorize",
+    "stat_robust_zscore",
+    # events analytics
+    "events_retention_cohorts",
+    "ts_time_weighted_avg",
+    "events_transition_matrix",
+    "events_rolling_distinct_users",
+    # scalar families (array-agg/map serialization fixed this round)
+    "array_agg_funcs",
+    "map_funcs",
+    # near-dup + ANN (rows-only where non-SQL-expressible)
+    "dedup_minhash",
+    "dedup_simhash",
+    "similarity_ivf",
+    "similarity_lsh",
+    # corpus / text statistics + search
+    "text_rolling_hash",
+    "text_perplexity",
+    "text_tfidf_topk",
+    "search_bm25",
+    "search_inverted_index",
+    "text_dedup_sentences",
+    "text_pmi_pairs",
+    # embeddings pipeline
+    "embedding_centroid_outliers",
+    "embedding_quantize",
+    "embedding_pca",
+    # UDTF + CDC/corpus management
+    "udtf_chunk_words",
+    "snapshot_diff",
+    "join_point_in_time",
+    "corpus_quota_cap",
+    "dataset_split",
 ]
 
 

@@ -10,8 +10,11 @@ order-insensitive value hash matches across Spark and DuckDB):
 * DuckDB integer sums are ``CAST(... AS BIGINT)`` (DuckDB widens to
   HUGEINT, Spark to LONG);
 * timestamps are compared as TIMESTAMP_NTZ (session TZ pinned to UTC) or as
-  BIGINT epoch micros; events.ts nanoseconds are truncated to micros
-  identically in catalog.load_table and DuckDB's reader;
+  BIGINT epoch micros; events.ts is normalized to micros by
+  catalog.normalize_event_time whatever the parquet writer encoded
+  (INT64 nanos or TIMESTAMP), matching DuckDB's reader;
+* no ArrayType/MapType output columns — the driver's pandas-based hash
+  compare can't sort/hash them (lists are array_join-ed, or unpacked);
 * any LIMIT/top-k is made deterministic with a unique tiebreaker key.
 """
 

@@ -147,7 +147,9 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(len(embedding) AS INT)                          AS dim,
        round(CAST(embedding[1] AS DOUBLE), 4)               AS first_val,
-       [round(CAST(x AS DOUBLE), 4) FOR x IN embedding[1:3]] AS head3,
+       round(CAST(embedding[1] AS DOUBLE), 4)               AS head_1,
+       round(CAST(embedding[2] AS DOUBLE), 4)               AS head_2,
+       round(CAST(embedding[3] AS DOUBLE), 4)               AS head_3,
        round(list_reduce([CAST(x AS DOUBLE) FOR x IN embedding],
                          (a, b) -> a + b), 4)               AS vec_sum
 FROM embeddings
@@ -156,16 +158,23 @@ FROM embeddings
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface incl. the HOFs the reference leans on (sequence/
     transform, pyspark_script.py:80-96): size, indexing, slice+transform,
-    and aggregate (fold) — all JVM-side, no UDF."""
+    and aggregate (fold) — all JVM-side, no UDF.
+
+    The slice+transform result is unpacked into scalar columns (head_1..3)
+    rather than returned as an array: the driver's value-hash compare
+    canonicalizes via pandas and can't hash array cells."""
     e = _t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head3 = F.transform(
+        F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 4)
+    )
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
-        F.transform(
-            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 4)
-        ).alias("head3"),
+        F.element_at(head3, 1).alias("head_1"),
+        F.element_at(head3, 2).alias("head_2"),
+        F.element_at(head3, 3).alias("head_3"),
         F.round(
             F.aggregate(
                 emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
@@ -179,15 +188,20 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_funcs",
     oracle="""
 SELECT label,
-       list_sort(list(vec_id))         AS vec_ids,
-       CAST(count(*) AS BIGINT)        AS n_vecs
+       array_to_string(list_sort(list(vec_id)), ',') AS vec_ids,
+       CAST(count(*) AS BIGINT)                      AS n_vecs
 FROM embeddings GROUP BY label
 """,
 )
 def array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array, serialized to a comma-joined string so the
+    driver's pandas-based hash compare gets a hashable cell (integer string
+    formatting is engine-stable; double formatting would not be)."""
     e = _t(spark, sf_dir, "embeddings")
     return e.groupBy("label").agg(
-        F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
+        F.array_join(F.sort_array(F.collect_list("vec_id")), ",").alias(
+            "vec_ids"
+        ),
         F.count(F.lit(1)).alias("n_vecs"),
     )
 
@@ -198,7 +212,7 @@ def array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        round(c_acctbal, 2)   AS bal_from_map,
        c_mktsegment          AS seg_from_map,
-       ['bal', 'seg']        AS map_keys_sorted
+       'bal,seg'             AS map_keys_sorted
 FROM customer
 """,
 )
@@ -215,7 +229,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.element_at(m, "bal").cast("double").alias("bal_from_map"),
         F.element_at(m, "seg").alias("seg_from_map"),
-        F.sort_array(F.map_keys(m)).alias("map_keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias(
+            "map_keys_sorted"
+        ),
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 from ..session import apply_runtime_conf
 
@@ -29,8 +30,13 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
         path = f"{head}/[{tail[0]}]{tail[1:]}"
     raw = spark.readStream.schema(schema).parquet(path)
     # keep TIMESTAMP (not NTZ): watermarks require event time in TIMESTAMP;
-    # session TZ is pinned to UTC so epoch arithmetic matches the batch path
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # session TZ is pinned to UTC so epoch arithmetic matches the batch path.
+    # Type-adaptive like catalog.normalize_event_time: testdata has shipped
+    # ts as both INT64 nanos (nanosAsLong) and TIMESTAMP(MICROS).
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _tumbling_agg(stream: DataFrame) -> DataFrame:

@@ -73,6 +73,23 @@ def test_oracle_match(name, spark, duck):
     assert not mismatches, f"{name}: value mismatches {mismatches[:5]}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracled_output_columns_are_hashable(name, spark):
+    """The driver canonicalizes results via pandas sort_values + hashing;
+    ArrayType/MapType cells arrive as numpy arrays / dicts and crash it
+    (round-2 `array_funcs` failure). Every oracled query must project
+    scalars only — serialize lists with array_join or unpack to columns."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    df = QUERIES[name](spark, SF_CORRECT)
+    offenders = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not offenders, f"{name}: unhashable output columns {offenders}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_CORRECT)
