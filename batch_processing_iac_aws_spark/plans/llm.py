@@ -1017,3 +1017,32 @@ def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+SELECT d.doc_id, sha256(d.text) AS content_hash
+FROM documents d
+WHERE d.doc_id % 5 <> 0
+  AND NOT EXISTS (
+      SELECT 1 FROM documents h
+      WHERE h.doc_id % 5 = 0 AND sha256(h.text) = sha256(d.text))
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup: docs with doc_id % 5 == 0 play the
+    already-ingested history (reduced to a sha256 fingerprint index), the
+    rest arrive as the new batch; survivors are batch docs whose content
+    hash is absent from the index. operators.dedup.incremental_dedup — the
+    anti-join ships 32-byte digests, never document bodies, so at 100 TB
+    the history side is an index three orders of magnitude smaller than
+    the corpus."""
+    from ..operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    batch = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(batch, history).select("doc_id", "content_hash")

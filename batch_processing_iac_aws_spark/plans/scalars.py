@@ -343,3 +343,31 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("l1_norm"),
     )
+
+
+@query(
+    "variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT)    AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+       CASE WHEN json_extract(props, '$.missing') IS NULL
+            THEN NULL ELSE 0 END                         AS missing_val
+FROM events
+""",
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType: parse the JSON
+    column once into a variant (a binary tree encoding — parsed once,
+    fields accessed without re-tokenizing, unlike repeated
+    get_json_object calls which re-parse per extraction), then typed
+    variant_get path extraction, incl. a missing path returning NULL.
+    The DuckDB oracle reads the same fields through its JSON engine."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.variant_get(v, "$.k", "bigint").alias("k_long"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
+    )

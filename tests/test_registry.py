@@ -25,8 +25,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 158
-    assert len(ORACLES) == 147
+    assert len(QUERIES) == 162
+    assert len(ORACLES) == 151
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
