@@ -1046,3 +1046,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     batch = d.filter(F.col("doc_id") % 5 != 0)
     return incremental_dedup(batch, history).select("doc_id", "content_hash")
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+WITH toks AS (
+    SELECT d.source, t.tok
+    FROM documents d,
+         UNNEST(string_split_regex(lower(d.text), '\\s+')) AS t(tok)
+    WHERE t.tok <> ''
+), counts AS (
+    SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+    FROM toks GROUP BY source, tok
+), totals AS (
+    SELECT source, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_unique
+    FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(t.n AS BIGINT)                                   AS n_tokens,
+       t.n_unique,
+       round(ln(t.n) - sum(c.c * ln(c.c)) / t.n, 4)          AS entropy_nats
+FROM counts c JOIN totals t USING (source)
+GROUP BY c.source, t.n, t.n_unique
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    repetitiveness / diversity score used to down-weight boilerplate-heavy
+    sources in a training mix (low entropy = templated text). Two
+    hash-partitioned aggregations (token counts, then the entropy sum);
+    the token explode never leaves its partition before the first combine,
+    so the shuffle carries (source, token, count), not raw tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # -sum(p ln p) = ln(n) - sum(c ln c)/n: one plain aggregation over the
+    # count table, no second pass or window needed
+    n = F.sum("c")
+    return counts.groupBy("source").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+@query(
+    "graph_degree_centrality",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+edges AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.25
+), nodes AS (
+    SELECT id_a AS node FROM edges
+    UNION ALL
+    SELECT id_b AS node FROM edges
+)
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM nodes GROUP BY node
+""",
+)
+def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the semantic-similarity graph (nodes = docs,
+    edges = cosine >= 0.25 pairs): the hub-detection pass that finds
+    boilerplate clusters before fuzzy dedup collapses them. Edge list is
+    built exactly like dedup_embedding_cosine; the degree count is one
+    union + one hash aggregation — at corpus scale degrees come straight
+    from the LSH candidate pairs, never an all-pairs scan."""
+    from ..functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    edges = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= 0.25)
+        .select("id_a", "id_b")
+    )
+    nodes = edges.select(F.col("id_a").alias("node")).unionAll(
+        edges.select(F.col("id_b").alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))

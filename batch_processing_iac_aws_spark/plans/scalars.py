@@ -371,3 +371,92 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_long"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
     )
+
+
+@query(
+    "try_funcs",
+    oracle="""
+SELECT c_custkey,
+       round(c_acctbal / NULLIF(c_custkey % 3, 0), 6) AS safe_div,
+       TRY_CAST(c_mktsegment AS INT)                  AS seg_as_int,
+       CAST(c_custkey + 1 AS BIGINT)                  AS key_plus_1,
+       string_split(c_name, ' ')[10]                  AS word_10
+FROM customer
+""",
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_divide (NULL on /0), try_cast
+    (NULL on bad parse), try_add, try_element_at (NULL past the end) —
+    the ANSI-mode-compatible way to keep a 100 TB job from dying on one
+    malformed row. All JVM-side; the oracle reproduces each NULL contract
+    with NULLIF / TRY_CAST / native out-of-bounds indexing."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round(
+            F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 3), 6
+        ).alias("safe_div"),
+        F.col("c_mktsegment").try_cast("int").alias("seg_as_int"),
+        F.try_add(F.col("c_custkey"), F.lit(1)).alias("key_plus_1"),
+        F.try_element_at(F.split("c_name", " "), F.lit(10)).alias("word_10"),
+    )
+
+
+@query(
+    "generator_funcs",
+    oracle="""
+WITH w AS (
+    SELECT p_partkey, string_split(p_name, ' ') AS words
+    FROM part
+)
+SELECT p_partkey, CAST(i - 1 AS INT) AS pos, words[i] AS word
+FROM w, UNNEST(generate_series(1, len(words))) AS t(i)
+WHERE p_partkey % 10 <> 0
+UNION ALL
+SELECT p_partkey, NULL AS pos, NULL AS word
+FROM w WHERE p_partkey % 10 = 0
+""",
+)
+def generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: posexplode_outer — rows whose array is NULL
+    (every 10th part here) survive with NULL pos/word instead of being
+    dropped, the null-preserving contract that matters when exploding
+    optional nested data. The oracle constructs both branches explicitly."""
+    p = _t(spark, sf_dir, "part")
+    arr = F.when(
+        F.col("p_partkey") % 10 != 0, F.split(F.col("p_name"), " ")
+    )
+    return p.select(
+        "p_partkey", F.posexplode_outer(arr).alias("pos", "word")
+    )
+
+
+@query(
+    "interval_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)  AS plus_3m,
+       CAST(CAST(o_orderdate AS DATE) - INTERVAL 45 DAY AS DATE)   AS minus_45d,
+       make_date(CAST(year(o_orderdate) AS INT),
+                 CAST(month(o_orderdate) AS INT), 1)               AS month_floor,
+       CAST(dayofyear(o_orderdate) AS INT)                         AS doy,
+       CAST(weekofyear(o_orderdate) AS INT)                        AS iso_week,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start
+FROM orders
+""",
+)
+def interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: add_months (month-end clamped the same
+    way in both engines), day offsets, make_date reconstruction, ISO
+    day-of-year/week-of-year, and Monday-anchored week truncation."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_sub(d, 45).alias("minus_45d"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_floor"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+    )

@@ -25,8 +25,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 162
-    assert len(ORACLES) == 151
+    assert len(QUERIES) == 167
+    assert len(ORACLES) == 156
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
