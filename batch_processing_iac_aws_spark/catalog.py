@@ -54,13 +54,34 @@ def normalize_event_time(df: DataFrame, col: str) -> DataFrame:
     """
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
-        # nanosAsLong path: integer div (not double math — precision at 1e18)
-        return df.withColumn(
-            col,
-            F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
-                "timestamp_ntz"
-            ),
+        # nanosAsLong path: integer div (not double math — precision at 1e18).
+        # A LongType event-time column is only reachable through the
+        # spark.sql.legacy.parquet.nanosAsLong read of TIMESTAMP(NANOS)
+        # (session.py RUNTIME_CONF) — raw INT64 millis/micros columns would
+        # be silently wrong here by 1e3/1e6, so guard on magnitude: ns
+        # epochs for plausible data (1973+) are >= 1e17 while micros/millis
+        # epochs are < 1e16 until year 2286. One codegen branch per row;
+        # fails loudly instead of dividing a micros column by 1000.
+        converted = F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+            "timestamp_ntz"
         )
+        guarded = (
+            F.when(F.col(col).isNull(), F.lit(None).cast("timestamp_ntz"))
+            .when(F.col(col) >= F.lit(100_000_000_000_000_000), converted)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"normalize_event_time({col}): LongType value "
+                            "below ns-epoch range — raw INT64 micros/millis "
+                            "encoding? "
+                        ),
+                        F.col(col).cast("string"),
+                    )
+                ).cast("timestamp_ntz")
+            )
+        )
+        return df.withColumn(col, guarded)
     if isinstance(dt, TimestampNTZType):
         return df
     if isinstance(dt, TimestampType):

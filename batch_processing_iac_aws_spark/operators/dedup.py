@@ -473,7 +473,8 @@ def incremental_dedup(
     index_col: str = "content_hash",
 ) -> DataFrame:
     """Drop batch rows whose content already exists in a historical
-    fingerprint index, then dedup the batch against itself.
+    fingerprint index (anti-join only — intra-batch duplicates survive;
+    compose with :func:`exact_dedup` for those, see below).
 
     The production shape for rolling corpus ingestion: the history side is
     an index of 32-byte sha256 digests (not document bodies), so the

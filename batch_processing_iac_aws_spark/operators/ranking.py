@@ -24,12 +24,12 @@ from pyspark.sql import DataFrame
 _LOCAL_MASK = (1 << 33) - 1
 
 
-def global_row_number(
+def _global_row_number_with_total(
     df: DataFrame, *order_cols: str, out: str = "rn"
-) -> DataFrame:
-    """Global 1-based row number in ``order_cols`` order, computed with a
-    range shuffle + per-partition offsets instead of a one-task window.
-    Include a unique tiebreaker in ``order_cols`` for determinism."""
+) -> tuple[DataFrame, int]:
+    """(ranked df, total row count). The total falls out of the offsets
+    collect for free — callers needing N (percent_rank, ntile) must not
+    pay a second count() job."""
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     with_ids = ranged.withColumn("__mono", F.monotonically_increasing_id())
@@ -51,11 +51,22 @@ def global_row_number(
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "__pid long, __offset long")
 
-    return (
+    ranked = (
         with_ids.join(F.broadcast(off_df), "__pid")
         .withColumn(out, F.col("__offset") + F.col("__local") + 1)
         .drop("__mono", "__pid", "__local", "__offset")
     )
+    return ranked, offset
+
+
+def global_row_number(
+    df: DataFrame, *order_cols: str, out: str = "rn"
+) -> DataFrame:
+    """Global 1-based row number in ``order_cols`` order, computed with a
+    range shuffle + per-partition offsets instead of a one-task window.
+    Include a unique tiebreaker in ``order_cols`` for determinism."""
+    ranked, _ = _global_row_number_with_total(df, *order_cols, out=out)
+    return ranked
 
 
 def global_percent_rank(
@@ -63,9 +74,9 @@ def global_percent_rank(
 ) -> DataFrame:
     """percent_rank = (rn - 1) / (N - 1) on top of global_row_number.
     NOTE: ties get distinct row numbers (tiebreaker order), which matches
-    percent_rank only when order_cols end in a unique key."""
-    ranked = global_row_number(df, *order_cols, out="__rn")
-    n = ranked.count()
+    percent_rank only when order_cols end in a unique key. N comes from
+    the offsets collect — no extra count() job."""
+    ranked, n = _global_row_number_with_total(df, *order_cols, out="__rn")
     denom = max(n - 1, 1)
     return ranked.withColumn(
         out, (F.col("__rn") - 1).cast("double") / F.lit(float(denom))
@@ -77,9 +88,9 @@ def global_ntile(
 ) -> DataFrame:
     """ntile(n) from the global row number: tile = floor((rn-1) * n / N) + 1
     gives the same equal-split semantics as the window ntile (larger tiles
-    first when N % n != 0 matches because Spark splits remainder forward)."""
-    ranked = global_row_number(df, *order_cols, out="__rn")
-    n = ranked.count()
+    first when N % n != 0 matches because Spark splits remainder forward).
+    N comes from the offsets collect — no extra count() job."""
+    ranked, n = _global_row_number_with_total(df, *order_cols, out="__rn")
     base, rem = divmod(n, n_tiles)
     # first `rem` tiles have base+1 rows (SQL ntile semantics)
     big = rem * (base + 1)

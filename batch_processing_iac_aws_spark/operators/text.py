@@ -365,3 +365,52 @@ def rolling_hash(
             ),
         ),
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the Gopher-style
+    repetition filters (Rae et al. 2021, §A1.1: "fraction of characters in
+    the most common n-gram" / "fraction of characters in duplicated
+    n-grams", here over occurrence counts):
+
+    * ``top{n}gram_frac`` — occurrences of the single most frequent n-gram
+      over total n-gram occurrences;
+    * ``dup{n}gram_frac`` — fraction of n-gram occurrences whose gram
+      appears more than once.
+
+    Shape: codegen shingle explode (operators/dedup.shingle_rows — NOT an
+    interpreted array HOF, the measured 100x cliff) -> one hash aggregate
+    on (id, gram) -> one on id, both with map-side partial aggregation, so
+    only (id, gram, count) rows cross the first shuffle and (id, 3 longs)
+    the second. Integer counts + one final division = bit-identical across
+    engines, hence SQL-oracle-able."""
+    from .dedup import shingle_rows
+
+    counts = (
+        shingle_rows(df, id_col=id_col, text_col=text_col, k=ngram)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("__total"),
+        F.max("__n").alias("__mx"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)).alias(
+            "__dup"
+        ),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__total").cast("long").alias(f"n_{ngram}grams"),
+        F.round(
+            F.col("__mx").cast("double") / F.col("__total"), 4
+        ).alias(f"top{ngram}gram_frac"),
+        F.round(
+            F.col("__dup").cast("double") / F.col("__total"), 4
+        ).alias(f"dup{ngram}gram_frac"),
+    )

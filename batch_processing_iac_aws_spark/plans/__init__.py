@@ -33,75 +33,81 @@ from . import quality  # noqa: E402,F401
 #     TIMESTAMP_MICROS; fixed type-adaptively in catalog.normalize_event_time)
 #     plus one driver-hash crash on array-typed output (fixed: oracled
 #     queries now emit only scalar columns).
-#   round 3 window (this one) = the 12 repaired round-2 failures + 38
-#     never-green queries (sources, sketches, events analytics, corpus
-#     search/stats, ANN, CDC snapshot, quality audit).
-#   round 4 rotates in the ~22 deferred low-risk variants, each of which
-#     has a green or in-window sibling: lag/lead, first/last, top-k,
-#     percent_rank, case/cast scalars, hash/keep-first/fingerprint dedup,
-#     simhash_pairs, fuzzy pipeline, rowwise UDF demo, resize/frames,
-#     batch window twins, sliding/rollup/join-static streams, salted agg,
-#     langid.
+#   round 3 greened its whole 50-slot window except agg_freq_items (driver
+#     hash crashed on ArrayType output — fixed: array_join'd to strings):
+#     sources, sketches, events analytics, corpus search/stats, ANN (rows-
+#     only), CDC snapshot, quality audit.
+#   round 4 window (this one) = the 32 queries that have NEVER had a driver
+#     row (the round-3 verification debt, incl. the repaired agg_freq_items)
+#     + the sketch/ANN rows-only queries re-shaped with invariant oracles
+#     + 6 canaries for the events.ts-encoding repair + 6 round-1-only
+#     greens that have not been re-validated since.
 _PRIORITY = [
-    # repaired round-2 failures — must re-earn green rows this round
-    "interval_expand",
-    "window_range_frame",
-    "array_funcs",
-    "json_funcs",
-    "udaf_geomean",
-    "udf_grouped_zscore",
-    "streaming_tumbling",
-    "streaming_session",
-    "streaming_dedup",
-    "streaming_stateful_totals",
-    "streaming_join_stream",
-    "agg_quantile_bins",
-    # sources / layout (never green)
-    "json_expand",
-    "orc_roundtrip",
-    "parquet_schema_merge",
-    # sketches + stats aggregates
+    # -- the 32 never-driver-confirmed queries (round-3 verification debt) --
+    # repaired round-3 red (ArrayType output -> array_join'd)
+    "agg_freq_items",
+    # window variants
+    "window_lag_lead",
+    "window_first_last",
+    "window_percent_rank",
+    "topk_per_group",
+    # scalar families
+    "case_null_funcs",
+    "cast_funcs",
+    "variant_funcs",
+    "try_funcs",
+    "generator_funcs",
+    "interval_funcs",
+    # dedup family
+    "dedup_exact_hash",
+    "dedup_keep_first",
+    "dedup_fingerprint",
+    "dedup_fuzzy_pipeline",
+    "dedup_simhash_pairs",
+    "dedup_incremental",
+    # text / graph
+    "text_langid",
+    "text_token_entropy",
+    "graph_degree_centrality",
+    # multimodal
+    "multimodal_resize",
+    "multimodal_frames",
+    # UDF slow-path demo
+    "udf_rowwise_python",
+    # batch window twins of the streaming queries
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    # streaming variants
+    "streaming_rollup",
+    "streaming_join_static",
+    "streaming_sliding",
+    # skew + corpus sampling
+    "agg_skew_salted",
+    "sample_per_group",
+    "docs_token_budget",
+    # -- sketch/ANN queries upgraded from no_oracle to invariant oracles --
     "agg_approx_distinct",
     "agg_hll_rollup",
-    "agg_freq_items",
-    "agg_mode",
-    "agg_higher_moments",
-    "agg_regression",
-    "table_profile",
-    "data_quality_audit",
-    "stat_winsorize",
-    "stat_robust_zscore",
-    # events analytics
-    "events_retention_cohorts",
-    "ts_time_weighted_avg",
-    "events_transition_matrix",
-    "events_rolling_distinct_users",
-    # scalar families (array-agg/map serialization fixed this round)
-    "array_agg_funcs",
-    "map_funcs",
-    # near-dup + ANN (rows-only where non-SQL-expressible)
     "dedup_minhash",
     "dedup_simhash",
-    "similarity_ivf",
     "similarity_lsh",
-    # corpus / text statistics + search
-    "text_rolling_hash",
-    "text_perplexity",
-    "text_tfidf_topk",
-    "search_bm25",
-    "search_inverted_index",
-    "text_dedup_sentences",
-    "text_pmi_pairs",
-    # embeddings pipeline
-    "embedding_centroid_outliers",
-    "embedding_quantize",
-    "embedding_pca",
-    # UDTF + CDC/corpus management
-    "udtf_chunk_words",
-    "snapshot_diff",
-    "join_point_in_time",
-    "corpus_quota_cap",
-    "dataset_split",
+    "similarity_ivf",
+    # -- canaries for the events.ts encoding repair (catalog.py) --
+    "interval_expand",
+    "window_range_frame",
+    "json_funcs",
+    "udf_grouped_zscore",
+    "streaming_tumbling",
+    "ts_time_weighted_avg",
+    # -- new this round: Gopher repetition/quality filters --
+    "text_repetition_profile",
+    "corpus_gopher_filter",
+    # -- round-1-only greens, never re-validated since --
+    "csv_expand",
+    "zorder_roundtrip",
+    "latest_partition",
+    "q1_pricing_summary",
 ]
 
 

