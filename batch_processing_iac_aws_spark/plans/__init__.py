@@ -100,14 +100,14 @@ _PRIORITY = [
     "udf_grouped_zscore",
     "streaming_tumbling",
     "ts_time_weighted_avg",
-    # -- new this round: Gopher repetition/quality filters --
+    # -- new this round: Gopher repetition/quality filters + span dedup --
     "text_repetition_profile",
     "corpus_gopher_filter",
+    "dedup_substring_spans",
     # -- round-1-only greens, never re-validated since --
     "csv_expand",
     "zorder_roundtrip",
     "latest_partition",
-    "q1_pricing_summary",
 ]
 
 

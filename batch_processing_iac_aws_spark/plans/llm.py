@@ -132,9 +132,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py. Raw (unverified) candidate output remains
     exercised by dedup_fuzzy_pipeline."""
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(
-        d, id_col="doc_id", text_col="text", num_perm=64, bands=16
-    ).select("id_a", "id_b")
+    # materialize the candidate pairs once (they're tiny — a vanishing
+    # fraction of the corpus by LSH design): the verify stage references
+    # them three times (ids_a, ids_b, and the pair join), and without the
+    # checkpoint each reference recomputes the full signature+banding
+    # subplan (~3x the query, measured at sf0.1)
+    cand = (
+        minhash_lsh_candidates(
+            d, id_col="doc_id", text_col="text", num_perm=64, bands=16
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     return (
         exact_jaccard(d, cand)
         .filter(F.col("jaccard") >= 0.9)
@@ -213,6 +222,54 @@ FROM documents
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return fingerprint(d).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+    FROM documents
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(words[i:i+9], ' ') AS gram
+    FROM w, UNNEST(generate_series(1, greatest(len(words) - 9, 1))) AS u(i)
+), d AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+FROM g JOIN d USING (gram) GROUP BY doc_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup audit (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', the ExactSubstr variant at
+    word granularity): per document, how many of its distinct word
+     10-gram spans also occur in at least one OTHER document. The output is
+    the removal work-list a span-level deduper consumes.
+
+    Scale shape: codegen shingle explode -> distinct -> group the spans by
+    their sha256 (32-byte keys cross the shuffle, never span text) ->
+    semi-join the duplicated span set back. The oracle groups the raw span
+    text — same partition function modulo hash collisions (2^-128)."""
+    from ..operators.dedup import shingle_rows
+
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(d, id_col="doc_id", text_col="text", k=10)
+        .distinct()
+        .select("doc_id", F.sha2("shingle", 256).alias("__g"))
+    )
+    dup = (
+        sh.groupBy("__g")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__g")
+    )
+    return (
+        sh.join(dup, "__g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
 
 
 @query(

@@ -100,3 +100,24 @@ def test_zorder_roundtrip_preserves_rows(spark, layouts):
         "sum(l_partkey)", "sum(l_suppkey)", "count(distinct l_partkey)"
     ).first()
     assert got == want
+
+
+def test_zorder_layout_is_deterministic(spark, layouts, tmp_path):
+    """Rewriting the same data must land the SAME files: identical
+    per-file [min, max] footer ranges on every z-ordered column. The
+    writer computes exact block-aligned quantile cuts and routes each
+    cut range to a fixed output partition (hash-slot remap) — no
+    sampling anywhere, so retries and recomputations reproduce the
+    layout bit-for-bit."""
+    zpath, _, _ = layouts
+    l = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    again = str(tmp_path / "zorder_again")
+    write_zorder_parquet(
+        l, again, zorder_by=["l_partkey", "l_suppkey"], num_files=16
+    )
+    for col in ("l_partkey", "l_suppkey"):
+        assert sorted(_file_ranges(zpath, col)) == sorted(
+            _file_ranges(again, col)
+        )
