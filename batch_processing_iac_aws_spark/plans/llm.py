@@ -247,26 +247,27 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
      10-gram spans also occur in at least one OTHER document. The output is
     the removal work-list a span-level deduper consumes.
 
-    Scale shape: codegen shingle explode -> distinct -> group the spans by
-    their sha256 (32-byte keys cross the shuffle, never span text) ->
-    semi-join the duplicated span set back. The oracle groups the raw span
-    text — same partition function modulo hash collisions (2^-128)."""
+    Scale shape: ONE scan — codegen shingle explode, immediately hashed to
+    sha256 so only (doc_id, 32-byte key) rows ever cross a shuffle, pair
+    distinct, then a count window over the span key (rows are distinct
+    pairs, so the partition row count IS the distinct-doc count) and one
+    final doc aggregate. Three key-chosen exchanges, no self-join, no
+    second scan. The oracle groups the raw span text — same partitioning
+    modulo hash collisions (2^-128)."""
+    from pyspark.sql import Window
+
     from ..operators.dedup import shingle_rows
 
     d = _t(spark, sf_dir, "documents")
     sh = (
         shingle_rows(d, id_col="doc_id", text_col="text", k=10)
-        .distinct()
         .select("doc_id", F.sha2("shingle", 256).alias("__g"))
+        .distinct()
     )
-    dup = (
-        sh.groupBy("__g")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("__g")
-    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__g"))
     return (
-        sh.join(dup, "__g", "left_semi")
+        sh.withColumn("__nd", nd)
+        .filter(F.col("__nd") >= 2)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -624,10 +625,45 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_langid")
+def _langid_oracle() -> str:
+    """DuckDB twin of operators.text.language_id, GENERATED from the same
+    _STOPWORDS lexicon so the two can never drift: per-language stopword
+    hit counts, argmax with lexicographically-smallest-language tie-break,
+    'und' when every score is zero."""
+    from ..operators.text import _STOPWORDS
+
+    branches = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, lang, '{c}' AS cand,\n"
+        "           len(list_intersect(tk, [{lex}])) AS sc FROM toks".format(
+            c=c, lex=", ".join(f"'{w}'" for w in _STOPWORDS[c])
+        )
+        for c in sorted(_STOPWORDS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_distinct(string_split_regex(lower(text), '\\s+')) AS tk
+    FROM documents
+), scores AS (
+{branches}
+), best AS (
+    SELECT doc_id, lang, cand, sc,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sc DESC, cand) AS rn
+    FROM scores
+)
+SELECT doc_id, lang,
+       CASE WHEN sc > 0 THEN cand ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
+@query("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-voting language ID (rows-only: heuristic lexicon isn't
-    SQL-portable; determinism property-tested)."""
+    """Stopword-voting language ID. The heuristic is plain relational
+    logic over a literal lexicon, so it IS SQL-portable — the oracle is
+    generated from the identical _STOPWORDS table (argmax + smallest-lang
+    tie-break + 'und' fallback, matching language_id's struct-min)."""
     d = _t(spark, sf_dir, "documents")
     return language_id(d).select("doc_id", "lang", "lang_pred")
 

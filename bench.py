@@ -14,8 +14,9 @@ count/collect of the final frame), twice:
   from the scan/shuffle/compute time that actually scales with data.
 
 The headline set spans the engine's surface: reference-parity expansion,
-TPC-H-style joins/aggs, windows, dedup (exact + MinHash-LSH + SimHash),
-similarity search, and session windows.
+TPC-H-style joins/aggs, windows, dedup (exact + MinHash-LSH + SimHash +
+the full fuzzy pipeline + substring spans), similarity search, Gopher
+quality filters, and session windows.
 """
 
 from __future__ import annotations
@@ -51,6 +52,11 @@ HEADLINE = [
     "search_bm25",
     "embedding_pca",
     "join_point_in_time",
+    # round 4: full fuzzy flow + span dedup + Gopher quality filters
+    "dedup_fuzzy_pipeline",
+    "dedup_substring_spans",
+    "text_repetition_profile",
+    "corpus_gopher_filter",
 ]
 
 

@@ -14,20 +14,20 @@ from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
 # rows-only by design, each compensated with property tests. Round 4
 # upgraded agg_approx_distinct / agg_hll_rollup (tolerance-gated exact
 # counts), dedup_minhash (exhaustive-Jaccard recall oracle), and
-# similarity_ivf / similarity_lsh (recall-floor summary) OUT of this set.
+# similarity_ivf / similarity_lsh (recall-floor summary), and text_langid
+# (lexicon-generated SQL twin) OUT of this set.
 ROWS_ONLY = {
     "agg_freq_items",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_fuzzy_pipeline",
     "embedding_pca",
-    "text_langid",
 }
 
 
 def test_counts():
     assert len(QUERIES) == 170
-    assert len(ORACLES) == 164
+    assert len(ORACLES) == 165
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
