@@ -101,14 +101,14 @@ _PRIORITY = [
     "udf_grouped_zscore",
     "streaming_tumbling",
     "ts_time_weighted_avg",
-    # -- new this round: Gopher repetition/quality filters + span dedup --
+    # -- new this round: Gopher filters + span dedup + exact PageRank --
     "text_repetition_profile",
     "corpus_gopher_filter",
     "dedup_substring_spans",
+    "graph_pagerank",
     # -- round-1-only greens, never re-validated since --
     "csv_expand",
     "zorder_roundtrip",
-    "latest_partition",
 ]
 
 

@@ -1384,6 +1384,87 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_pagerank",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+e0 AS (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.25
+),
+edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT u AS node, 1000000000000 // nn.n AS r FROM deg, nn),
+i1 AS (SELECT e.v AS node, SUM(r0.r // deg.d) AS fl
+       FROM edges e JOIN r0 ON e.u = r0.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r1 AS (SELECT i1.node, (15 * (1000000000000 // nn.n)) // 100
+                       + (85 * i1.fl) // 100 AS r FROM i1, nn),
+i2 AS (SELECT e.v AS node, SUM(r1.r // deg.d) AS fl
+       FROM edges e JOIN r1 ON e.u = r1.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r2 AS (SELECT i2.node, (15 * (1000000000000 // nn.n)) // 100
+                       + (85 * i2.fl) // 100 AS r FROM i2, nn),
+i3 AS (SELECT e.v AS node, SUM(r2.r // deg.d) AS fl
+       FROM edges e JOIN r2 ON e.u = r2.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r3 AS (SELECT i3.node, (15 * (1000000000000 // nn.n)) // 100
+                       + (85 * i3.fl) // 100 AS r FROM i3, nn)
+SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the semantic-
+    similarity graph — hub scoring for boilerplate/citation-like clusters.
+
+    The point of this query is that an ITERATIVE algorithm can still be
+    hash-oracled: the iteration count is fixed and unrolled in the SQL
+    twin, and all arithmetic is integer (ranks live on a 1e12 fixed-point
+    grid; per-edge contributions use integer division) so there is no
+    float-summation-order divergence between engines — sums of BIGINTs
+    are exact everywhere. Scale shape: each iteration is one equi-join of
+    the edge list with the (nodes-sized) rank frame plus one hash
+    aggregate; N enters via a broadcast single-row aggregate, never a
+    driver-side count."""
+    from ..functions.vectors import cosine
+
+    SCALE = 1_000_000_000_000
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("u"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("v"), F.col("embedding").alias("__vb"))
+    e0 = (
+        a.join(F.broadcast(b), F.col("u") < F.col("v"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= 0.25)
+        .select("u", "v")
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # tiny (bounded slice); reused 3x per iteration
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(f"(15 * ({SCALE} div n)) div 100")
+
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("u").alias("node"), F.expr(f"{SCALE} div n").alias("r")
+    )
+    for _ in range(3):
+        inflow = (
+            edges.join(r, edges.u == r.node)
+            .join(deg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.expr("r div d")).alias("fl"))
+        )
+        r = inflow.crossJoin(F.broadcast(nn)).select(
+            F.col("v").alias("node"),
+            (base + F.expr("(85 * fl) div 100")).alias("r"),
+        )
+    return r.select("node", F.col("r").cast("long").alias("rank_scaled"))
+
+
+@query(
     "graph_degree_centrality",
     oracle="""
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),

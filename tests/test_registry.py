@@ -26,8 +26,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 170
-    assert len(ORACLES) == 165
+    assert len(QUERIES) == 171
+    assert len(ORACLES) == 166
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
