@@ -187,8 +187,10 @@ def write_zorder_parquet(
         # pmod(murmur3(key), n); pick one representative key per slot (a
         # tiny deterministic spark.range probe) so each pid owns exactly
         # one output partition — no sampling anywhere in the layout.
+        # coupon collector needs ~n ln n draws; 64n gives astronomical
+        # slot-coverage margin while keeping the collect O(num_files)
         probe = (
-            df.sparkSession.range(0, 64 * n_parts * n_parts)
+            df.sparkSession.range(0, 64 * n_parts)
             .select(
                 F.col("id"),
                 F.pmod(F.hash(F.col("id")), F.lit(n_parts)).alias("slot"),

@@ -589,24 +589,56 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_freq_items")  # KPS sketch: false positives allowed, rows-only
+@query(
+    "agg_freq_items",
+    oracle="""
+WITH n AS (SELECT count(*) AS c FROM lineitem),
+rf AS (
+    SELECT l_returnflag AS v FROM lineitem, n
+    GROUP BY v, c HAVING count(*) > 0.2 * c
+),
+ls AS (
+    SELECT l_linestatus AS v FROM lineitem, n
+    GROUP BY v, c HAVING count(*) > 0.2 * c
+)
+SELECT (SELECT array_to_string(list_sort(list(v)), ',') FROM rf)
+           AS returnflag_heavy,
+       (SELECT array_to_string(list_sort(list(v)), ',') FROM ls)
+           AS linestatus_heavy
+""",
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via df.stat.freqItems (Karp-Papadimitriou-Shenker):
     single pass, constant memory per column — the 100 TB answer to 'which
-    values dominate this column' without a full groupBy+sort. Guarantee is
-    one-sided (every truly-frequent item present, false positives possible)
-    — asserted in tests/test_sketches.py; arrays sorted then joined to one
-    string per column because the driver's pandas hash can't canonicalize
-    ArrayType cells (registry.py rule; round-3 red row)."""
+    values dominate this column' without a full groupBy+sort.
+
+    The KPS guarantee is one-sided: every truly-frequent item IS present,
+    false positives possible. That makes the invariant-oracle recipe work
+    (dedup_minhash's pattern): intersect the sketch output with the exact
+    > 20%-frequency set (computed alongside) — the guarantee makes the
+    intersection EQUAL the exact set, which the oracle pins; a sketch that
+    ever dropped a frequent item would go red. Sorted, comma-joined
+    strings because the driver's pandas hash can't canonicalize ArrayType
+    cells (registry.py rule; round-3 red row)."""
     l = _t(spark, sf_dir, "lineitem")
+    tot = l.agg(F.count(F.lit(1)).alias("c"))
     fi = l.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
-    return fi.select(
-        F.array_join(F.sort_array("l_returnflag_freqItems"), ",").alias(
-            "returnflag_heavy"
-        ),
-        F.array_join(F.sort_array("l_linestatus_freqItems"), ",").alias(
-            "linestatus_heavy"
-        ),
+
+    def verified(col: str, fi_col: str, out: str) -> DataFrame:
+        sketch_vals = fi.select(F.explode(fi_col).alias("v"))
+        exact_vals = (
+            l.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("n") > 0.2 * F.col("c"))
+            .select("v")
+        )
+        return sketch_vals.join(exact_vals, "v", "left_semi").agg(
+            F.array_join(F.sort_array(F.collect_list("v")), ",").alias(out)
+        )
+
+    return verified("l_returnflag", "l_returnflag_freqItems", "returnflag_heavy").crossJoin(
+        verified("l_linestatus", "l_linestatus_freqItems", "linestatus_heavy")
     )
 
 

@@ -15,9 +15,9 @@ from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
 # upgraded agg_approx_distinct / agg_hll_rollup (tolerance-gated exact
 # counts), dedup_minhash (exhaustive-Jaccard recall oracle), and
 # similarity_ivf / similarity_lsh (recall-floor summary), and text_langid
-# (lexicon-generated SQL twin) OUT of this set.
+# (lexicon-generated SQL twin), and agg_freq_items (KPS one-sided
+# guarantee -> sketch-intersect-exact equals exact) OUT of this set.
 ROWS_ONLY = {
-    "agg_freq_items",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_fuzzy_pipeline",
@@ -27,7 +27,7 @@ ROWS_ONLY = {
 
 def test_counts():
     assert len(QUERIES) == 171
-    assert len(ORACLES) == 166
+    assert len(ORACLES) == 167
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
