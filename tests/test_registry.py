@@ -9,25 +9,26 @@ import pathlib
 
 from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
 
-# genuinely non-SQL-expressible ops (sketch internals, seeded banding
-# without a recall guarantee, iterative component propagation, PCA):
-# rows-only by design, each compensated with property tests. Round 4
+# genuinely non-SQL-expressible ops (xxhash64-based SimHash signatures
+# and their banded pairs — DuckDB has no xxhash64): rows-only by design,
+# each compensated with property tests. Round 4
 # upgraded agg_approx_distinct / agg_hll_rollup (tolerance-gated exact
 # counts), dedup_minhash (exhaustive-Jaccard recall oracle), and
 # similarity_ivf / similarity_lsh (recall-floor summary), and text_langid
 # (lexicon-generated SQL twin), and agg_freq_items (KPS one-sided
-# guarantee -> sketch-intersect-exact equals exact) OUT of this set.
+# guarantee -> sketch-intersect-exact equals exact), and
+# dedup_fuzzy_pipeline (exhaustive graph + recursive-CTE closure twin),
+# and embedding_pca (centering/ordering/eigenvalue-floor invariants gated
+# in-engine, summary row oracled) OUT of this set.
 ROWS_ONLY = {
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_fuzzy_pipeline",
-    "embedding_pca",
 }
 
 
 def test_counts():
     assert len(QUERIES) == 171
-    assert len(ORACLES) == 167
+    assert len(ORACLES) == 169
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
