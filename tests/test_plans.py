@@ -267,8 +267,15 @@ def test_quantize_is_map_only(spark):
 
 def test_pca_projection_stage_is_map_only(spark):
     """pca_project's RETURNED plan (after the bounded d² stats collect at
-    build time) must be a literal-matrix projection: zero exchanges."""
-    tree = plan_tree_of(QUERIES["embedding_pca"](spark, SF))
+    build time) must be a literal-matrix projection: zero exchanges.
+    (The registered embedding_pca query ADDS invariant-audit aggregates on
+    top — centering/ordering/eigenvalue-floor gates — so this asserts on
+    the operator, which is what a pipeline composes at scale.)"""
+    from batch_processing_iac_aws_spark.catalog import load_table
+    from batch_processing_iac_aws_spark.operators.similarity import pca_project
+
+    e = load_table(spark, SF, "embeddings")
+    tree = plan_tree_of(pca_project(e, k=2))
     assert "Exchange" not in tree, "pca projection shuffles"
 
 
@@ -292,3 +299,33 @@ def test_bm25_filters_tokens_before_aggregation(spark):
         )
     # doc length comes from a map-only size(), not a third explode pass
     assert "size(filter(split" in tree
+
+
+def test_repetition_and_span_dedup_single_scan(spark):
+    """The round-4 Gopher/span queries must stay one-pass over documents:
+    text_repetition_profile and dedup_substring_spans read the table
+    exactly once (the span query's duplicated-span detection is a count
+    window, not a self-join — the rewrite that removed a second scan and
+    7 exchanges); corpus_gopher_filter joins two independent per-doc
+    frames, so exactly two scans."""
+    for name, scans in (
+        ("text_repetition_profile", 1),
+        ("dedup_substring_spans", 1),
+        ("corpus_gopher_filter", 2),
+    ):
+        tree = plan_tree_of(QUERIES[name](spark, SF))
+        got = tree.count("Scan parquet")
+        assert got == scans, f"{name}: {got} scans, expected {scans}"
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """dedup_substring_spans' exchanges must carry the 32-byte sha256 of
+    each span, never the span text — the difference between shuffling
+    ~64 bytes/row and shuffling document-sized strings at 100 TB."""
+    plan = plan_of(QUERIES["dedup_substring_spans"](spark, SF))
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle" not in m.group(1), (
+            "raw span text crosses a shuffle: " + m.group(0)
+        )
