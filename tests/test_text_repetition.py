@@ -64,3 +64,32 @@ def test_substring_spans_planted_duplicate(spark, tmp_path):
     assert got.get(1) == 1
     assert got.get(2) == 1
     assert 3 not in got
+
+
+def test_repetition_features_partition_invariant(spark):
+    """Metrics must not depend on physical layout: integer counts + one
+    final division give identical results under any repartitioning."""
+    rows = [(i, f"w{i % 7} common span text w{i % 3} common span") for i in range(50)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, repetition_features(df, ngram=2).collect()))
+    b = sorted(
+        map(tuple, repetition_features(df.repartition(13), ngram=2).collect())
+    )
+    assert a == b
+
+
+def test_substring_spans_partition_invariant(spark, tmp_path):
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [(i, f"{span} tail{i}") for i in range(20)] + [
+        (100 + i, f"unique{i} " + " ".join(f"u{i}_{j}" for j in range(10)))
+        for i in range(5)
+    ]
+    for sub, n_parts in (("one", 1), ("many", 11)):
+        _docs(spark, rows).repartition(n_parts).write.parquet(
+            f"{tmp_path}/{sub}/documents.parquet"
+        )
+    from batch_processing_iac_aws_spark.plans import QUERIES
+
+    a = sorted(map(tuple, QUERIES["dedup_substring_spans"](spark, f"{tmp_path}/one").collect()))
+    b = sorted(map(tuple, QUERIES["dedup_substring_spans"](spark, f"{tmp_path}/many").collect()))
+    assert a == b and len(a) == 20  # the 20 span-sharing docs, not the unique ones
