@@ -325,6 +325,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """64-bit SimHash over word tokens: per bit j, sign of the sum of
     (+1/-1) weighted by token-hash bit j; near-duplicates have small
@@ -340,11 +341,17 @@ def simhash(
 
     Per bit j the +1/-1 sum is recovered from the cheaper popcount sum:
     sign(sum +/-1) > 0  <=>  2 * sum(bit_j) > n_tokens (bit-exact with the
-    previous HOF implementation, including the j=63 sign bit)."""
+    previous HOF implementation, including the j=63 sign bit).
+
+    ``token_hash`` swaps the per-token hash family (default xxhash64, the
+    fast JVM path). Pass a Column->Column builder for an engine-portable
+    family (see plans/llm.py dedup_simhash_portable: md5-derived 60-bit,
+    reproducible in DuckDB for differential testing)."""
+    hash_of = token_hash if token_hash is not None else F.xxhash64
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
-    ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    ).select(F.col(id_col), hash_of(F.col("__t")).alias("__h"))
     aggs = [
         F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
         for j in range(bits)
@@ -478,18 +485,30 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash: band the 64-bit hash into 4
-    16-bit chunks (pigeonhole: hamming<=3 pairs share at least one chunk),
-    bucket-join on chunks, verify with bit_count(xor) <= max_hamming."""
-    sh = simhash(df, id_col=id_col, text_col=text_col).cache()
+    """Candidate near-dup pairs by SimHash: band the ``bits``-wide hash
+    into 4 equal chunks (pigeonhole: hamming<=3 pairs share at least one
+    chunk — a STRUCTURAL recall guarantee, asserted exhaustively in
+    tests/test_dedup.py), bucket-join on chunks, verify with
+    bit_count(xor) <= max_hamming."""
+    if bits % 4:
+        raise ValueError("bits must be divisible by 4 chunks")
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    sh = simhash(
+        df, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
+    ).cache()
     chunked = sh.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), chunk_bits * i).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for i in range(4)
                 ]
             )

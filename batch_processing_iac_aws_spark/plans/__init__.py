@@ -40,9 +40,9 @@ from . import quality  # noqa: E402,F401
 #   round 4 window (this one) = the 32 queries that have NEVER had a driver
 #     row (the round-3 verification debt, incl. the repaired agg_freq_items)
 #     + the sketch/ANN rows-only queries re-shaped with invariant oracles
-#     + 6 canaries for the events.ts-encoding repair + the 3 queries new
-#     this round (Gopher repetition/filter + substring-span dedup) + 3
-#     round-1-only greens that have not been re-validated since.
+#     + 6 canaries for the events.ts-encoding repair + the 5 queries new
+#     this round (Gopher repetition/filter, substring-span dedup, exact
+#     PageRank, portable-hash SimHash twin) + 1 round-1-only green.
 _PRIORITY = [
     # -- the 32 never-driver-confirmed queries (round-3 verification debt) --
     # repaired round-3 red (ArrayType output -> array_join'd)
@@ -106,9 +106,9 @@ _PRIORITY = [
     "corpus_gopher_filter",
     "dedup_substring_spans",
     "graph_pagerank",
-    # -- round-1-only greens, never re-validated since --
+    "dedup_simhash_portable",
+    # -- round-1-only green, never re-validated since --
     "csv_expand",
-    "zorder_roundtrip",
 ]
 
 

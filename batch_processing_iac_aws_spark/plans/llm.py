@@ -748,6 +748,75 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_lower60(c):
+    """Engine-portable 60-bit token hash: the little-endian value of md5
+    bytes 9..16 (hex chars 17..32 byte-reversed), truncated to 60 bits —
+    numerically identical to DuckDB's ``md5_number_lower(t) % 2^60``
+    (verified bit-exact incl. unicode and empty strings)."""
+    m = F.md5(c)
+    le = F.concat(*[F.substring(m, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(F.substring(le, 2, 15), 16, 10).cast("long")
+
+
+def _simhash_portable_oracle() -> str:
+    """DuckDB twin of the full SimHash algorithm at 60 bits over the
+    md5-derived hash family: per-bit popcount sums, majority vote, pack,
+    exhaustive all-pairs hamming (the oracle checks semantics, not the
+    banded plan). Generated so the 60 bit positions can't drift."""
+    sums = ",\n           ".join(
+        f"SUM(CAST((hv >> {j}) & 1 AS BIGINT)) AS s{j}" for j in range(60)
+    )
+    pack = "\n               + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           CAST(md5_number_lower(t) % 1152921504606846976 AS BIGINT) AS hv
+    FROM toks
+), bitsums AS (
+    SELECT doc_id, count(*) AS n,
+           {sums}
+    FROM h GROUP BY doc_id
+), sig AS (
+    SELECT doc_id,
+           CAST({pack} AS BIGINT) AS sh
+    FROM bitsums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash ALGORITHM differentially tested end-to-end: same bit
+    voting, packing, banding, and hamming verify as dedup_simhash_pairs,
+    but over an engine-portable md5-derived 60-bit token hash family
+    (:func:`_md5_lower60`) that DuckDB reproduces exactly — so the oracle
+    validates every moving part except the hash family itself, which the
+    fast xxhash64 production path keeps for JVM speed (hex-string
+    byte-shuffling per token would be the slow path at 100 TB). Output is
+    verified near-dup pairs with exact hamming distance; the oracle scores
+    all pairs exhaustively, so banding recall (pigeonhole-complete by
+    construction) is also proven, not assumed."""
+    from ..operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        simhash_near_duplicates(
+            d, max_hamming=3, bits=60, token_hash=_md5_lower60
+        )
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate candidates: 16-bit chunk bucketing (pigeonhole

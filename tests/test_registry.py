@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 171
-    assert len(ORACLES) == 169
+    assert len(QUERIES) == 172
+    assert len(ORACLES) == 170
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
