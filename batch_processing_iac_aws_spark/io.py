@@ -156,11 +156,14 @@ def write_zorder_parquet(
         #      overlapped 9/16 files vs 5/16 aligned).
         # The z-domain is small (<= 2^(bits*k) distinct values, <= 1M under
         # this gate), so exact quantile cuts come from one bounded
-        # map-side-combined histogram, then snap DOWN to the enclosing
-        # 2^shift Morton-block edge (Delta OPTIMIZE ZORDER's z-cube
-        # alignment) — every file then covers whole z-cubes and its
-        # footer stats describe a tight rectangle. At 100 TB the collect
-        # stays <= 2^20 longs — cheaper than the sample pass it replaces.
+        # map-side-combined histogram, then snap to the NEAREST 2^shift
+        # Morton-block edge (Delta OPTIMIZE ZORDER's z-cube alignment) —
+        # every file then covers whole z-cubes and its footer stats
+        # describe a tight rectangle. Snapping can merge adjacent cuts or
+        # push the last cut past the data (both deduped/clamped below), so
+        # heavy skew may yield fewer than num_files files — deterministic,
+        # never wrong. At 100 TB the collect stays <= 2^20 longs —
+        # cheaper than the sample pass it replaces.
         hist = sorted(
             (r["__z"], r["n"])
             for r in tagged.groupBy("__z")
@@ -170,13 +173,19 @@ def write_zorder_parquet(
         total = sum(n for _, n in hist)
         shift = max(bits * len(zorder_by) - max(num_files - 1, 1).bit_length(), 0)
         block = 1 << shift
+        z_max = hist[-1][0]
         cuts, cum, next_cut = [], 0, 1
         for zval, n in hist:
             cum += n
             while next_cut < num_files and cum >= next_cut * total / num_files:
-                # snap to the NEAREST block edge (file ends at edge - 1)
+                # snap to the NEAREST block edge (file ends at edge - 1);
+                # clamp cuts at/past the data's max z — they would only
+                # create empty trailing partitions
                 aligned = round((zval + 1) / block) * block - 1
-                if aligned >= 0 and (not cuts or aligned > cuts[-1]):
+                if (
+                    0 <= aligned < z_max
+                    and (not cuts or aligned > cuts[-1])
+                ):
                     cuts.append(aligned)
                 next_cut += 1
         pid = F.lit(0)

@@ -429,6 +429,49 @@ def connected_components(
     return labels
 
 
+def verified_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification in
+    one call: (id_a, id_b, jaccard) pairs at or above the threshold — the
+    canonical candidates->verify preamble shared by the dedup_minhash
+    query and :func:`fuzzy_dedup_keep_one` (one implementation, so the
+    oracled query and the production pipeline can never drift).
+
+    Candidate pairs are tiny by LSH design and referenced three times by
+    the verify stage (ids_a, ids_b, pair join); the localCheckpoint
+    truncates lineage so the signature+banding subplan computes once
+    instead of once per reference. NOTE: under AQE, checkpointing (eager
+    or lazy) materializes the candidate stages at plan-construction time
+    — schema-only probes of this frame pay a few seconds, which is the
+    accepted cost for 3x-cheaper execution; every real consumer executes
+    immediately after building."""
+    cands = (
+        minhash_lsh_candidates(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    return exact_jaccard(
+        df, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
 def fuzzy_dedup_keep_one(
     df: DataFrame,
     *,
@@ -453,25 +496,16 @@ def fuzzy_dedup_keep_one(
     fixed seed. Every stage is an equi-join / groupBy — the only iterative
     part is the component propagation over the (tiny relative to the
     corpus) verified-duplicate edge list."""
-    # candidate pairs are tiny by LSH design; materialize them once —
-    # the verify stage references them three times and would otherwise
-    # recompute the signature+banding subplan per reference
-    cands = (
-        minhash_lsh_candidates(
-            df,
-            id_col=id_col,
-            text_col=text_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-            seed=seed,
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
+    verified = verified_near_duplicates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        jaccard_threshold=jaccard_threshold,
     )
-    verified = exact_jaccard(
-        df, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
-    ).filter(F.col("jaccard") >= jaccard_threshold)
     comp = connected_components(verified, src="id_a", dst="id_b")
     losers = comp.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias(id_col)

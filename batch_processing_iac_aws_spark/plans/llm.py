@@ -12,7 +12,6 @@ from ..catalog import load_table
 from ..operators.dedup import (
     exact_dedup,
     exact_jaccard,
-    minhash_lsh_candidates,
     simhash,
 )
 from ..operators.multimodal import extract_features, text_as_media
@@ -131,24 +130,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at sf0.001/0.01 in-session, plus property tests in
     tests/test_dedup.py. Raw (unverified) candidate output remains
     exercised by dedup_fuzzy_pipeline."""
+    from ..operators.dedup import verified_near_duplicates
+
     d = _t(spark, sf_dir, "documents")
-    # materialize the candidate pairs once (they're tiny — a vanishing
-    # fraction of the corpus by LSH design): the verify stage references
-    # them three times (ids_a, ids_b, and the pair join), and without the
-    # checkpoint each reference recomputes the full signature+banding
-    # subplan (~3x the query, measured at sf0.1)
-    cand = (
-        minhash_lsh_candidates(
-            d, id_col="doc_id", text_col="text", num_perm=64, bands=16
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    return (
-        exact_jaccard(d, cand)
-        .filter(F.col("jaccard") >= 0.9)
-        .orderBy("id_a", "id_b")
-    )
+    return verified_near_duplicates(
+        d, id_col="doc_id", text_col="text", jaccard_threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -409,7 +396,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_summary(
-    ann: DataFrame, exact: DataFrame, *, min_total_hits: int
+    ann: DataFrame, exact: DataFrame, *, min_recall: float
 ) -> DataFrame:
     """Driver-checkable recall floor for an ANN result: count the ANN pairs
     that appear in the exact top-k (both computed in-engine over the SAME
@@ -417,7 +404,9 @@ def _ann_recall_summary(
     and emit only the SQL-pinnable shape facts. If recall ever drops below
     the floor the row disappears and the driver's row-count check goes red —
     an honest invariant (no fake SQL portability of the hash family).
-    Single-row aggregate cross joins only."""
+    The floor is RELATIVE (n_hits >= min_recall * n_exact_pairs), so it
+    keeps meaning if k or the query-set size changes. Single-row aggregate
+    cross joins only."""
     hits = ann.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
@@ -429,7 +418,7 @@ def _ann_recall_summary(
     )
     return (
         shape.crossJoin(hits)
-        .filter(F.col("n_hits") >= min_total_hits)
+        .filter(F.col("n_hits") >= min_recall * F.col("n_exact_pairs"))
         .select("n_queries", "n_exact_pairs")
     )
 
@@ -458,7 +447,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20)
     ann = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4)
     exact = brute_force_topk(e, q, k=5)
-    return _ann_recall_summary(ann, exact, min_total_hits=70)
+    return _ann_recall_summary(ann, exact, min_recall=0.70)
 
 
 @query("similarity_lsh", oracle=_ANN_SHAPE_ORACLE)
@@ -472,7 +461,7 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20)
     ann = lsh_topk(e, q, k=5, n_planes=12, bands=4)
     exact = brute_force_topk(e, q, k=5)
-    return _ann_recall_summary(ann, exact, min_total_hits=45)
+    return _ann_recall_summary(ann, exact, min_recall=0.45)
 
 
 # --------------------------------------------------------------------------

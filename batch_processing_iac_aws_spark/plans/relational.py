@@ -633,8 +633,14 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n") > 0.2 * F.col("c"))
             .select("v")
         )
+        # nullif: an EMPTY heavy-hitter set must emit NULL, matching the
+        # oracle's list() aggregate over zero rows (array_join over an
+        # empty collect_list would emit '' and hash-mismatch)
         return sketch_vals.join(exact_vals, "v", "left_semi").agg(
-            F.array_join(F.sort_array(F.collect_list("v")), ",").alias(out)
+            F.nullif(
+                F.array_join(F.sort_array(F.collect_list("v")), ","),
+                F.lit(""),
+            ).alias(out)
         )
 
     return verified("l_returnflag", "l_returnflag_freqItems", "returnflag_heavy").crossJoin(
