@@ -37,78 +37,85 @@ from . import quality  # noqa: E402,F401
 #     hash crashed on ArrayType output — fixed: array_join'd to strings):
 #     sources, sketches, events analytics, corpus search/stats, ANN (rows-
 #     only), CDC snapshot, quality audit.
-#   round 4 window (this one) = the 32 queries that have NEVER had a driver
-#     row (the round-3 verification debt, incl. the repaired agg_freq_items)
-#     + the sketch/ANN rows-only queries re-shaped with invariant oracles
-#     + 6 canaries for the events.ts-encoding repair + the 5 queries new
-#     this round (Gopher repetition/filter, substring-span dedup, exact
-#     PageRank, portable-hash SimHash twin) + 1 round-1-only green.
+#   round 4 greened its whole 50-slot window except docs_token_budget
+#     (identical values; the oracle's un-CAST window SUM came back
+#     HUGEINT->float64 and failed the driver's repr hash — fixed by
+#     CASTing it BIGINT, and the whole bug class is now guarded by the
+#     dtype check in tests/test_oracle.py::test_oracle_match): the 32
+#     round-3-debt queries, the invariant-oracled sketch/ANN set, the
+#     events.ts canaries, and the 5 round-4-new queries.
+#   round 5 window (this one) = the 2 remaining fixable never-greens
+#     (docs_token_budget re-check after the CAST fix; embedding_pca, whose
+#     invariant oracle landed in r4 but never got a window slot) + the
+#     query new this round (dedup_incremental_fuzzy) + 47 of the 48
+#     round-1-only greens, now 4 rounds stale — the oldest cohort
+#     (sort_limit yields its slot to fit: its TakeOrderedAndProject shape
+#     is exercised inside topk_per_group (green r4) and the in-window
+#     TPC-H top-k queries; it rotates in next round with the r2 cohort).
+#     The rows-only dedup_simhash/_pairs slots rotate OUT: their algorithm
+#     is already proven by the r4-green dedup_simhash_portable twin.
 _PRIORITY = [
-    # -- the 32 never-driver-confirmed queries (round-3 verification debt) --
-    # repaired round-3 red (ArrayType output -> array_join'd)
-    "agg_freq_items",
-    # window variants
-    "window_lag_lead",
-    "window_first_last",
-    "window_percent_rank",
-    "topk_per_group",
-    # scalar families
-    "case_null_funcs",
-    "cast_funcs",
-    "variant_funcs",
-    "try_funcs",
-    "generator_funcs",
-    "interval_funcs",
-    # dedup family
-    "dedup_exact_hash",
-    "dedup_keep_first",
-    "dedup_fingerprint",
-    "dedup_fuzzy_pipeline",
-    "dedup_simhash_pairs",
-    "dedup_incremental",
-    # text / graph
-    "text_langid",
-    "text_token_entropy",
-    "graph_degree_centrality",
-    # multimodal
-    "multimodal_resize",
-    "multimodal_frames",
-    # UDF slow-path demo
-    "udf_rowwise_python",
-    # batch window twins of the streaming queries
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    # streaming variants
-    "streaming_rollup",
-    "streaming_join_static",
-    "streaming_sliding",
-    # skew + corpus sampling
-    "agg_skew_salted",
-    "sample_per_group",
-    "docs_token_budget",
-    # -- sketch/ANN queries upgraded from no_oracle to invariant oracles --
-    "agg_approx_distinct",
-    "agg_hll_rollup",
-    "dedup_minhash",
-    "dedup_simhash",
-    "similarity_lsh",
-    "similarity_ivf",
-    # -- canaries for the events.ts encoding repair (catalog.py) --
-    "interval_expand",
-    "window_range_frame",
-    "json_funcs",
-    "udf_grouped_zscore",
-    "streaming_tumbling",
-    "ts_time_weighted_avg",
-    # -- new this round: Gopher filters + span dedup + exact PageRank --
-    "text_repetition_profile",
-    "corpus_gopher_filter",
-    "dedup_substring_spans",
-    "graph_pagerank",
-    "dedup_simhash_portable",
-    # -- round-1-only green, never re-validated since --
-    "csv_expand",
+    # -- never-green re-checks --
+    "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
+    "embedding_pca",  # invariant oracle ready since r4, first window slot
+    # -- new this round: fuzzy-incremental dedup (batch vs stored index) --
+    "dedup_incremental_fuzzy",
+    # -- the round-1-only greens (stalest cohort), minus sort_limit --
+    # aggregations
+    "agg_argminmax",
+    "agg_corr",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "agg_string_concat",
+    # joins (all 10 types + specials)
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_asof",
+    "join_range",
+    "join_interval_overlap",
+    # set ops + distinct
+    "distinct_set",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "union_all",
+    "union_distinct",
+    # subqueries
+    "in_subquery",
+    "scalar_subquery",
+    # reshaping
+    "pivot_status",
+    "unpivot_measures",
+    "histogram_prices",
+    # sources + entrypoints
+    "latest_partition",
+    "sql_entrypoint",
+    # timeseries
+    "events_funnel",
+    "timeseries_gapfill",
+    # TPC-H round-1 cohort
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_top_customers",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
 ]
 
 

@@ -226,10 +226,10 @@ WITH t AS (
     FROM documents
 ), c AS (
     SELECT source, doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY n_chars DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_tokens_before
+               AS BIGINT) AS cum_tokens_before
     FROM t
 )
 SELECT source, doc_id, n_tokens, cum_tokens_before

@@ -61,6 +61,25 @@ def test_oracle_match(name, spark, duck):
 
     sdf.columns = [c.lower() for c in sdf.columns]
     odf.columns = [c.lower() for c in odf.columns]
+
+    # Dtype twin of test_output_columns_are_hashable (round-4 red
+    # `docs_token_budget`): the driver hashes canonicalized cell reprs, so a
+    # DuckDB HUGEINT/DOUBLE widening (`0.0`) against a Spark int64 (`0`)
+    # mismatches even when every value is numerically equal. Catch the bug
+    # class here: an integer-typed column on either side must not arrive as
+    # float/object on the other. (Null-bearing integer columns degrade to
+    # float64 with NaN on BOTH sides, so they still agree and pass.)
+    for col in sdf.columns:
+        sk, ok = sdf[col].dtype.kind, odf[col].dtype.kind
+        assert not (sk in "iu" and ok in "fO"), (
+            f"{name}.{col}: Spark integer arrives as {odf[col].dtype} from "
+            "DuckDB — CAST the oracle expression AS BIGINT"
+        )
+        assert not (ok in "iu" and sk in "fO"), (
+            f"{name}.{col}: oracle integer vs Spark {sdf[col].dtype} — "
+            "cast the Spark column or the oracle to the same family"
+        )
+
     a, b = _canon(sdf), _canon(odf)
     mismatches = []
     for col in a.columns:

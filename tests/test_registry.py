@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 172
-    assert len(ORACLES) == 170
+    assert len(QUERIES) == 173
+    assert len(ORACLES) == 171
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -54,16 +54,18 @@ def _ever_driver_confirmed() -> set[str]:
     return seen
 
 
-def test_first_50_is_the_round4_rotation_window():
-    """Rotation policy: the round-4 window = every query that has never
-    earned a driver row (the round-3 verification debt), the sketch/ANN
-    queries upgraded to invariant oracles, plus regression canaries for the
-    events.ts-encoding repair and the oldest (round-1-only) greens."""
+def test_first_50_is_the_round5_rotation_window():
+    """Rotation policy: the round-5 window = the two fixable never-greens
+    (docs_token_budget after its oracle-CAST fix, embedding_pca with its
+    r4 invariant oracle), the query new this round
+    (dedup_incremental_fuzzy), and the stalest cohort — 47 of the 48
+    round-1-only greens, unvisited by the driver since round 1."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
-    # every never-driver-confirmed query must be in the window — that is
-    # the whole point of this round's rotation
-    never = set(QUERIES) - _ever_driver_confirmed()
+    # every never-driver-confirmed query must be in the window (modulo the
+    # rows-only allowlist, whose algorithm is proven by the r4-green
+    # portable-hash twin) — that is the whole point of the rotation
+    never = set(QUERIES) - _ever_driver_confirmed() - ROWS_ONLY
     missing = never - set(_PRIORITY)
     assert not missing, f"never-confirmed queries outside the window: {missing}"
     # every priority slot is either hard-oracled or on the rows-only
