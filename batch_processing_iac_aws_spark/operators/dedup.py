@@ -167,6 +167,44 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows from a (id, sig array<long>) frame:
+    the signature split into ``bands`` equal bands, each hashed to one
+    64-bit bucket key. The single banding implementation shared by
+    :func:`minhash_lsh_candidates` (intra-corpus) and
+    :func:`incremental_fuzzy_dedup` (batch vs stored index) — identical
+    band hashes are what make signatures WRITTEN by one run joinable by a
+    later run, so this function is the index's on-disk contract."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -189,9 +227,6 @@ def minhash_lsh_candidates(
     skew-join handles moderate cases, and upstream length/quality filters
     are the structural fix.
     """
-    if num_perm % bands:
-        raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(
         df,
         id_col=id_col,
@@ -201,22 +236,8 @@ def minhash_lsh_candidates(
         seed=seed,
     ).cache()
 
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = banded_signatures(
+        sig, id_col=id_col, num_perm=num_perm, bands=bands
     )
     a = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
@@ -585,3 +606,110 @@ def incremental_dedup(
     repeat itself internally."""
     hashed = batch.withColumn(index_col, F.sha2(F.col(text_col), 256))
     return hashed.join(history_index, index_col, "left_anti")
+
+
+def incremental_fuzzy_dedup(
+    batch: DataFrame,
+    signature_index: DataFrame,
+    *,
+    history: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """Drop batch rows that are NEAR-duplicates of the already-ingested
+    corpus — the fuzzy twin of :func:`incremental_dedup` and the missing
+    production shape for rolling-corpus ingestion: exact hashing catches
+    byte-identical re-crawls, but the web re-serves the same page with a
+    new timestamp/banner every day.
+
+    ``signature_index`` is the persisted (id, sig array<long>) MinHash
+    index of history — built by :func:`minhash_signatures` with the SAME
+    (num_perm, shingle_k, seed) and round-tripped through parquet (same
+    bookmark pattern as the exact index; reference:
+    batch_processing_IaC.py job-bookmark incremental scans). Flow:
+
+    1. batch signatures: one map-only pass over the new batch;
+    2. band BOTH sides with :func:`banded_signatures` and equi-join on
+       (band_idx, band_hash) — batch-vs-history only, never history x
+       history (the index is never self-joined) and never all-pairs;
+    3. verify candidates: if ``history`` (id, text) is supplied, exact
+       shingle Jaccard via :func:`exact_jaccard` over the candidate-bounded
+       union — the point-lookup fetch of candidate history bodies is a
+       semi join by id, so the 100 TB history contributes only its matched
+       docs; without ``history``, fall back to the signature-estimated
+       Jaccard (num_perm-fraction of equal components), the index-only mode
+       for when bodies are archived cold;
+    4. anti-join: batch rows with ANY verified match >= threshold drop.
+
+    Returns the surviving batch rows (all columns). Survivors' signatures
+    (recompute via :func:`minhash_signatures`, or reuse step 1) append to
+    the index for the next run — exercised by the restart test in
+    tests/test_dedup.py.
+
+    Scale shape: shuffles are (a) the batch signature groupBy (batch-sized),
+    (b) the banded equi-join where the index side shuffles band keys only
+    (16 longs per historical doc, ~3 orders smaller than the corpus;
+    bucket the stored index by band_hash to make it shuffle-free), and
+    (c) the candidate-bounded verify."""
+    sig_b = minhash_signatures(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        shingle_k=shingle_k,
+        seed=seed,
+    )
+    kw = dict(id_col=id_col, num_perm=num_perm, bands=bands)
+    bb = banded_signatures(sig_b, **kw).select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    bh = banded_signatures(signature_index, **kw).select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    cands = (
+        bb.join(bh, ["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    if history is not None:
+        corpus = batch.select(F.col(id_col), F.col(text_col)).unionByName(
+            history.select(F.col(id_col), F.col(text_col))
+        )
+        scored = exact_jaccard(
+            corpus, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+        ).withColumnRenamed("jaccard", "__score")
+    else:
+        sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+        sb = signature_index.select(
+            F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
+        )
+        scored = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "__sa", "__sb", lambda x, y: (x == y).cast("int")
+                        ),
+                        F.lit(0),
+                        lambda acc, v: acc + v,
+                    ).cast("double")
+                    / F.lit(num_perm)
+                ).alias("__score"),
+            )
+        )
+    dup_ids = (
+        scored.filter(F.col("__score") >= jaccard_threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")

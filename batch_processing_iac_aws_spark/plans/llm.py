@@ -424,9 +424,13 @@ def _ann_recall_summary(
 
 
 _ANN_SHAPE_ORACLE = """
-SELECT CAST(count(*) AS BIGINT)     AS n_queries,
-       CAST(count(*) * 5 AS BIGINT) AS n_exact_pairs
-FROM embeddings WHERE vec_id < 20
+SELECT CAST(q.n AS BIGINT) AS n_queries,
+       -- top-k excludes self-matches, so each query has at most
+       -- min(k, total_vectors - 1) exact neighbors; a hardcoded n * 5
+       -- would go red on any corpus with < 6 embeddings
+       CAST(q.n * least(5, t.n - 1) AS BIGINT) AS n_exact_pairs
+FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id < 20) q,
+     (SELECT count(*) AS n FROM embeddings) t
 """
 
 
@@ -1466,6 +1470,57 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     batch = d.filter(F.col("doc_id") % 5 != 0)
     return incremental_dedup(batch, history).select("doc_id", "content_hash")
+
+
+@query(
+    "dedup_incremental_fuzzy",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS sh
+    FROM w
+), b AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+   h AS (SELECT * FROM s WHERE doc_id % 5 = 0)
+SELECT b.doc_id FROM b
+WHERE NOT EXISTS (
+    SELECT 1 FROM h
+    WHERE round(len(list_intersect(b.sh, h.sh)) * 1.0
+          / len(list_distinct(list_concat(b.sh, h.sh))), 4) >= 0.9)
+""",
+)
+def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-duplicate dedup — the fuzzy twin of
+    dedup_incremental: docs with doc_id % 5 == 0 play the already-ingested
+    history, reduced to a persisted MinHash signature index (id +
+    64 longs, never bodies); the rest arrive as the new batch. Batch
+    signatures band-join against the index, candidates verify with exact
+    shingle Jaccard (point-lookup of candidate history bodies), and batch
+    docs matching history at J >= 0.9 drop.
+
+    The oracle is EXHAUSTIVE on the union: DuckDB scores every batch x
+    history pair, so a hash match proves the banded index join (which
+    scores only bucket-colliding pairs — the rolling-corpus 100 TB shape)
+    missed NO true cross-batch near-duplicate.
+    operators.dedup.incremental_fuzzy_dedup; index round-trip through
+    parquet proven by tests/test_dedup.py."""
+    from ..operators.dedup import incremental_fuzzy_dedup, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_signatures(history, id_col="doc_id", text_col="text")
+    batch = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_fuzzy_dedup(
+        batch, index, history=history, jaccard_threshold=0.9
+    ).select("doc_id")
 
 
 @query(

@@ -168,3 +168,73 @@ def test_simhash_banding_is_exhaustive_by_pigeonhole(spark):
         for r in simhash_near_duplicates(docs, max_hamming=3).collect()
     }
     assert banded == truth and truth  # non-vacuous on this corpus
+
+
+def test_incremental_fuzzy_dedup_index_roundtrip(spark, tmp_path):
+    """The rolling-corpus restart story: run 1 builds the MinHash signature
+    index from history and persists it to parquet; run 2 (a fresh lineage —
+    only the parquet survives a driver restart) reads the index back, dedups
+    a new batch against it, and must reach the IDENTICAL survivor set as an
+    in-memory pass. Also proves the exact-verify and index-only (est
+    Jaccard) modes agree on planted near-dups, and that appending the
+    survivors' signatures makes the next run catch intra-era repeats."""
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        incremental_fuzzy_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(1, BASE), (4, "completely different text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),  # exact re-crawl of history doc 1 -> drop
+            (11, BASE.replace("lazy", "sleepy")),  # near-dup of 1 -> drop
+            (12, "fresh unrelated document about parquet column pruning"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "sig_index")
+    minhash_signatures(history).write.parquet(idx_path)
+
+    index = spark.read.parquet(idx_path)
+    survivors = incremental_fuzzy_dedup(
+        batch, index, history=history, jaccard_threshold=0.7
+    )
+    got = sorted(r["doc_id"] for r in survivors.collect())
+    assert got == [12]
+
+    # in-memory twin must agree exactly (parquet round-trip is lossless)
+    in_mem = incremental_fuzzy_dedup(
+        batch, minhash_signatures(history), history=history,
+        jaccard_threshold=0.7,
+    )
+    assert sorted(r["doc_id"] for r in in_mem.collect()) == got
+
+    # index-only mode (bodies archived cold): est-Jaccard decision drops the
+    # same planted dups at a threshold below the estimator's variance band
+    est_mode = incremental_fuzzy_dedup(
+        batch, index, history=None, jaccard_threshold=0.6
+    )
+    assert sorted(r["doc_id"] for r in est_mode.collect()) == [12]
+
+    # era 2: survivors land in the corpus store and their signatures append
+    # to the index (the bookmark step) — both as parquet, which is exactly
+    # what survives a driver restart (the new index at a versioned path:
+    # overwriting a path still being lazily read is a read-under-write).
+    # Re-ingesting a re-crawl of doc 12 only the GROWN index can catch.
+    corpus_path = str(tmp_path / "corpus_era1")
+    idx_path2 = str(tmp_path / "sig_index_v2")
+    survivors.write.parquet(corpus_path)
+    era1 = spark.read.parquet(corpus_path)
+    index.unionByName(minhash_signatures(era1)).write.parquet(idx_path2)
+    batch2 = spark.createDataFrame(
+        [(20, "fresh unrelated document about parquet column pruning")],
+        "doc_id long, text string",
+    )
+    bodies = history.unionByName(era1.select("doc_id", "text"))
+    out2 = incremental_fuzzy_dedup(
+        batch2, spark.read.parquet(idx_path2), history=bodies,
+        jaccard_threshold=0.7,
+    )
+    assert out2.count() == 0
