@@ -58,23 +58,26 @@ def normalize_event_time(df: DataFrame, col: str) -> DataFrame:
         # A LongType event-time column is only reachable through the
         # spark.sql.legacy.parquet.nanosAsLong read of TIMESTAMP(NANOS)
         # (session.py RUNTIME_CONF) — raw INT64 millis/micros columns would
-        # be silently wrong here by 1e3/1e6, so guard on magnitude: ns
-        # epochs for plausible data (1973+) are >= 1e17 while micros/millis
-        # epochs are < 1e16 until year 2286. One codegen branch per row;
-        # fails loudly instead of dividing a micros column by 1000.
+        # be silently wrong here by 1e3/1e6, so guard on MAGNITUDE:
+        # |ns epoch| >= 1e16 covers all history except ±116 days around
+        # 1970-01-01 (including pre-1970 negatives — a plain >= 1e17 floor
+        # wrongly rejected all historical data before 1973-03), while
+        # micros/millis epochs stay < 1e16 until year 2286. Values inside
+        # the ambiguous ±116-day band are indistinguishable from micros
+        # and fail loudly rather than divide a micros column by 1000.
         converted = F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
             "timestamp_ntz"
         )
         guarded = (
             F.when(F.col(col).isNull(), F.lit(None).cast("timestamp_ntz"))
-            .when(F.col(col) >= F.lit(100_000_000_000_000_000), converted)
+            .when(F.abs(F.col(col)) >= F.lit(10_000_000_000_000_000), converted)
             .otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
                             f"normalize_event_time({col}): LongType value "
-                            "below ns-epoch range — raw INT64 micros/millis "
-                            "encoding? "
+                            "inside the ambiguous near-epoch band (|v| < "
+                            "1e16) — raw INT64 micros/millis encoding? "
                         ),
                         F.col(col).cast("string"),
                     )

@@ -127,6 +127,12 @@ def write_zorder_parquet(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
     ).first()
+    if any(stats[f"mn_{c}"] is None for c in zorder_by):
+        # empty input (or an all-null clustering column): no z-domain to
+        # lay out — write the frame as-is; the histogram path below would
+        # IndexError on hist[-1] and the bucket math on None min/max
+        df.write.mode(mode).parquet(path)
+        return
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, c in enumerate(zorder_by):

@@ -63,12 +63,40 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image_real(payload: bytes) -> list[float]:
-    """Real decoder integration point — requires an image library."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not present in this environment; "
-        "pass decode_fn=... with a real implementation"
-    )
+def decode_image_real(payload: bytes, *, feature_dim: int = 8) -> list[float]:
+    """Real decoder integration point: PIL, imported AT CALL TIME so the
+    module stays importable in codec-free environments. Decodes the image,
+    converts to grayscale, resamples to ``feature_dim`` pixels, and emits
+    their [0,1) intensities — a minimal real featurization proving the
+    codec seam end-to-end. Raises NotImplementedError when PIL is absent
+    (this container), keeping sandbox behavior identical."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, not present in this "
+            "environment; pass decode_fn=... with a real implementation"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload or b"")).convert("L")
+    img = img.resize((feature_dim, 1))
+    return [p / 255.0 for p in list(img.getdata())[:feature_dim]]
+
+
+def auto_image_decoder(feature_dim: int = 8):
+    """``bytes -> list[float]`` decoder selected at call time: the real PIL
+    path when the library is importable, else the deterministic fake — so
+    one pipeline definition runs identically-shaped in both environments
+    (off-sandbox it becomes genuinely usable; in-sandbox it stays
+    reproducible). Probe ONCE here, not per row: the worker pays the
+    import probe at closure build, not inside the Arrow batch loop."""
+    try:
+        import PIL  # noqa: F401
+
+        return lambda p: decode_image_real(p, feature_dim=feature_dim)
+    except ImportError:
+        return lambda p: _fake_features(p, feature_dim)
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:

@@ -30,16 +30,15 @@ def tokens(text_col: Column | str) -> Column:
 def bpe_ish_tokens(text_col: Column | str) -> Column:
     """Subword-ish tokenization: split on word boundaries AND punctuation,
     keeping digit runs separate — a regex approximation of BPE pre-tokenizer
-    behavior (GPT-2 style contractions/letters/digits/other classes)."""
+    behavior (GPT-2 style contractions/letters/digits/other classes).
+    Pure public-API Column composition (regexp_extract_all + filter), so it
+    stays codegen-friendly and Spark-Connect-compatible."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.expr(
-        f"filter(regexp_extract_all({_sql(c)}, \"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+\", 0), x -> x != '')"
+    pattern = r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(pattern), F.lit(0)),
+        lambda x: x != "",
     )
-
-
-def _sql(c: Column) -> str:
-    # pragma helper: Column -> SQL text for use inside F.expr
-    return c._jc.toString()  # noqa: SLF001
 
 
 def token_count(text_col: Column | str) -> Column:

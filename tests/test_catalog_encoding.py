@@ -104,5 +104,30 @@ def test_raw_int64_micros_fails_loudly_not_silently(spark, tmp_path):
         path,
     )
     df = normalize_event_time(spark.read.parquet(path), "ts")
-    with pytest.raises(Exception, match="ns-epoch range"):
+    with pytest.raises(Exception, match="near-epoch band"):
         df.collect()
+
+
+def test_historical_nanos_accepted_including_pre_epoch(spark, tmp_path):
+    """The magnitude guard must accept legitimate historical TIMESTAMP(NANOS)
+    data — 1970-05+ (the old >= 1e17 floor wrongly rejected 1970–1973) and
+    pre-1970 negatives — while still rejecting the ambiguous near-epoch
+    band."""
+    instants = [
+        dt.datetime(1962, 7, 10, 12, 0, 0),   # negative ns epoch
+        dt.datetime(1971, 8, 15, 0, 0, 0),    # 1e16 < ns < 1e17
+        dt.datetime(2023, 3, 1, 9, 30, 0),
+    ]
+    path = f"{tmp_path}/ev_hist.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(instants)), pa.int64()),
+                "ts": pa.array(instants, pa.timestamp("ns")),
+            }
+        ),
+        path,
+    )
+    assert dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    got = _normalized(spark, path)
+    assert [t for _, t in got] == instants

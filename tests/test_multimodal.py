@@ -65,3 +65,64 @@ def test_sample_frames_cardinality_and_grid(spark):
         assert [g["pts_ms"] for g in grp] == [0, 500, 1000]
         # distinct frames from one payload (idx is salted into the digest)
         assert len({bytes(g["frame"]) for g in grp}) == 3
+
+
+def test_auto_decoder_falls_back_without_pil():
+    """In this codec-free container the auto decoder must select the
+    deterministic fake, and the real path must raise NotImplementedError."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _fake_features,
+        auto_image_decoder,
+        decode_image_real,
+    )
+
+    fn = auto_image_decoder(feature_dim=8)
+    assert fn(b"payload") == _fake_features(b"payload", 8)
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"payload")
+
+
+def test_auto_decoder_uses_real_pil_when_importable(monkeypatch):
+    """Monkeypatch a minimal fake PIL into sys.modules: the auto decoder
+    must route through the REAL decode path (Image.open -> convert ->
+    resize -> getdata), proving the off-sandbox wiring without shipping an
+    image library."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _FakeImg:
+        def convert(self, mode):
+            calls["convert"] = mode
+            return self
+
+        def resize(self, wh):
+            calls["resize"] = wh
+            return self
+
+        def getdata(self):
+            return [0, 51, 102, 153, 204, 255, 0, 51]
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: calls.setdefault("opened", True) and _FakeImg()
+        or _FakeImg()
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", types.ModuleType("PIL.Image")
+    )
+    sys.modules["PIL.Image"].open = fake_image_mod.open
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        auto_image_decoder,
+    )
+
+    fn = auto_image_decoder(feature_dim=8)
+    out = fn(b"\x89PNG-ish")
+    assert calls == {"opened": True, "convert": "L", "resize": (8, 1)}
+    assert out == [v / 255.0 for v in [0, 51, 102, 153, 204, 255, 0, 51]]

@@ -121,3 +121,20 @@ def test_zorder_layout_is_deterministic(spark, layouts, tmp_path):
         assert sorted(_file_ranges(zpath, col)) == sorted(
             _file_ranges(again, col)
         )
+
+
+def test_zorder_empty_input_writes_empty_dataset(spark, tmp_path):
+    """Empty input + num_files under the deterministic-histogram gate used
+    to IndexError on hist[-1]; it must write a readable empty dataset with
+    the schema intact, matching the repartitionByRange path's behavior."""
+    df = (
+        spark.range(0)
+        .selectExpr("id AS l_partkey", "id AS l_suppkey", "id AS other")
+    )
+    out = str(tmp_path / "empty_z")
+    write_zorder_parquet(
+        df, out, zorder_by=["l_partkey", "l_suppkey"], bits=8, num_files=4
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"l_partkey", "l_suppkey", "other"}
