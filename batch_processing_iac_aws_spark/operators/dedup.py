@@ -473,8 +473,12 @@ def verified_near_duplicates(
     instead of once per reference. NOTE: under AQE, checkpointing (eager
     or lazy) materializes the candidate stages at plan-construction time
     — schema-only probes of this frame pay a few seconds, which is the
-    accepted cost for 3x-cheaper execution; every real consumer executes
-    immediately after building."""
+    accepted cost for cheaper execution; every real consumer executes
+    immediately after building. Strategy MEASURED at sf0.1 (local[16],
+    steady-state, 4 rounds): localCheckpoint 2.4-2.6s, cands.cache()
+    3.8-4.2s (cache still re-plans the banding join per reference and
+    pays block-manager reads), no materialization 6.1-6.3s — the
+    checkpoint stays."""
     cands = (
         minhash_lsh_candidates(
             df,

@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_repetition_profile",
     "corpus_gopher_filter",
+    # round 5: rolling-corpus near-dup ingestion (signature-index banding)
+    "dedup_incremental_fuzzy",
 ]
 
 
