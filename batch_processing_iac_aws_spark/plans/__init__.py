@@ -54,6 +54,12 @@ from . import quality  # noqa: E402,F401
 #     TPC-H top-k queries; it rotates in next round with the r2 cohort).
 #     The rows-only dedup_simhash/_pairs slots rotate OUT: their algorithm
 #     is already proven by the r4-green dedup_simhash_portable twin.
+#   round 6 plan (queue, oldest first): sort_limit + the 37-query r2-green
+#     cohort (scalar families string/date/math/array-HOF, windows
+#     rank/running/ntile(+scalable), q2/q11/q13/q16/q18–q22, merge/scd2,
+#     skew joins, similarity_topk, core LLM dedup/text/multimodal/corpus
+#     r2 queries, zorder_roundtrip), then backfill with r3 greens
+#     (sources, sketches, events analytics) up to 50.
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
