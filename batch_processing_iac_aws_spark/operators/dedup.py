@@ -659,7 +659,20 @@ def incremental_fuzzy_dedup(
     (b) the banded equi-join where the index side shuffles band keys only
     (16 longs per historical doc, ~3 orders smaller than the corpus;
     bucket the stored index by band_hash to make it shuffle-free), and
-    (c) the candidate-bounded verify."""
+    (c) the candidate-bounded verify.
+
+    ``signature_index`` may be stored in either layout:
+
+    * ``(id, sig array<long>)`` — compact; re-banded here each run (an
+      O(history-index) map per batch);
+    * ``(id, band_idx, band_hash)`` — the PRE-BANDED layout (write it once
+      with :func:`banded_signatures`, bucket by band_hash): each run then
+      skips history banding entirely and, bucketed, the join is
+      shuffle-free on the history side — the right layout when batches
+      are frequent and history is 100 TB-scale. Detected by columns.
+      Index-only mode (``history=None``) needs the per-permutation
+      signatures for est-Jaccard scoring and therefore requires the
+      compact layout."""
     sig_b = minhash_signatures(
         batch,
         id_col=id_col,
@@ -672,9 +685,15 @@ def incremental_fuzzy_dedup(
     bb = banded_signatures(sig_b, **kw).select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
-    bh = banded_signatures(signature_index, **kw).select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-    )
+    prebanded = {"band_idx", "band_hash"} <= set(signature_index.columns)
+    if prebanded:
+        bh = signature_index.select(
+            F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+        )
+    else:
+        bh = banded_signatures(signature_index, **kw).select(
+            F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+        )
     cands = (
         bb.join(bh, ["band_idx", "band_hash"])
         .select("id_a", "id_b")
@@ -689,6 +708,12 @@ def incremental_fuzzy_dedup(
             corpus, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
         ).withColumnRenamed("jaccard", "__score")
     else:
+        if prebanded:
+            raise ValueError(
+                "index-only mode (history=None) scores candidates with the "
+                "signature-estimated Jaccard and needs the compact "
+                "(id, sig) index layout, not the pre-banded one"
+            )
         sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
         sb = signature_index.select(
             F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")

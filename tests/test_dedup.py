@@ -238,3 +238,45 @@ def test_incremental_fuzzy_dedup_index_roundtrip(spark, tmp_path):
         jaccard_threshold=0.7,
     )
     assert out2.count() == 0
+
+
+def test_incremental_fuzzy_dedup_prebanded_index(spark, tmp_path):
+    """The 100 TB index layout: (id, band_idx, band_hash) written once via
+    banded_signatures and persisted, so each batch run skips history
+    banding. Must produce survivors identical to the compact (id, sig)
+    layout, and index-only mode must refuse it loudly (no signatures to
+    estimate Jaccard from)."""
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        banded_signatures,
+        incremental_fuzzy_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(1, BASE), (4, "completely different text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),
+            (11, BASE.replace("lazy", "sleepy")),
+            (12, "fresh unrelated document about parquet column pruning"),
+        ],
+        "doc_id long, text string",
+    )
+    banded_path = str(tmp_path / "banded_index")
+    banded_signatures(minhash_signatures(history)).write.parquet(banded_path)
+    banded = spark.read.parquet(banded_path)
+
+    via_banded = incremental_fuzzy_dedup(
+        batch, banded, history=history, jaccard_threshold=0.7
+    )
+    assert sorted(r["doc_id"] for r in via_banded.collect()) == [12]
+
+    via_compact = incremental_fuzzy_dedup(
+        batch, minhash_signatures(history), history=history,
+        jaccard_threshold=0.7,
+    )
+    assert sorted(r["doc_id"] for r in via_compact.collect()) == [12]
+
+    with pytest.raises(ValueError, match="compact"):
+        incremental_fuzzy_dedup(batch, banded, history=None)
