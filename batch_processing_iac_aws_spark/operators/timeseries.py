@@ -35,7 +35,7 @@ and offered as ``sort_within_partitions`` for time-clustered files.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 
 def expand_intervals(

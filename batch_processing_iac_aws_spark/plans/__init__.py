@@ -47,14 +47,17 @@ from . import quality  # noqa: E402,F401
 #   round 5 window (this one) = the 2 remaining fixable never-greens
 #     (docs_token_budget re-check after the CAST fix; embedding_pca, whose
 #     invariant oracle landed in r4 but never got a window slot) + the
-#     query new this round (dedup_incremental_fuzzy) + 47 of the 48
-#     round-1-only greens, now 4 rounds stale — the oldest cohort
-#     (sort_limit yields its slot to fit: its TakeOrderedAndProject shape
-#     is exercised inside topk_per_group (green r4) and the in-window
-#     TPC-H top-k queries; it rotates in next round with the r2 cohort).
-#     The rows-only dedup_simhash/_pairs slots rotate OUT: their algorithm
-#     is already proven by the r4-green dedup_simhash_portable twin.
-#   round 6 plan (queue, oldest first): sort_limit + the 37-query r2-green
+#     2 queries new this round (dedup_incremental_fuzzy,
+#     dedup_source_overlap) + 46 of the 48 round-1-only greens, now 4
+#     rounds stale — the oldest cohort (sort_limit and union_all yield
+#     their slots to fit: TakeOrderedAndProject is exercised by
+#     topk_per_group (green r4) and the in-window TPC-H top-k queries,
+#     UnionExec by in-window union_distinct; both rotate in next round
+#     with the r2 cohort). The rows-only dedup_simhash/_pairs slots rotate
+#     OUT: their algorithm is already proven by the r4-green
+#     dedup_simhash_portable twin.
+#   round 6 plan (queue, oldest first): sort_limit + union_all + the
+#     37-query r2-green
 #     cohort (scalar families string/date/math/array-HOF, windows
 #     rank/running/ntile(+scalable), q2/q11/q13/q16/q18–q22, merge/scd2,
 #     skew joins, similarity_topk, core LLM dedup/text/multimodal/corpus
@@ -64,8 +67,12 @@ _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
     "embedding_pca",  # invariant oracle ready since r4, first window slot
-    # -- new this round: fuzzy-incremental dedup (batch vs stored index) --
+    # -- new this round: fuzzy-incremental dedup (batch vs stored index)
+    #    and the cross-source near-dup overlap matrix (union_all yields its
+    #    slot to keep the window at 50; it re-enters with the r6 cohort —
+    #    its UnionExec shape is also exercised by union_distinct in-window)
     "dedup_incremental_fuzzy",
+    "dedup_source_overlap",
     # -- the round-1-only greens (stalest cohort), minus sort_limit --
     # aggregations
     "agg_argminmax",
@@ -93,7 +100,6 @@ _PRIORITY = [
     "set_except",
     "set_except_all",
     "set_intersect",
-    "union_all",
     "union_distinct",
     # subqueries
     "in_subquery",

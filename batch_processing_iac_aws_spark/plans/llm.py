@@ -139,6 +139,69 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_source_overlap",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), s AS (
+    SELECT doc_id, source,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS sh
+    FROM w
+), p AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
+)
+SELECT least(sa, sb)    AS source_a,
+       greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1, 2
+""",
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: for every unordered
+    source pair, how many verified near-dup pairs (J >= 0.9) straddle it —
+    the standard curation report before setting mixture weights (a source
+    that mostly re-serves another adds tokens but no information, and
+    down-weighting it beats deduping late). Reuses the shared
+    verified_near_duplicates preamble (LSH banding + exact-Jaccard verify,
+    never all-pairs), then one broadcast-sized join to the (doc_id,
+    source) projection and a hash aggregate on the unordered pair key.
+    Oracle is EXHAUSTIVE (DuckDB scores every pair), so the hash match
+    also re-proves LSH recall on this corpus."""
+    from ..operators.dedup import verified_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = verified_near_duplicates(
+        d, id_col="doc_id", text_col="text", jaccard_threshold=0.9
+    )
+    src = d.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "source", "__sa"
+    )
+    sb = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "source", "__sb"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
     "text_decontaminate",
     oracle="""
 WITH tr AS (

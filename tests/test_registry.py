@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 173
-    assert len(ORACLES) == 171
+    assert len(QUERIES) == 174
+    assert len(ORACLES) == 172
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -58,7 +58,8 @@ def test_first_50_is_the_round5_rotation_window():
     """Rotation policy: the round-5 window = the two fixable never-greens
     (docs_token_budget after its oracle-CAST fix, embedding_pca with its
     r4 invariant oracle), the query new this round
-    (dedup_incremental_fuzzy), and the stalest cohort — 47 of the 48
+    (dedup_incremental_fuzzy) plus the cross-source overlap matrix
+    (dedup_source_overlap), and the stalest cohort — 46 of the 48
     round-1-only greens, unvisited by the driver since round 1."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
