@@ -673,6 +673,15 @@ def incremental_fuzzy_dedup(
       Index-only mode (``history=None``) needs the per-permutation
       signatures for est-Jaccard scoring and therefore requires the
       compact layout."""
+    prebanded = {"band_idx", "band_hash"} <= set(signature_index.columns)
+    if prebanded and history is None:
+        # validate BEFORE building the plan: the localCheckpoint below is
+        # eager, so a late raise would pay the whole candidate join first
+        raise ValueError(
+            "index-only mode (history=None) scores candidates with the "
+            "signature-estimated Jaccard and needs the compact "
+            "(id, sig) index layout, not the pre-banded one"
+        )
     sig_b = minhash_signatures(
         batch,
         id_col=id_col,
@@ -685,7 +694,6 @@ def incremental_fuzzy_dedup(
     bb = banded_signatures(sig_b, **kw).select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
-    prebanded = {"band_idx", "band_hash"} <= set(signature_index.columns)
     if prebanded:
         bh = signature_index.select(
             F.col(id_col).alias("id_b"), "band_idx", "band_hash"
@@ -708,12 +716,6 @@ def incremental_fuzzy_dedup(
             corpus, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
         ).withColumnRenamed("jaccard", "__score")
     else:
-        if prebanded:
-            raise ValueError(
-                "index-only mode (history=None) scores candidates with the "
-                "signature-estimated Jaccard and needs the compact "
-                "(id, sig) index layout, not the pre-banded one"
-            )
         sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
         sb = signature_index.select(
             F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
