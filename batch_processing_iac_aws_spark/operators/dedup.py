@@ -214,6 +214,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
@@ -223,9 +224,18 @@ def minhash_lsh_candidates(
     id_a < id_b, one row per pair.
 
     Scale: the band bucket join is an equi-join on (band_idx, band_hash) —
-    skew (a degenerate bucket full of boilerplate docs) is the risk; AQE
-    skew-join handles moderate cases, and upstream length/quality filters
-    are the structural fix.
+    skew (a degenerate bucket full of boilerplate docs) is the risk: a
+    bucket of b members yields b² candidate pairs, so one templated-text
+    bucket of 10⁶ docs is 10¹² pairs. AQE skew-join only rebalances the
+    shuffle; ``max_bucket`` is the STRUCTURAL guard — band buckets wider
+    than it are dropped before the self-join (one extra bounded
+    aggregation on the band keys), bounding worst-case candidates at
+    n_buckets * max_bucket². A pair losing one over-wide bucket is still
+    proposed by any of its other ``bands - 1`` bands; pairs identical in
+    EVERY band are byte-level duplicates in signature space, which is why
+    exact dedup runs FIRST in the production flow (fuzzy_dedup_keep_one's
+    docstring, operators/corpus pipelines). Default None keeps the
+    exhaustive-recall semantics the dedup_minhash oracle proves.
     """
     sig = minhash_signatures(
         df,
@@ -239,6 +249,14 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         sig, id_col=id_col, num_perm=num_perm, bands=bands
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") <= max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(ok, ["band_idx", "band_hash"], "left_semi")
     a = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -460,6 +478,7 @@ def verified_near_duplicates(
     shingle_k: int = 3,
     seed: int = 42,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification in
     one call: (id_a, id_b, jaccard) pairs at or above the threshold — the
@@ -488,6 +507,7 @@ def verified_near_duplicates(
             bands=bands,
             shingle_k=shingle_k,
             seed=seed,
+            max_bucket=max_bucket,
         )
         .select("id_a", "id_b")
         .localCheckpoint()
@@ -507,6 +527,7 @@ def fuzzy_dedup_keep_one(
     shingle_k: int = 3,
     seed: int = 42,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The full production near-duplicate flow in one call:
 
@@ -530,6 +551,7 @@ def fuzzy_dedup_keep_one(
         shingle_k=shingle_k,
         seed=seed,
         jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
     )
     comp = connected_components(verified, src="id_a", dst="id_b")
     losers = comp.filter(F.col("vertex") != F.col("component")).select(

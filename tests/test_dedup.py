@@ -280,3 +280,33 @@ def test_incremental_fuzzy_dedup_prebanded_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="compact"):
         incremental_fuzzy_dedup(batch, banded, history=None)
+
+
+def test_lsh_max_bucket_caps_degenerate_buckets(spark):
+    """The boilerplate-bomb guard: 40 byte-identical docs put 40 members in
+    every one of their band buckets; with max_bucket=10 those buckets drop
+    and the clique contributes ZERO candidate pairs (bounded worst case —
+    exact dedup owns byte-identical content), while a small near-dup
+    cluster in normal-width buckets is still proposed."""
+    rows = [(i, "identical boilerplate template text repeated everywhere "
+                "on every page of the site") for i in range(40)]
+    rows += [
+        (100, BASE),
+        (101, BASE.replace("lazy", "sleepy")),
+        (102, "completely different text about spark query engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, max_bucket=10).collect()
+    }
+    assert all(a >= 100 and b >= 100 for a, b in capped), capped
+    assert (100, 101) in capped  # normal buckets unaffected
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df).collect()
+    }
+    # default None keeps exhaustive behavior: the 40-clique's 780 pairs
+    assert len([p for p in uncapped if p[0] < 40 and p[1] < 40]) == 780
