@@ -560,6 +560,36 @@ def fuzzy_dedup_keep_one(
     return df.join(losers, id_col, "left_anti")
 
 
+def chunked_simhash(
+    sh: DataFrame, *, id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash, chunk_idx, chunk) rows: the ``bits``-wide hash split
+    into 4 equal chunks. The single chunking implementation shared by
+    :func:`simhash_near_duplicates` (intra-corpus) and
+    :func:`incremental_simhash_dedup` (batch vs stored index) — identical
+    chunk keys are the index's on-disk contract, and the 4-way split is
+    what carries the pigeonhole guarantee (hamming<=3 pairs share >=1
+    chunk)."""
+    if bits % 4:
+        raise ValueError("bits must be divisible by 4 chunks")
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), chunk_bits * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     *,
@@ -574,27 +604,10 @@ def simhash_near_duplicates(
     chunk — a STRUCTURAL recall guarantee, asserted exhaustively in
     tests/test_dedup.py), bucket-join on chunks, verify with
     bit_count(xor) <= max_hamming."""
-    if bits % 4:
-        raise ValueError("bits must be divisible by 4 chunks")
-    chunk_bits = bits // 4
-    mask = (1 << chunk_bits) - 1
     sh = simhash(
         df, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
     ).cache()
-    chunked = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), chunk_bits * i).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
+    chunked = chunked_simhash(sh, id_col=id_col, bits=bits)
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk"
     )
@@ -762,6 +775,57 @@ def incremental_fuzzy_dedup(
         )
     dup_ids = (
         scored.filter(F.col("__score") >= jaccard_threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
+def incremental_simhash_dedup(
+    batch: DataFrame,
+    simhash_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """SimHash twin of :func:`incremental_fuzzy_dedup`: drop batch rows
+    within ``max_hamming`` bits of any already-ingested document, where
+    history is a persisted (id, simhash) index — ONE long per historical
+    doc, the cheapest near-dup index that exists. Unlike the MinHash path
+    the recall guarantee is STRUCTURAL, not probabilistic: by pigeonhole,
+    a batch x history pair at hamming <= 3 differs in at most 3 of the 4
+    hash chunks, so at least one chunk matches exactly and the banded
+    equi-join MUST propose it — the verify (bit_count of xor) then makes
+    the decision exact. No verification corpus fetch is ever needed.
+
+    Build the index with :func:`simhash` using the same (bits,
+    token_hash); append survivors' hashes per era (same bookmark pattern
+    as the MinHash index; reference: batch_processing_IaC.py:301's job
+    bookmarks). Shuffles: the batch simhash groupBy, then a 4-rows-per-doc
+    chunk equi-join (bucket the stored index by chunk to make the history
+    side shuffle-free); the verify is a codegen expression on the joined
+    rows, no extra pass."""
+    sh_b = simhash(
+        batch, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
+    )
+    cb = chunked_simhash(sh_b, id_col=id_col, bits=bits).select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+        "chunk_idx", "chunk",
+    )
+    ch = chunked_simhash(
+        simhash_index, id_col=id_col, bits=bits
+    ).select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+        "chunk_idx", "chunk",
+    )
+    dup_ids = (
+        cb.join(ch, ["chunk_idx", "chunk"])
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )

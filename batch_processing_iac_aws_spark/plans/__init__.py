@@ -47,33 +47,36 @@ from . import quality  # noqa: E402,F401
 #   round 5 window (this one) = the 2 remaining fixable never-greens
 #     (docs_token_budget re-check after the CAST fix; embedding_pca, whose
 #     invariant oracle landed in r4 but never got a window slot) + the
-#     2 queries new this round (dedup_incremental_fuzzy,
-#     dedup_source_overlap) + 46 of the 48 round-1-only greens, now 4
-#     rounds stale — the oldest cohort (sort_limit and union_all yield
-#     their slots to fit: TakeOrderedAndProject is exercised by
-#     topk_per_group (green r4) and the in-window TPC-H top-k queries,
-#     UnionExec by in-window union_distinct; both rotate in next round
-#     with the r2 cohort). The rows-only dedup_simhash/_pairs slots rotate
-#     OUT: their algorithm is already proven by the r4-green
-#     dedup_simhash_portable twin.
-#   round 6 plan (queue, oldest first): sort_limit + union_all + the
-#     37-query r2-green
-#     cohort (scalar families string/date/math/array-HOF, windows
-#     rank/running/ntile(+scalable), q2/q11/q13/q16/q18–q22, merge/scd2,
-#     skew joins, similarity_topk, core LLM dedup/text/multimodal/corpus
-#     r2 queries, zorder_roundtrip), then backfill with r3 greens
-#     (sources, sketches, events analytics) up to 50.
+#     3 queries new this round (dedup_incremental_fuzzy,
+#     dedup_source_overlap, dedup_incremental_simhash) + 45 of the 48
+#     round-1-only greens, now 4 rounds stale — the oldest cohort
+#     (sort_limit, union_all, and join_cross yield their slots to fit:
+#     TakeOrderedAndProject is exercised by topk_per_group (green r4) and
+#     the in-window TPC-H top-k queries, UnionExec by in-window
+#     union_distinct, and CartesianProduct-of-bounded-frames by the
+#     single-row-aggregate crossJoins inside in-window embedding_pca; all
+#     three rotate in next round with the r2 cohort). The rows-only
+#     dedup_simhash/_pairs slots rotate OUT: their algorithm is already
+#     proven by the r4-green dedup_simhash_portable twin.
+#   round 6 plan (queue, oldest first): sort_limit + union_all +
+#     join_cross + the 37-query r2-green cohort (scalar families
+#     string/date/math/array-HOF, windows rank/running/ntile(+scalable),
+#     q2/q11/q13/q16/q18–q22, merge/scd2, skew joins, similarity_topk,
+#     core LLM dedup/text/multimodal/corpus r2 queries, zorder_roundtrip),
+#     then backfill with r3 greens (sources, sketches, events analytics)
+#     up to 50.
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
     "embedding_pca",  # invariant oracle ready since r4, first window slot
-    # -- new this round: fuzzy-incremental dedup (batch vs stored index)
-    #    and the cross-source near-dup overlap matrix (union_all yields its
-    #    slot to keep the window at 50; it re-enters with the r6 cohort —
-    #    its UnionExec shape is also exercised by union_distinct in-window)
+    # -- new this round: incremental near-dup dedup vs stored indexes
+    #    (MinHash signature index + SimHash pigeonhole index) and the
+    #    cross-source near-dup overlap matrix --
     "dedup_incremental_fuzzy",
     "dedup_source_overlap",
-    # -- the round-1-only greens (stalest cohort), minus sort_limit --
+    "dedup_incremental_simhash",
+    # -- the round-1-only greens (stalest cohort), minus the three slot
+    #    donors (sort_limit, union_all, join_cross — see ledger) --
     # aggregations
     "agg_argminmax",
     "agg_corr",
@@ -91,7 +94,6 @@ _PRIORITY = [
     "join_full",
     "join_semi",
     "join_anti",
-    "join_cross",
     "join_asof",
     "join_range",
     "join_interval_overlap",

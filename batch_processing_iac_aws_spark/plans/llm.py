@@ -873,6 +873,63 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_incremental_oracle() -> str:
+    """DuckDB twin of SimHash incremental dedup at 60 portable bits:
+    batch survivors = batch docs with NO history doc within hamming 3,
+    scored EXHAUSTIVELY over every batch x history pair (doc_id % 5 == 0
+    plays history, as in the other incremental queries)."""
+    sums = ",\n           ".join(
+        f"SUM(CAST((hv >> {j}) & 1 AS BIGINT)) AS s{j}" for j in range(60)
+    )
+    pack = "\n               + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           CAST(md5_number_lower(t) % 1152921504606846976 AS BIGINT) AS hv
+    FROM toks
+), bitsums AS (
+    SELECT doc_id, count(*) AS n,
+           {sums}
+    FROM h GROUP BY doc_id
+), sig AS (
+    SELECT doc_id,
+           CAST({pack} AS BIGINT) AS sh
+    FROM bitsums
+), b AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+   hist AS (SELECT * FROM sig WHERE doc_id % 5 = 0)
+SELECT b.doc_id FROM b
+WHERE NOT EXISTS (
+    SELECT 1 FROM hist WHERE bit_count(xor(b.sh, hist.sh)) <= 3)
+"""
+
+
+@query("dedup_incremental_simhash", oracle=_simhash_incremental_oracle())
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch SimHash dedup against a persisted (id, simhash) index —
+    one long per historical doc, the cheapest near-dup index there is,
+    with a STRUCTURAL (pigeonhole) recall guarantee instead of MinHash's
+    probabilistic one: hamming<=3 pairs share at least one of the 4 hash
+    chunks, so the banded index join cannot miss. Runs over the
+    engine-portable md5-derived 60-bit family so the oracle (an
+    exhaustive batch x history hamming scan in DuckDB) checks the whole
+    algorithm exactly; production uses the same operator with the fast
+    xxhash64 family. operators.dedup.incremental_simhash_dedup."""
+    from ..operators.dedup import incremental_simhash_dedup, simhash
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 5 == 0)
+    index = simhash(history, bits=60, token_hash=_md5_lower60)
+    batch = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_simhash_dedup(
+        batch, index, max_hamming=3, bits=60, token_hash=_md5_lower60
+    ).select("doc_id")
+
+
 @query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate candidates: 16-bit chunk bucketing (pigeonhole

@@ -310,3 +310,37 @@ def test_lsh_max_bucket_caps_degenerate_buckets(spark):
     }
     # default None keeps exhaustive behavior: the 40-clique's 780 pairs
     assert len([p for p in uncapped if p[0] < 40 and p[1] < 40]) == 780
+
+
+def test_incremental_simhash_dedup_roundtrip_and_exhaustive(spark, tmp_path):
+    """SimHash incremental dedup on real sf0.001 documents with a parquet
+    round-tripped (id, simhash) index: survivors must EXACTLY equal an
+    all-pairs batch x history hamming scan computed driver-side — the
+    pigeonhole guarantee is structural, so unlike MinHash there is no
+    probabilistic miss to tolerate."""
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+
+    idx_path = str(tmp_path / "simhash_index")
+    simhash(history).select("doc_id", "simhash").write.parquet(idx_path)
+    survivors = incremental_simhash_dedup(
+        batch, spark.read.parquet(idx_path), max_hamming=3
+    )
+    got = sorted(r["doc_id"] for r in survivors.collect())
+
+    hh = [(r["doc_id"], r["simhash"]) for r in simhash(history).collect()]
+    hb = [(r["doc_id"], r["simhash"]) for r in simhash(batch).collect()]
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    truth = sorted(
+        i for i, hi in hb if all(hamming(hi, hj) > 3 for _, hj in hh)
+    )
+    assert got == truth
+    assert len(truth) < batch.count()  # non-vacuous: some batch docs drop

@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 174
-    assert len(ORACLES) == 172
+    assert len(QUERIES) == 175
+    assert len(ORACLES) == 173
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
