@@ -93,6 +93,54 @@ def brute_force_topk(
     )
 
 
+def incremental_embedding_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Drop batch vectors whose cosine similarity to ANY already-ingested
+    vector reaches ``threshold`` — the embedding (semantic) member of the
+    incremental dedup family (exact sha256 / MinHash-Jaccard /
+    SimHash-hamming / embedding-cosine, operators/dedup.py for the first
+    three). Returns the surviving batch rows.
+
+    Scale shape is the brute_force_topk one INVERTED: the BATCH side is
+    bounded by ingestion cadence, so it broadcasts whole (vectors + norms)
+    and the 100 TB history is scanned exactly once, map-only — each
+    history row scores against the broadcast batch inside codegen and
+    emits only the batch ids it disqualifies; nothing history-sized ever
+    shuffles (the distinct/anti-join operate on dropped batch ids, which
+    are batch-bounded). Exact by construction — no index, no recall
+    question — at the cost of |batch| dot products per history row; when
+    batches outgrow the broadcast cap, split them or front an ANN index
+    (ivf_topk) as a candidate filter with this as the verify."""
+    b = batch.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        l2_norm(F.col(vec_col)).alias("__bn"),
+    )
+    h = history.select(
+        F.col(vec_col).alias("__hv"), l2_norm(F.col(vec_col)).alias("__hn")
+    )
+    dropped = (
+        h.join(F.broadcast(b))
+        .filter(
+            (F.col("__bn") * F.col("__hn") > 0)
+            & (
+                dot(F.col("__bv"), F.col("__hv"))
+                / (F.col("__bn") * F.col("__hn"))
+                >= threshold
+            )
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dropped, id_col, "left_anti")
+
+
 def label_centroids(
     df: DataFrame,
     *,

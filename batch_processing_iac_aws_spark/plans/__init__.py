@@ -47,19 +47,23 @@ from . import quality  # noqa: E402,F401
 #   round 5 window (this one) = the 2 remaining fixable never-greens
 #     (docs_token_budget re-check after the CAST fix; embedding_pca, whose
 #     invariant oracle landed in r4 but never got a window slot) + the
-#     3 queries new this round (dedup_incremental_fuzzy,
-#     dedup_source_overlap, dedup_incremental_simhash) + 45 of the 48
+#     4 queries new this round (dedup_incremental_fuzzy,
+#     dedup_source_overlap, dedup_incremental_simhash,
+#     dedup_incremental_embedding) + 44 of the 48
 #     round-1-only greens, now 4 rounds stale — the oldest cohort
-#     (sort_limit, union_all, and join_cross yield their slots to fit:
+#     (sort_limit, union_all, join_cross, and histogram_prices yield
+#     their slots to fit:
 #     TakeOrderedAndProject is exercised by topk_per_group (green r4) and
 #     the in-window TPC-H top-k queries, UnionExec by in-window
 #     union_distinct, and CartesianProduct-of-bounded-frames by the
-#     single-row-aggregate crossJoins inside in-window embedding_pca; all
-#     three rotate in next round with the r2 cohort). The rows-only
+#     single-row-aggregate crossJoins inside in-window embedding_pca,
+#     and histogram_prices' computed-bucket groupBy by the in-window
+#     plain aggregates; all four rotate in next round with the r2
+#     cohort). The rows-only
 #     dedup_simhash/_pairs slots rotate OUT: their algorithm is already
 #     proven by the r4-green dedup_simhash_portable twin.
 #   round 6 plan (queue, oldest first): sort_limit + union_all +
-#     join_cross + the 37-query r2-green cohort (scalar families
+#     join_cross + histogram_prices + the 37-query r2-green cohort (scalar families
 #     string/date/math/array-HOF, windows rank/running/ntile(+scalable),
 #     q2/q11/q13/q16/q18–q22, merge/scd2, skew joins, similarity_topk,
 #     core LLM dedup/text/multimodal/corpus r2 queries, zorder_roundtrip),
@@ -75,8 +79,9 @@ _PRIORITY = [
     "dedup_incremental_fuzzy",
     "dedup_source_overlap",
     "dedup_incremental_simhash",
-    # -- the round-1-only greens (stalest cohort), minus the three slot
-    #    donors (sort_limit, union_all, join_cross — see ledger) --
+    "dedup_incremental_embedding",
+    # -- the round-1-only greens (stalest cohort), minus the four slot
+    #    donors (sort_limit, union_all, join_cross, histogram_prices) --
     # aggregations
     "agg_argminmax",
     "agg_corr",
@@ -109,7 +114,6 @@ _PRIORITY = [
     # reshaping
     "pivot_status",
     "unpivot_measures",
-    "histogram_prices",
     # sources + entrypoints
     "latest_partition",
     "sql_entrypoint",

@@ -425,6 +425,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_embedding",
+    oracle="""
+WITH b AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+     h AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0)
+SELECT b.vec_id FROM b
+WHERE NOT EXISTS (
+    SELECT 1 FROM h
+    WHERE list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                 CAST(h.embedding AS DOUBLE[])) >= 0.4)
+""",
+)
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding member of the incremental dedup family: new-batch vectors
+    (vec_id % 5 != 0) drop when any already-ingested vector (% 5 == 0)
+    reaches cosine 0.4. Exact by construction — the bounded batch
+    broadcasts with precomputed norms and the history corpus is scanned
+    once, map-only; the oracle is the same exhaustive batch x history
+    scan, so the hash match proves the inverted-broadcast shape computes
+    the textbook answer. operators.similarity.incremental_embedding_dedup."""
+    from ..operators.similarity import incremental_embedding_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    history = e.filter(F.col("vec_id") % 5 == 0)
+    batch = e.filter(F.col("vec_id") % 5 != 0)
+    return incremental_embedding_dedup(
+        batch, history, threshold=0.4
+    ).select("vec_id")
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -174,3 +174,47 @@ def test_pca_project_variance_order_and_centering(spark):
     # deterministic across recomputation (sign-normalized components)
     again = pca_project(df, k=3).select("pc1").toPandas()["pc1"]
     assert np.allclose(again, pdf["pc1"], atol=1e-9)
+
+
+def test_incremental_embedding_dedup_matches_numpy(spark, emb):
+    """Embedding incremental dedup on real sf0.001 embeddings vs a numpy
+    all-pairs ground truth: batch survivors (vec_id % 5 != 0) must be
+    exactly the vectors with no history neighbor (vec_id % 5 == 0) at
+    cosine >= threshold — the operator is exact by construction, so full
+    equality is asserted. Also pins the broadcast direction: the plan
+    must broadcast the bounded batch, never the history corpus."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    history = emb.filter(F.col("vec_id") % 5 == 0)
+    batch = emb.filter(F.col("vec_id") % 5 != 0)
+    out = incremental_embedding_dedup(batch, history, threshold=0.4)
+    got = sorted(r["vec_id"] for r in out.select("vec_id").collect())
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    h = {i: v for i, v in vecs.items() if i % 5 == 0}
+    b = {i: v for i, v in vecs.items() if i % 5 != 0}
+
+    def cos(a, c):
+        na, nc = np.linalg.norm(a), np.linalg.norm(c)
+        return 0.0 if na * nc == 0 else float(a @ c) / (na * nc)
+
+    truth = sorted(
+        i for i, v in b.items() if all(cos(v, w) < 0.4 for w in h.values())
+    )
+    assert got == truth
+    assert len(truth) < len(b)  # non-vacuous: some batch vectors drop
+
+    # broadcast direction via the formatted explain text (public API)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    txt = buf.getvalue()
+    assert "BroadcastExchange" in txt
