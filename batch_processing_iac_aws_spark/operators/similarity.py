@@ -107,37 +107,52 @@ def incremental_embedding_dedup(
     SimHash-hamming / embedding-cosine, operators/dedup.py for the first
     three). Returns the surviving batch rows.
 
-    Scale shape is the brute_force_topk one INVERTED: the BATCH side is
-    bounded by ingestion cadence, so it broadcasts whole (vectors + norms)
-    and the 100 TB history is scanned exactly once, map-only — each
-    history row scores against the broadcast batch inside codegen and
-    emits only the batch ids it disqualifies; nothing history-sized ever
-    shuffles (the distinct/anti-join operate on dropped batch ids, which
-    are batch-bounded). Exact by construction — no index, no recall
-    question — at the cost of |batch| dot products per history row; when
-    batches outgrow the broadcast cap, split them or front an ANN index
-    (ivf_topk) as a candidate filter with this as the verify."""
-    b = batch.select(
-        F.col(id_col).alias("__bid"),
-        F.col(vec_col).alias("__bv"),
-        l2_norm(F.col(vec_col)).alias("__bn"),
+    Scale shape is the brute_force_topk one INVERTED and then collapsed:
+    the BATCH side is bounded by ingestion cadence, so its vectors enter
+    the plan as a unit-normalized literal matrix (ONE bounded driver
+    collect — batch-sized, same data volume a broadcast would ship) and
+    the 100 TB history is scanned exactly once via Arrow mapInPandas:
+    each Arrow batch computes a blockwise (rows x dim) @ (dim x n_batch)
+    matmul and emits a SINGLE row — the indices of batch vectors it
+    disqualifies. No |history| x |batch| intermediate ever exists, not
+    even transiently: the per-executor state is one boolean vector of
+    n_batch, and the only shuffle is the batch-bounded distinct of
+    dropped indices. (The interpreted array-HOF crossJoin form measured
+    3.7 s warm at 1.6k x 400 x dim-64 — the matmul form is the same
+    measured cliff minhash_signatures avoids.) Exact by construction —
+    no index, no recall question. Zero-norm vectors never match
+    (positive thresholds assumed). When batches outgrow driver memory,
+    split them or front an ANN index (ivf_topk) as a candidate filter
+    with this as the verify."""
+    rows = batch.select(id_col, vec_col).collect()
+    if not rows:
+        return batch
+    ids = [(i, r[id_col]) for i, r in enumerate(rows)]
+    B = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    bn = np.linalg.norm(B, axis=1)
+    bn[bn == 0] = np.inf
+    Bu = (B / bn[:, None]).T  # dim x n_batch, unit-normalized
+
+    def scan(batches):
+        for pdf in batches:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = np.inf
+            Mu = M / n
+            hit = np.zeros(Bu.shape[1], dtype=bool)
+            # blockwise so the score slab stays ~1k x n_batch regardless
+            # of Arrow batch size
+            for lo in range(0, Mu.shape[0], 1024):
+                S = Mu[lo : lo + 1024] @ Bu
+                hit |= (S >= threshold).any(axis=0)
+            yield pd.DataFrame({"idx": [np.where(hit)[0].tolist()]})
+
+    hits = history.select(vec_col).mapInPandas(scan, schema="idx array<int>")
+    dropped_idx = hits.select(F.explode("idx").alias("__i")).distinct()
+    id_map = batch.sparkSession.createDataFrame(
+        ids, schema=f"__i int, {id_col} {dict(batch.dtypes)[id_col]}"
     )
-    h = history.select(
-        F.col(vec_col).alias("__hv"), l2_norm(F.col(vec_col)).alias("__hn")
-    )
-    dropped = (
-        h.join(F.broadcast(b))
-        .filter(
-            (F.col("__bn") * F.col("__hn") > 0)
-            & (
-                dot(F.col("__bv"), F.col("__hv"))
-                / (F.col("__bn") * F.col("__hn"))
-                >= threshold
-            )
-        )
-        .select(F.col("__bid").alias(id_col))
-        .distinct()
-    )
+    dropped = dropped_idx.join(F.broadcast(id_map), "__i").select(id_col)
     return batch.join(dropped, id_col, "left_anti")
 
 

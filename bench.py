@@ -57,8 +57,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_repetition_profile",
     "corpus_gopher_filter",
-    # round 5: rolling-corpus near-dup ingestion (signature-index banding)
+    # round 5: rolling-corpus near-dup ingestion (signature-index banding;
+    # inverted-broadcast semantic dedup)
     "dedup_incremental_fuzzy",
+    "dedup_incremental_embedding",
 ]
 
 
