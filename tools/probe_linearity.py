@@ -104,3 +104,26 @@ def t_pagerank_nodes(n_nodes: int) -> tuple[float, int]:
 for n_nodes in [100, 500]:
     dt, n = t_pagerank_nodes(n_nodes)
     print(f"MARKER graph_pagerank nodes={n_nodes}: {dt:.2f}s rows={n}", flush=True)
+
+
+# -- skew guard probe: boilerplate bomb vs max_bucket ------------------------
+from batch_processing_iac_aws_spark.operators.dedup import minhash_lsh_candidates
+
+bomb = spark.range(1_000_000, 1_001_000).select(
+    F.col("id").alias("doc_id"),
+    F.lit(
+        "identical boilerplate template text repeated on every single "
+        "page of the site"
+    ).alias("text"),
+)
+poisoned = (
+    docs1.select("doc_id", "text").unionByName(bomb).repartition(32).cache()
+)
+poisoned.count()
+for label, kw in [("uncapped", {}), ("max_bucket=100", {"max_bucket": 100})]:
+    t0 = time.time()
+    n = minhash_lsh_candidates(poisoned, **kw).count()
+    print(f"MARKER lsh bomb {label}: {time.time()-t0:.2f}s candidates={n}", flush=True)
+t0 = time.time()
+n = minhash_lsh_candidates(docs1).count()
+print(f"MARKER lsh clean: {time.time()-t0:.2f}s candidates={n}", flush=True)
