@@ -180,28 +180,59 @@ def banded_signatures(
     :func:`minhash_lsh_candidates` (intra-corpus) and
     :func:`incremental_fuzzy_dedup` (batch vs stored index) — identical
     band hashes are what make signatures WRITTEN by one run joinable by a
-    later run, so this function is the index's on-disk contract."""
+    later run, so this function is the index's on-disk contract. Because
+    it IS a cross-run contract, signature length is verified per row: a
+    stored index written with a different num_perm would otherwise band
+    a silent prefix-slice of each signature, produce band hashes that
+    never collide with the current family's, and turn every downstream
+    dedup into a no-op — the failure mode must be loud."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    return sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
                 ),
             )
-        ).alias("band_idx", "band_hash"),
+        ),
+    )
+    guarded = F.when(F.size(F.col("sig")) == num_perm, band_arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "banded_signatures: signature length != num_perm="
+                    f"{num_perm} (index written with a different hash "
+                    "family?): "
+                ),
+                F.size(F.col("sig")).cast("string"),
+            )
+        ).cast("array<bigint>")
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(guarded).alias("band_idx", "band_hash"),
+    )
+
+
+def signature_est_jaccard(sig_a, sig_b, num_perm: int):
+    """Column expression: signature-estimated Jaccard — the fraction of
+    equal components between two MinHash signatures, rounded to 4dp. The
+    ONE estimator shared by :func:`minhash_lsh_candidates` and
+    :func:`incremental_fuzzy_dedup`'s index-only mode, so threshold
+    decisions at the boundary cannot drift between the two APIs."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(num_perm),
+        4,
     )
 
 
@@ -230,11 +261,20 @@ def minhash_lsh_candidates(
     shuffle; ``max_bucket`` is the STRUCTURAL guard — band buckets wider
     than it are dropped before the self-join (one extra bounded
     aggregation on the band keys), bounding worst-case candidates at
-    n_buckets * max_bucket². A pair losing one over-wide bucket is still
-    proposed by any of its other ``bands - 1`` bands; pairs identical in
-    EVERY band are byte-level duplicates in signature space, which is why
-    exact dedup runs FIRST in the production flow (fuzzy_dedup_keep_one's
-    docstring, operators/corpus pipelines). Default None keeps the
+    n_buckets * max_bucket². The recall trade is real and should be
+    understood precisely: a pair losing one over-wide bucket is still
+    proposed by any of its other ``bands - 1`` bands, but a J→1 pair has
+    probability ~J^num_perm of an IDENTICAL full signature (J=0.99 →
+    ~0.5 at 64 perms) — such pairs share every bucket, and if their
+    cluster is wider than the cap they are silently not proposed. Exact
+    dedup upstream removes only the byte-identical subset of those, so
+    capping concedes recall exactly on ultra-high-similarity boilerplate
+    clusters wider than the cap — which is the content the cap exists to
+    keep from melting the verify stage; size the cap well above the
+    widest legitimate duplicate cluster, and treat dropped buckets as
+    dedup clusters in their own right if those docs must still be
+    collapsed (every member of a shared full-band bucket is a near-dup
+    of the others with high probability). Default None keeps the
     exhaustive-recall semantics the dedup_minhash oracle proves.
     """
     sig = minhash_signatures(
@@ -277,18 +317,8 @@ def minhash_lsh_candidates(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "sig_a",
-                        "sig_b",
-                        lambda x, y: (x == y).cast("int"),
-                    ),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / F.lit(len(_hash_params(num_perm, seed))),
-                4,
+            signature_est_jaccard(
+                F.col("sig_a"), F.col("sig_b"), num_perm
             ).alias("est_jaccard"),
         )
     )
@@ -604,6 +634,11 @@ def simhash_near_duplicates(
     chunk — a STRUCTURAL recall guarantee, asserted exhaustively in
     tests/test_dedup.py), bucket-join on chunks, verify with
     bit_count(xor) <= max_hamming."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk banding only guarantees recall for max_hamming <= 3 "
+            "(pigeonhole); larger distances would be silently missed"
+        )
     sh = simhash(
         df, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
     ).cache()
@@ -680,7 +715,10 @@ def incremental_fuzzy_dedup(
        shingle Jaccard via :func:`exact_jaccard` over the candidate-bounded
        union — the point-lookup fetch of candidate history bodies is a
        semi join by id, so the 100 TB history contributes only its matched
-       docs; without ``history``, fall back to the signature-estimated
+       docs (batch and history ids are prefix-disambiguated internally,
+       so the two sides may safely reuse one id space — e.g. stable
+       URL-derived ids across crawls); without ``history``, fall back to
+       the signature-estimated
        Jaccard (num_perm-fraction of equal components), the index-only mode
        for when bodies are archived cold;
     4. anti-join: batch rows with ANY verified match >= threshold drop.
@@ -725,13 +763,38 @@ def incremental_fuzzy_dedup(
         shingle_k=shingle_k,
         seed=seed,
     )
+    if history is None:
+        # index-only mode references sig_b twice (banding + est-Jaccard
+        # scoring); without this the dominant batch-side stage (shingle
+        # explode + 64-min groupBy) runs twice
+        sig_b = sig_b.localCheckpoint()
     kw = dict(id_col=id_col, num_perm=num_perm, bands=bands)
     bb = banded_signatures(sig_b, **kw).select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
     if prebanded:
+        # the band hashes of a pre-banded index written under a different
+        # (num_perm, bands, seed) family can never collide with ours —
+        # which would silently no-op the dedup. band_idx range is the one
+        # family parameter visible in the data, so at least check that.
+        checked_idx = F.when(
+            F.col("band_idx") < bands, F.col("band_idx")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_fuzzy_dedup: pre-banded index has "
+                        f"band_idx >= bands={bands} — index written with "
+                        "a different banding? "
+                    ),
+                    F.col("band_idx").cast("string"),
+                )
+            ).cast("int")
+        )
         bh = signature_index.select(
-            F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+            F.col(id_col).alias("id_b"),
+            checked_idx.alias("band_idx"),
+            "band_hash",
         )
     else:
         bh = banded_signatures(signature_index, **kw).select(
@@ -744,35 +807,56 @@ def incremental_fuzzy_dedup(
         .localCheckpoint()
     )
     if history is not None:
-        corpus = batch.select(F.col(id_col), F.col(text_col)).unionByName(
-            history.select(F.col(id_col), F.col(text_col))
+        # verify against DISAMBIGUATED keys: batch and history may reuse
+        # the same id space (a re-crawl keyed by URL), and exact_jaccard
+        # keys its union frame by id — colliding ids would merge the two
+        # documents' shingle sets and inflate every score they touch.
+        # Prefixing is candidate-bounded work (verify side only).
+        def _tag(frame: DataFrame, prefix: str) -> DataFrame:
+            return frame.select(
+                F.concat(
+                    F.lit(prefix), F.col(id_col).cast("string")
+                ).alias(id_col),
+                F.col(text_col),
+            )
+
+        corpus = _tag(batch, "b:").unionByName(_tag(history, "h:"))
+        tagged_cands = cands.select(
+            F.concat(F.lit("b:"), F.col("id_a").cast("string")).alias("id_a"),
+            F.concat(F.lit("h:"), F.col("id_b").cast("string")).alias("id_b"),
         )
         scored = exact_jaccard(
-            corpus, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+            corpus,
+            tagged_cands,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
         ).withColumnRenamed("jaccard", "__score")
-    else:
-        sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
-        sb = signature_index.select(
-            F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
-        )
-        scored = (
-            cands.join(sa, "id_a")
-            .join(sb, "id_b")
+        dropped_keys = (
+            scored.filter(F.col("__score") >= jaccard_threshold)
             .select(
-                "id_a",
-                "id_b",
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            "__sa", "__sb", lambda x, y: (x == y).cast("int")
-                        ),
-                        F.lit(0),
-                        lambda acc, v: acc + v,
-                    ).cast("double")
-                    / F.lit(num_perm)
-                ).alias("__score"),
+                F.substring(F.col("id_a"), 3, 2_147_483_647)
+                .cast(dict(batch.dtypes)[id_col])
+                .alias(id_col)
             )
+            .distinct()
         )
+        return batch.join(dropped_keys, id_col, "left_anti")
+    sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    sb = signature_index.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
+    )
+    scored = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            signature_est_jaccard(
+                F.col("__sa"), F.col("__sb"), num_perm
+            ).alias("__score"),
+        )
+    )
     dup_ids = (
         scored.filter(F.col("__score") >= jaccard_threshold)
         .select(F.col("id_a").alias(id_col))
@@ -808,6 +892,11 @@ def incremental_simhash_dedup(
     chunk equi-join (bucket the stored index by chunk to make the history
     side shuffle-free); the verify is a codegen expression on the joined
     rows, no extra pass."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk banding only guarantees recall for max_hamming <= 3 "
+            "(pigeonhole); larger distances would be silently missed"
+        )
     sh_b = simhash(
         batch, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
     )

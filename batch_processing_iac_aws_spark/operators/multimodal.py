@@ -85,18 +85,26 @@ def decode_image_real(payload: bytes, *, feature_dim: int = 8) -> list[float]:
 
 
 def auto_image_decoder(feature_dim: int = 8):
-    """``bytes -> list[float]`` decoder selected at call time: the real PIL
-    path when the library is importable, else the deterministic fake — so
-    one pipeline definition runs identically-shaped in both environments
-    (off-sandbox it becomes genuinely usable; in-sandbox it stays
-    reproducible). Probe ONCE here, not per row: the worker pays the
-    import probe at closure build, not inside the Arrow batch loop."""
-    try:
-        import PIL  # noqa: F401
+    """``bytes -> list[float]`` decoder that probes for PIL in the process
+    that EXECUTES it — on a cluster that is the worker, not the driver
+    (a driver-side probe would pickle the wrong branch when the driver
+    image is slimmer than the executors'). Falls back to the
+    deterministic fake, so one pipeline definition runs
+    identically-shaped in both environments. The per-call ``import`` is
+    a cached sys.modules lookup after the first row of each worker
+    process — nanoseconds, not an import. CAVEAT: on a heterogeneous
+    cluster (PIL on some workers only) the fallback is per-process and
+    features would silently mix families — pin ``decode_fn`` explicitly
+    there."""
 
-        return lambda p: decode_image_real(p, feature_dim=feature_dim)
-    except ImportError:
-        return lambda p: _fake_features(p, feature_dim)
+    def decode(p: bytes) -> list[float]:
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            return _fake_features(p, feature_dim)
+        return decode_image_real(p, feature_dim=feature_dim)
+
+    return decode
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:

@@ -81,10 +81,15 @@ def test_simhash_properties(spark, docs):
 
 
 def test_simhash_near_duplicates(spark, docs):
-    out = simhash_near_duplicates(docs, max_hamming=6)
+    out = simhash_near_duplicates(docs, max_hamming=3)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
-    assert (1, 2) in pairs
+    assert (1, 2) in pairs  # identical text -> hamming 0
     assert (4, 5) not in pairs
+
+    # distances beyond the 4-chunk pigeonhole guarantee must refuse, not
+    # silently lose recall (a hamming-4 pair can differ in all 4 chunks)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(docs, max_hamming=4)
 
 
 def test_minhash_on_real_documents(spark):
@@ -344,3 +349,63 @@ def test_incremental_simhash_dedup_roundtrip_and_exhaustive(spark, tmp_path):
     )
     assert got == truth
     assert len(truth) < batch.count()  # non-vacuous: some batch docs drop
+
+
+def test_signature_index_family_mismatch_fails_loudly(spark):
+    """A stored index written under a different hash family must raise,
+    not silently produce zero candidates: banding verifies signature
+    length per row, and the pre-banded layout verifies band_idx range."""
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        banded_signatures,
+        incremental_fuzzy_dedup,
+    )
+
+    batch = spark.createDataFrame([(10, BASE)], "doc_id long, text string")
+    # index written with num_perm=128, consumed at the default 64
+    idx128 = minhash_signatures(
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+        num_perm=128,
+    )
+    with pytest.raises(Exception, match="signature length"):
+        incremental_fuzzy_dedup(batch, idx128, history=None).collect()
+
+    # pre-banded index with more bands than the current family
+    over_banded = banded_signatures(
+        minhash_signatures(
+            spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+        ),
+        bands=32, num_perm=64,
+    )
+    hist = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    with pytest.raises(Exception, match="band_idx"):
+        incremental_fuzzy_dedup(
+            batch, over_banded, history=hist, bands=16
+        ).collect()
+
+
+def test_incremental_fuzzy_dedup_tolerates_colliding_id_spaces(spark):
+    """Batch and history reusing one id space (stable URL-keyed re-crawls)
+    must not merge shingle sets: doc id=1 exists on BOTH sides with
+    unrelated content, and the unrelated batch doc must survive — before
+    the prefix disambiguation, the merged id-1 shingle set could inflate
+    scores and drop it."""
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        incremental_fuzzy_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(1, BASE), (2, "completely different text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "totally fresh reworked page sharing nothing with before"),
+            (3, BASE),  # true near-dup of history doc 1 -> drop
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_fuzzy_dedup(
+        batch, minhash_signatures(history), history=history,
+        jaccard_threshold=0.7,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]

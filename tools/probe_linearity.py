@@ -4,7 +4,8 @@ doc_ids offset so they are distinct docs with duplicate CONTENT — the
 adversarial case for dedup: every replica is a true near-duplicate)."""
 import sys, time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 

@@ -6,7 +6,8 @@ Each timed cold-ish (fresh frame build) then warm (second run).
 """
 import sys, time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 
