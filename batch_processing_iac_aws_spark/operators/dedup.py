@@ -173,6 +173,7 @@ def banded_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
+    verify_length: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows from a (id, sig array<long>) frame:
     the signature split into ``bands`` equal bands, each hashed to one
@@ -180,12 +181,16 @@ def banded_signatures(
     :func:`minhash_lsh_candidates` (intra-corpus) and
     :func:`incremental_fuzzy_dedup` (batch vs stored index) — identical
     band hashes are what make signatures WRITTEN by one run joinable by a
-    later run, so this function is the index's on-disk contract. Because
-    it IS a cross-run contract, signature length is verified per row: a
-    stored index written with a different num_perm would otherwise band
+    later run, so this function is the index's on-disk contract.
+
+    ``verify_length=True`` adds a per-row signature-length check: a
+    STORED index written with a different num_perm would otherwise band
     a silent prefix-slice of each signature, produce band hashes that
-    never collide with the current family's, and turn every downstream
-    dedup into a no-op — the failure mode must be loud."""
+    never collide with the current family's, and turn the downstream
+    dedup into a no-op — external data must fail loudly. Keep it off
+    (the default) for signatures built in the same plan, whose length is
+    num_perm by construction — the branch measured ~7% on the LSH
+    queries, worth paying only at the trust boundary."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
@@ -201,21 +206,24 @@ def banded_signatures(
             )
         ),
     )
-    guarded = F.when(F.size(F.col("sig")) == num_perm, band_arr).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "banded_signatures: signature length != num_perm="
-                    f"{num_perm} (index written with a different hash "
-                    "family?): "
-                ),
-                F.size(F.col("sig")).cast("string"),
-            )
-        ).cast("array<bigint>")
-    )
+    if verify_length:
+        band_arr = F.when(
+            F.size(F.col("sig")) == num_perm, band_arr
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "banded_signatures: signature length != num_perm="
+                        f"{num_perm} (index written with a different hash "
+                        "family?): "
+                    ),
+                    F.size(F.col("sig")).cast("string"),
+                )
+            ).cast("array<bigint>")
+        )
     return sig.select(
         F.col(id_col),
-        F.posexplode(guarded).alias("band_idx", "band_hash"),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
 
 
@@ -797,9 +805,10 @@ def incremental_fuzzy_dedup(
             "band_hash",
         )
     else:
-        bh = banded_signatures(signature_index, **kw).select(
-            F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-        )
+        # external data: verify the stored signatures' length per row
+        bh = banded_signatures(
+            signature_index, verify_length=True, **kw
+        ).select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cands = (
         bb.join(bh, ["band_idx", "band_hash"])
         .select("id_a", "id_b")
