@@ -783,26 +783,24 @@ def incremental_fuzzy_dedup(
     if prebanded:
         # the band hashes of a pre-banded index written under a different
         # (num_perm, bands, seed) family can never collide with ours —
-        # which would silently no-op the dedup. band_idx range is the one
-        # family parameter visible in the data, so at least check that.
-        checked_idx = F.when(
-            F.col("band_idx") < bands, F.col("band_idx")
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "incremental_fuzzy_dedup: pre-banded index has "
-                        f"band_idx >= bands={bands} — index written with "
-                        "a different banding? "
-                    ),
-                    F.col("band_idx").cast("string"),
-                )
-            ).cast("int")
-        )
+        # which would silently no-op the dedup. Band count is the one
+        # family parameter visible in the data: every id emits band_idx
+        # 0..bands-1, so a non-empty index's max band_idx must be exactly
+        # bands-1 (catches BOTH more and fewer bands). The check is one
+        # eager map-side-combined scan of the band_idx column — the join
+        # scans the index each run anyway, and this function is already
+        # eager via the localCheckpoint below. A same-band-count
+        # different (num_perm, seed) family is indistinguishable from
+        # data — keep the family parameters with the index path.
+        top = signature_index.agg(F.max("band_idx")).first()[0]
+        if top is not None and top != bands - 1:
+            raise ValueError(
+                "incremental_fuzzy_dedup: pre-banded index has max "
+                f"band_idx {top}, expected bands-1={bands - 1} — index "
+                "written with a different banding"
+            )
         bh = signature_index.select(
-            F.col(id_col).alias("id_b"),
-            checked_idx.alias("band_idx"),
-            "band_hash",
+            F.col(id_col).alias("id_b"), "band_idx", "band_hash"
         )
     else:
         # external data: verify the stored signatures' length per row
@@ -903,15 +901,45 @@ def incremental_simhash_dedup(
     Build the index with :func:`simhash` using the same (bits,
     token_hash); append survivors' hashes per era (same bookmark pattern
     as the MinHash index; reference: batch_processing_IaC.py:301's job
-    bookmarks). Shuffles: the batch simhash groupBy, then a 4-rows-per-doc
-    chunk equi-join (bucket the stored index by chunk to make the history
-    side shuffle-free); the verify is a codegen expression on the joined
-    rows, no extra pass."""
+    bookmarks). ``simhash_index`` may be stored in either layout:
+    ``(id, simhash)`` (compact — re-chunked here each run), or the
+    output of :func:`chunked_simhash` persisted as
+    ``(id, simhash, chunk_idx, chunk)`` — the PRE-CHUNKED layout
+    (detected by columns); bucketed by ``chunk``, the history side of
+    the equi-join is then shuffle-free AND skips per-run re-chunking.
+    Shuffles: the batch simhash groupBy, then the 4-rows-per-doc chunk
+    equi-join; the verify is a codegen expression on the joined rows, no
+    extra pass.
+
+    Family guard (trust boundary, like the MinHash index's
+    verify_length): for ``bits < 64`` any stored hash with bits set at
+    or above position ``bits`` proves the index was written by a wider
+    family (e.g. a 64-bit xxhash64 index consumed at 60 portable bits
+    trips this for ~15/16 of docs) and raises per row instead of
+    silently producing zero chunk collisions. A same-width different
+    ``token_hash`` family is indistinguishable from data — keep the
+    family parameters with the index path."""
     if max_hamming > 3:
         raise ValueError(
             "4-chunk banding only guarantees recall for max_hamming <= 3 "
             "(pigeonhole); larger distances would be silently missed"
         )
+    if bits < 64:
+        checked = F.when(
+            F.shiftrightunsigned(F.col("simhash"), bits) == 0, F.col("simhash")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_simhash_dedup: stored simhash has bits "
+                        f"above position {bits} — index written with a "
+                        "wider hash family? "
+                    ),
+                    F.col("simhash").cast("string"),
+                )
+            ).cast("long")
+        )
+        simhash_index = simhash_index.withColumn("simhash", checked)
     sh_b = simhash(
         batch, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
     )
@@ -919,12 +947,18 @@ def incremental_simhash_dedup(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
         "chunk_idx", "chunk",
     )
-    ch = chunked_simhash(
-        simhash_index, id_col=id_col, bits=bits
-    ).select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
-        "chunk_idx", "chunk",
-    )
+    if {"chunk_idx", "chunk"} <= set(simhash_index.columns):
+        ch = simhash_index.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+            "chunk_idx", "chunk",
+        )
+    else:
+        ch = chunked_simhash(
+            simhash_index, id_col=id_col, bits=bits
+        ).select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+            "chunk_idx", "chunk",
+        )
     dup_ids = (
         cb.join(ch, ["chunk_idx", "chunk"])
         .filter(

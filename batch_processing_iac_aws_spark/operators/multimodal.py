@@ -90,19 +90,27 @@ def auto_image_decoder(feature_dim: int = 8):
     (a driver-side probe would pickle the wrong branch when the driver
     image is slimmer than the executors'). Falls back to the
     deterministic fake, so one pipeline definition runs
-    identically-shaped in both environments. The per-call ``import`` is
-    a cached sys.modules lookup after the first row of each worker
-    process — nanoseconds, not an import. CAVEAT: on a heterogeneous
+    identically-shaped in both environments. The probe resolves ONCE per
+    process (a closure-cell memo, refilled after unpickling on each
+    worker), so steady-state rows pay one list access, not import-lock
+    machinery. CAVEAT: on a heterogeneous
     cluster (PIL on some workers only) the fallback is per-process and
     features would silently mix families — pin ``decode_fn`` explicitly
     there."""
 
+    resolved: list = []  # per-process memo; re-resolves after unpickling
+
     def decode(p: bytes) -> list[float]:
-        try:
-            import PIL  # noqa: F401
-        except ImportError:
-            return _fake_features(p, feature_dim)
-        return decode_image_real(p, feature_dim=feature_dim)
+        if not resolved:
+            try:
+                import PIL  # noqa: F401
+
+                resolved.append(
+                    lambda q: decode_image_real(q, feature_dim=feature_dim)
+                )
+            except ImportError:
+                resolved.append(lambda q: _fake_features(q, feature_dim))
+        return resolved[0](p)
 
     return decode
 

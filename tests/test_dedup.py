@@ -369,18 +369,14 @@ def test_signature_index_family_mismatch_fails_loudly(spark):
     with pytest.raises(Exception, match="signature length"):
         incremental_fuzzy_dedup(batch, idx128, history=None).collect()
 
-    # pre-banded index with more bands than the current family
-    over_banded = banded_signatures(
-        minhash_signatures(
-            spark.createDataFrame([(1, BASE)], "doc_id long, text string")
-        ),
-        bands=32, num_perm=64,
-    )
+    # pre-banded index with the WRONG band count — both directions must
+    # refuse (max band_idx != bands-1 catches more AND fewer bands)
     hist = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
-    with pytest.raises(Exception, match="band_idx"):
-        incremental_fuzzy_dedup(
-            batch, over_banded, history=hist, bands=16
-        ).collect()
+    hist_sig = minhash_signatures(hist)
+    for wrong_bands in (32, 8):
+        wrong = banded_signatures(hist_sig, bands=wrong_bands, num_perm=64)
+        with pytest.raises(ValueError, match="band_idx"):
+            incremental_fuzzy_dedup(batch, wrong, history=hist, bands=16)
 
 
 def test_incremental_fuzzy_dedup_tolerates_colliding_id_spaces(spark):
@@ -409,3 +405,41 @@ def test_incremental_fuzzy_dedup_tolerates_colliding_id_spaces(spark):
         jaccard_threshold=0.7,
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1]
+
+
+def test_incremental_simhash_family_guard_and_prechunked_layout(spark):
+    """(a) a 64-bit xxhash64 index consumed at 60 portable bits must raise
+    (stored hashes carry bits above position 60); (b) the pre-chunked
+    (id, simhash, chunk_idx, chunk) layout must produce survivors
+    identical to the compact (id, simhash) layout."""
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        chunked_simhash,
+        incremental_simhash_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(1, BASE), (4, "completely different text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE), (12, "fresh unrelated document about column pruning")],
+        "doc_id long, text string",
+    )
+
+    idx64 = simhash(history, bits=64)  # wider family than bits=60
+    with pytest.raises(Exception, match="wider hash family"):
+        incremental_simhash_dedup(batch, idx64, bits=60).collect()
+
+    compact = simhash(history, bits=64)
+    via_compact = sorted(
+        r["doc_id"]
+        for r in incremental_simhash_dedup(batch, compact, bits=64).collect()
+    )
+    prechunked = chunked_simhash(simhash(history, bits=64), bits=64)
+    via_chunked = sorted(
+        r["doc_id"]
+        for r in incremental_simhash_dedup(
+            batch, prechunked, bits=64
+        ).collect()
+    )
+    assert via_compact == via_chunked == [12]
