@@ -329,3 +329,21 @@ def test_span_dedup_shuffles_hashes_not_text(spark):
         assert "shingle" not in m.group(1), (
             "raw span text crosses a shuffle: " + m.group(0)
         )
+
+
+def test_no_cartesian_products_in_registered_queries(spark):
+    """NO registered batch query may plan a raw CartesianProduct — the one
+    join strategy with unbounded quadratic cost. Measured across the full
+    registry: every nested-loop in every plan is a
+    BroadcastNestedLoopJoin whose build side is a bounded frame
+    (single-row aggregates, the <=20-query ANN set, dimension slices), so
+    the guard needs no allowlist; a future query that accidentally
+    crosses two scaling frames without a broadcastable side fails here
+    before it can melt a cluster."""
+    for name, fn in QUERIES.items():
+        if name == "streaming_tumbling":
+            continue
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a raw cartesian product"
+        )
