@@ -62,13 +62,27 @@ from . import quality  # noqa: E402,F401
 #     cohort). The rows-only
 #     dedup_simhash/_pairs slots rotate OUT: their algorithm is already
 #     proven by the r4-green dedup_simhash_portable twin.
-#   round 6 plan (queue, oldest first): sort_limit + union_all +
-#     join_cross + histogram_prices + the 37-query r2-green cohort (scalar families
-#     string/date/math/array-HOF, windows rank/running/ntile(+scalable),
-#     q2/q11/q13/q16/q18–q22, merge/scd2, skew joins, similarity_topk,
-#     core LLM dedup/text/multimodal/corpus r2 queries, zorder_roundtrip),
-#     then backfill with r3 greens (sources, sketches, events analytics)
-#     up to 50.
+#   round 6 plan — the EXACT 50 (assuming the r5 window greens; computed
+#     from the CORRECTNESS ledgers, oldest-green first — re-derive if any
+#     r5 row comes back red and needs a re-check slot):
+#     r1 slot-donors (4): join_cross, sort_limit, union_all,
+#       histogram_prices
+#     r2 cohort (37): zorder_roundtrip, join_skew_salted, q18_large_orders,
+#       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
+#       q11_important_stock, q13_customer_distribution,
+#       q16_supplier_relationship, q20_excess_suppliers,
+#       q21_waiting_suppliers, window_rank, window_running, window_ntile,
+#       window_ntile_scalable, string_funcs, date_funcs, math_funcs,
+#       array_hof_funcs, dedup_exact, text_decontaminate,
+#       dedup_ngram_jaccard, dedup_embedding_cosine, similarity_topk,
+#       text_lang_profile, text_quality, text_token_topk, multimodal_meta,
+#       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
+#       merge_upsert, scd2_history, sample_deterministic, dataset_mixture,
+#       docs_pack_sequences, text_pii_scrub
+#     r3 backfill (9): json_expand, orc_roundtrip, parquet_schema_merge,
+#       table_profile, agg_quantile_bins, agg_regression,
+#       events_retention_cohorts, events_transition_matrix,
+#       events_rolling_distinct_users
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
