@@ -968,3 +968,74 @@ def incremental_simhash_dedup(
         .distinct()
     )
     return batch.join(dup_ids, id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.6,
+    score_round: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then drop any vector with a LOWER-id same-cluster
+    neighbor at cosine >= ``threshold`` (the one-pass keep-lowest variant;
+    the transitive-closure variant is ``fuzzy_dedup_pipeline``'s CC).
+    Returns kept (id, cluster) rows.
+
+    Scale shape: centroids are a deterministic bounded collect (first
+    ``n_clusters`` by id — a k-means++ / trained-centroid injection
+    point); assignment is map-only (Arrow matmul scores, JVM argmax);
+    the near-dup scan is a CELL-BOUNDED self-join on the cluster id —
+    the SemDeDup point is that candidate pairs are ~n²/k per cell, never
+    the corpus-wide n². The verify cosine is the sequential zip_with/
+    aggregate form (bit-identical to the SQL oracle); assignment scores
+    round to ``score_round`` dp with ties to the lowest cluster id so the
+    argmax is engine-portable."""
+    from ..functions.vectors import cosine
+    from .similarity import _centroid_scores_udf
+
+    cent_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    )
+    centroids = [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)]
+    scored = df.withColumn(
+        "__scores", _centroid_scores_udf(centroids)(F.col(vec_col))
+    )
+    rounded = F.transform(
+        F.col("__scores"), lambda s: F.round(s, score_round)
+    )
+    assigned = (
+        scored.withColumn(
+            "cluster",
+            (F.array_position(rounded, F.array_max(rounded)) - 1).cast(
+                "long"
+            ),
+        )
+        .drop("__scores")
+    )
+    a = assigned.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dropped = (
+        a.join(b, "__c")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), score_round)
+            >= threshold
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "cluster"
+    )

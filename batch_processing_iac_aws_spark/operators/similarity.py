@@ -577,3 +577,104 @@ def pca_project(
         )
         out = out.withColumn(f"pc{j + 1}", score)
     return out
+
+
+def _quantized_vec(vec_col: str | Column, grid: int) -> Column:
+    """array<float> -> array<long> on a fixed 1/``grid`` lattice via
+    round-half-away-from-zero — the same op DuckDB's round() performs on
+    the same doubles, so both engines land on identical integers."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * grid).cast("long")
+    )
+
+
+def _nearest_centroid_udf(centroids: list[list[int]], scale: int):
+    """Arrow-batched EXACT nearest-centroid assignment over quantized
+    vectors: all arithmetic int64 (squared L2 on the lattice, centroids at
+    ``scale``x finer grid), argmin ties to the lowest centroid index.
+    Integer distances make the argmin bit-identical in any engine."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.int64)  # k x dim, fine grid
+    c2 = (C * C).sum(axis=1)  # k
+
+    @pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.int64) * scale  # n x dim
+        x2 = (X * X).sum(axis=1)  # n
+        dist = x2[:, None] - 2 * (X @ C.T) + c2[None, :]  # n x k, int64
+        return pd.Series(np.argmin(dist, axis=1).astype(np.int64))
+
+    return assign
+
+
+def kmeans_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    grid: int = 1000,
+    centroid_scale: int = 100,
+) -> DataFrame:
+    """Distributed Lloyd's k-means with EXACT integer arithmetic, so the
+    final assignment is hash-oracle-able (the graph_pagerank pattern:
+    fixed-point lattices make iterative float algorithms engine-exact).
+    Vectors quantize to a 1/``grid`` lattice; centroids live at a
+    ``centroid_scale``x finer lattice and update by exact floor division
+    of the cluster sum; squared-L2 distances and the argmin (ties to the
+    lowest centroid id) are all int64. Initial centroids are the first
+    ``k`` vectors by id (deterministic; swap for k-means|| on real data).
+    Returns (id, cluster) after ``iters`` assignment rounds.
+
+    Scale shape per iteration: assignment is a MAP-ONLY Arrow matmul
+    against the broadcast k x dim centroid matrix; the update is ONE
+    hash-agg keyed by cluster carrying d map-side partial sums + a count
+    (the minhash 64-partial-mins pattern) whose k-row result is the only
+    driver collect (k x dim ints, model-sized, documented). Empty
+    clusters keep their previous centroid. No iteration-growing lineage:
+    each round's frame derives from the cached quantized input, not the
+    previous round's plan."""
+    dfq = df.select(
+        F.col(id_col), _quantized_vec(vec_col, grid).alias("__xq")
+    )
+    init_rows = dfq.orderBy(id_col).limit(k).collect()
+    if not init_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long"
+        )
+    dim = len(init_rows[0]["__xq"])
+    cents = [
+        [int(x) * centroid_scale for x in r["__xq"]] for r in init_rows
+    ]
+    dfq = dfq.cache()
+    assigned = None
+    for t in range(iters):
+        assigned = dfq.withColumn(
+            "cluster",
+            _nearest_centroid_udf(cents, centroid_scale)(F.col("__xq")),
+        )
+        if t == iters - 1:
+            break  # final round is assignment-only
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("__xq")[i]).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in upd:
+            n = r["__n"]
+            cents[r["cluster"]] = [
+                (int(r[f"__s{i}"]) * centroid_scale) // n
+                for i in range(dim)
+            ]
+    return assigned.select(
+        F.col(id_col), F.col("cluster").cast("long")
+    )

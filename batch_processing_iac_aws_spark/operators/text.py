@@ -413,3 +413,85 @@ def repetition_features(
             F.col("__dup").cast("double") / F.col("__total"), 4
         ).alias(f"dup{ngram}gram_frac"),
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 10,
+    max_doc_freq: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """CORPUS-WIDE segment dedup — the CCNet/RefinedWeb line-dedup pass
+    that removes boilerplate repeated ACROSS documents (nav bars, cookie
+    banners, license footers), as opposed to ``dedup_sentences`` which
+    dedups within one document. A segment (here a fixed ``segment_words``
+    word window; swap the segmenter for newline/sentence splits on real
+    web text) is dropped from EVERY document when it appears in more than
+    ``max_doc_freq`` distinct documents; survivors are reassembled in
+    original order. Returns (id, out_col, n_segments, n_dropped) with one
+    row per input document — a document that was pure boilerplate comes
+    back with an empty string, not silently vanished.
+
+    Shape at 100 TB: segmenting is a map-only transform+posexplode
+    (codegen Generate); the corpus-wide document-frequency table groups on
+    md5(segment) so the exact-distinct shuffle carries (16-byte hash,
+    doc_id) pairs — never segment text; the DF table joins back on the
+    same hash (AQE picks broadcast when the boilerplate table is small —
+    it is, by Zipf); reassembly is ONE hash-agg keyed by doc id with an
+    in-group array_sort. No windows over the corpus, no Python, no
+    per-doc driver logic."""
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(
+                            F.size(tokens(F.col(text_col)))
+                            / F.lit(segment_words)
+                        ).cast("int")
+                        - 1,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(
+                        tokens(F.col(text_col)),
+                        i * segment_words + 1,
+                        segment_words,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("__seg_idx", "__seg"),
+    ).withColumn("__h", F.md5(F.col("__seg")))
+    doc_freq = segs.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    kept = (
+        segs.join(doc_freq, "__h")
+        .withColumn("__drop", F.col("__df") > max_doc_freq)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct("__seg_idx", "__seg"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("__seg"),
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("__drop").cast("long")).cast("long").alias("n_dropped"),
+    )
+    return rebuilt

@@ -49,7 +49,9 @@ from . import quality  # noqa: E402,F401
 #     invariant oracle landed in r4 but never got a window slot) + the
 #     4 queries new this round (dedup_incremental_fuzzy,
 #     dedup_source_overlap, dedup_incremental_simhash,
-#     dedup_incremental_embedding) + 44 of the 48
+#     dedup_incremental_embedding) + the 3 queries added later in the
+#     round (corpus_line_dedup, dedup_semantic, cluster_kmeans — all
+#     hash-oracled, never driver-seen) + 41 of the 48
 #     round-1-only greens, now 4 rounds stale — the oldest cohort
 #     (sort_limit, union_all, join_cross, and histogram_prices yield
 #     their slots to fit:
@@ -65,8 +67,9 @@ from . import quality  # noqa: E402,F401
 #   round 6 plan — the EXACT 50 (assuming the r5 window greens; computed
 #     from the CORRECTNESS ledgers, oldest-green first — re-derive if any
 #     r5 row comes back red and needs a re-check slot):
-#     r1 slot-donors (4): join_cross, sort_limit, union_all,
-#       histogram_prices
+#     r1 slot-donors (7): join_cross, sort_limit, union_all,
+#       histogram_prices, set_except_all, q4_order_priority,
+#       q14_promo_revenue
 #     r2 cohort (37): zorder_roundtrip, join_skew_salted, q18_large_orders,
 #       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
 #       q11_important_stock, q13_customer_distribution,
@@ -79,10 +82,11 @@ from . import quality  # noqa: E402,F401
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
 #       merge_upsert, scd2_history, sample_deterministic, dataset_mixture,
 #       docs_pack_sequences, text_pii_scrub
-#     r3 backfill (9): json_expand, orc_roundtrip, parquet_schema_merge,
-#       table_profile, agg_quantile_bins, agg_regression,
-#       events_retention_cohorts, events_transition_matrix,
-#       events_rolling_distinct_users
+#     r3 backfill (6): json_expand, orc_roundtrip, parquet_schema_merge,
+#       table_profile, agg_quantile_bins, agg_regression
+#     (events_retention_cohorts, events_transition_matrix, and
+#      events_rolling_distinct_users slip to round 7 — the 3 extra r1
+#      donors displaced them)
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
@@ -94,6 +98,16 @@ _PRIORITY = [
     "dedup_source_overlap",
     "dedup_incremental_simhash",
     "dedup_incremental_embedding",
+    # -- new this session: corpus-wide boilerplate line dedup (CCNet
+    #    shape), SemDeDup semantic dedup, and exact-integer Lloyd's
+    #    k-means (each hash-oracled; three more r1 slots donated:
+    #    set_except_all's ExceptAll is shape-covered by in-window
+    #    set_except + union_distinct, q4's EXISTS semi-join by in-window
+    #    join_semi + in_subquery, q14's join+conditional agg by in-window
+    #    q5/q9/q12 — all three rotate in next round with the r2 cohort) --
+    "corpus_line_dedup",
+    "dedup_semantic",
+    "cluster_kmeans",
     # -- the round-1-only greens (stalest cohort), minus the four slot
     #    donors (sort_limit, union_all, join_cross, histogram_prices) --
     # aggregations
@@ -119,7 +133,6 @@ _PRIORITY = [
     # set ops + distinct
     "distinct_set",
     "set_except",
-    "set_except_all",
     "set_intersect",
     "union_distinct",
     # subqueries
@@ -137,7 +150,6 @@ _PRIORITY = [
     # TPC-H round-1 cohort
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_nation_volume",
@@ -145,7 +157,6 @@ _PRIORITY = [
     "q9_product_profit",
     "q10_top_customers",
     "q12_late_shipments",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity",
 ]

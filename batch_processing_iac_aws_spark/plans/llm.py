@@ -1847,3 +1847,139 @@ def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("id_b").alias("node"))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+@query(
+    "corpus_line_dedup",
+    oracle=r"""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), seg AS (
+    SELECT doc_id, i AS seg_idx,
+           array_to_string(words[(i*10+1):(i*10+10)], ' ') AS seg
+    FROM w, UNNEST(generate_series(
+        0, greatest(CAST(ceil(len(words)/10.0) AS INT)-1, 0))) AS t(i)
+), dfq AS (
+    SELECT seg, count(DISTINCT doc_id) AS dfreq FROM seg GROUP BY seg
+)
+SELECT s.doc_id,
+       coalesce(string_agg(CASE WHEN d.dfreq <= 2 THEN s.seg END,
+                           ' ' ORDER BY s.seg_idx), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN d.dfreq > 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM seg s JOIN dfq d USING (seg)
+GROUP BY s.doc_id
+""",
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE boilerplate segment removal (CCNet/RefinedWeb line
+    dedup): a 10-word segment is dropped from every document once it
+    appears in >2 distinct documents; survivors reassemble in order and
+    fully-boilerplate docs come back empty rather than vanishing.
+    Complements text_dedup_sentences (within-doc). The oracle is the same
+    segmentation + exact document-frequency computed relationally, so the
+    hash match proves the md5-keyed DF shuffle and the in-group reassembly
+    compute the textbook answer. operators.text.remove_boilerplate_segments:
+    map-only segmenting, (16-byte hash, doc_id) DF shuffle, one reassembly
+    hash-agg."""
+    from ..operators.text import remove_boilerplate_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(
+        d, segment_words=10, max_doc_freq=2
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle=r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT 8),
+scored AS (SELECT e.vec_id, c.cid,
+                  round(list_cosine_similarity(e.v, c.cv), 6) AS s
+           FROM e CROSS JOIN c),
+assigned AS (SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) rn
+    FROM scored) WHERE rn = 1)
+SELECT a.vec_id, a.cluster
+FROM assigned a JOIN e ea ON ea.vec_id = a.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM assigned a2 JOIN e e2 ON e2.vec_id = a2.vec_id
+  WHERE a2.cluster = a.cluster AND a2.vec_id < a.vec_id
+    AND round(list_cosine_similarity(ea.v, e2.v), 6) >= 0.4)
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the full embeddings table: assign
+    every vector to its nearest of 8 deterministic centroids, then drop
+    vectors with a lower-id same-cluster neighbor at cosine >= 0.4. The
+    oracle recomputes assignment AND the within-cluster neighbor scan
+    relationally (cross join is oracle-side only), so the hash match
+    proves the map-only Arrow assignment + cell-bounded self-join produce
+    the textbook SemDeDup keep set. operators.dedup.semantic_dedup."""
+    from ..operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_clusters=8, threshold=0.4)
+
+
+@query(
+    "cluster_kmeans",
+    oracle=r"""
+WITH eq AS (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x*1000) AS BIGINT)) AS xq
+    FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(xq,1) AS i, unnest(xq) AS x
+       FROM eq),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)-1 AS BIGINT) AS cid,
+              xq
+       FROM (SELECT * FROM eq ORDER BY vec_id LIMIT 8)),
+c0x AS (SELECT cid, generate_subscripts(xq,1) AS i, unnest(xq)*100 AS c
+        FROM c0),
+d1 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.x*100 - c.c)*(e.x*100 - c.c)) AS BIGINT) AS dist
+       FROM ex e JOIN c0x c USING (i) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+    FROM d1) WHERE rn=1),
+u1 AS (SELECT a.cluster AS cid, e.i, CAST(sum(e.x) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cluster, e.i),
+c1x AS (SELECT c.cid, c.i,
+               CASE WHEN u.s IS NULL THEN c.c
+                    ELSE (u.s*100 - (((u.s*100 % u.n) + u.n) % u.n)) // u.n
+               END AS c
+        FROM c0x c LEFT JOIN u1 u ON u.cid = c.cid AND u.i = c.i),
+d2 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.x*100 - c.c)*(e.x*100 - c.c)) AS BIGINT) AS dist
+       FROM ex e JOIN c1x c USING (i) GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+    FROM d2) WHERE rn=1)
+SELECT vec_id, cluster FROM a2
+""",
+)
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 assignment rounds) with EXACT
+    integer arithmetic — the graph_pagerank pattern applied to clustering:
+    vectors on a 1e-3 lattice, centroids floor-divided onto a 1e-5
+    lattice, int64 squared-L2 argmin with ties to the lowest centroid id.
+    The oracle unrolls both Lloyd iterations relationally (per-dimension
+    unnest + BIGINT sums), so the hash match proves the map-only Arrow
+    assignment + one k-row hash-agg per iteration compute the exact
+    fixed-point trajectory — no float summation order anywhere.
+    operators.similarity.kmeans_exact."""
+    from ..operators.similarity import kmeans_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_exact(e, k=8, iters=2)

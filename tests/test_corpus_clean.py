@@ -1,0 +1,114 @@
+"""Behavior tests for the corpus-wide cleaning / clustering operators new
+this round: remove_boilerplate_segments (CCNet line dedup across docs),
+semantic_dedup (SemDeDup), and kmeans_exact (exact-integer Lloyd's).
+Their hash-level correctness is proven by the DuckDB twins in
+tests/test_oracle.py; these tests pin the semantic contracts the oracle
+match alone doesn't spell out (empty-doc survival, partition invariance,
+tie-breaking, empty-cluster handling)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from batch_processing_iac_aws_spark.operators.dedup import semantic_dedup
+from batch_processing_iac_aws_spark.operators.similarity import kmeans_exact
+from batch_processing_iac_aws_spark.operators.text import (
+    remove_boilerplate_segments,
+)
+
+
+def _docs(spark):
+    boiler = "cookie banner " * 5  # one 10-word segment, in 3 docs
+    rows = [
+        (1, boiler + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, boiler + "one two three four five six seven eight nine ten"),
+        (3, boiler.strip()),  # pure boilerplate
+        (4, "solo text that appears nowhere else at all today friend"),
+        # within-doc repetition but corpus df == 1: must be KEPT
+        (5, ("unique phrase repeated inside " * 4).strip()),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_dropped_corpus_wide(spark):
+    out = remove_boilerplate_segments(
+        _docs(spark), segment_words=10, max_doc_freq=2
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # one row per input doc — nothing silently vanishes
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # the df=3 boilerplate segment is gone from every doc
+    for i in (1, 2, 3):
+        assert "cookie banner" not in rows[i]["text_clean"]
+    # the pure-boilerplate doc survives as an empty string
+    assert rows[3]["text_clean"] == ""
+    assert rows[3]["n_dropped"] == rows[3]["n_segments"]
+    # unique docs are untouched, even with WITHIN-doc repetition
+    assert rows[4]["n_dropped"] == 0
+    assert rows[5]["n_dropped"] == 0
+    assert "unique phrase repeated" in rows[5]["text_clean"]
+    # survivors keep their original order
+    assert rows[1]["text_clean"].startswith("alpha beta gamma")
+
+
+def test_boilerplate_partition_invariant(spark):
+    d = _docs(spark)
+    a = remove_boilerplate_segments(d, segment_words=10, max_doc_freq=2)
+    b = remove_boilerplate_segments(
+        d.repartition(7), segment_words=10, max_doc_freq=2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _vecs(spark):
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 10
+        (12, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 10
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # n_clusters=2 -> both centroids are [1,0,0,0] (ids 10/11), so every
+    # vector ties into cluster 0 except none — one big cluster: the
+    # within-cluster scan must drop exactly the near-dups of 10
+    kept = semantic_dedup(
+        _vecs(spark), n_clusters=2, threshold=0.9
+    ).collect()
+    ids = {r["vec_id"] for r in kept}
+    # 10 survives; its exact and near dups (same cluster, cos >= .9) drop
+    assert 10 in ids and 11 not in ids and 12 not in ids
+    # orthogonal vectors survive
+    assert {20, 21} <= ids
+
+
+def test_kmeans_exact_partition_invariant_and_separating(spark):
+    rows = [(i, [10.0 + (i % 3) * 0.01, 0.0]) for i in range(6)] + [
+        (i, [0.0, 10.0 + (i % 3) * 0.01]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_exact(df, k=2, iters=2).collect()}
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_exact(df.repartition(5), k=2, iters=2).collect()
+    }
+    assert a == b  # integer arithmetic: partitioning cannot move a point
+    # two obvious blobs end up in two distinct clusters
+    assert len({a[i] for i in range(6)}) == 1
+    assert len({a[i] for i in range(6, 12)}) == 1
+    assert a[0] != a[6]
+
+
+def test_kmeans_exact_empty_cluster_and_empty_input(spark):
+    # identical init vectors: one centroid captures everything, the other
+    # cluster goes empty and must keep its previous centroid (no crash)
+    rows = [(i, [1.0, 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_exact(df, k=2, iters=2).collect()
+    assert len(out) == 5
+    assert {r["cluster"] for r in out} == {0}  # ties go to the lowest id
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_exact(empty, k=2, iters=2).count() == 0
