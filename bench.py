@@ -61,6 +61,10 @@ HEADLINE = [
     # inverted-broadcast semantic dedup)
     "dedup_incremental_fuzzy",
     "dedup_incremental_embedding",
+    # round 5 (cont.): corpus-wide line dedup, SemDeDup, exact k-means
+    "corpus_line_dedup",
+    "dedup_semantic",
+    "cluster_kmeans",
 ]
 
 

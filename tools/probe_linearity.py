@@ -128,3 +128,52 @@ for label, kw in [("uncapped", {}), ("max_bucket=100", {"max_bucket": 100})]:
 t0 = time.time()
 n = minhash_lsh_candidates(docs1).count()
 print(f"MARKER lsh clean: {time.time()-t0:.2f}s candidates={n}", flush=True)
+
+
+# -- round-5 additions: corpus line dedup (docs), SemDeDup + exact k-means
+#    (embeddings; replicas are EXACT duplicate vectors — the adversarial
+#    case for SemDeDup: every replica must drop) ------------------------
+from batch_processing_iac_aws_spark.operators.dedup import semantic_dedup
+from batch_processing_iac_aws_spark.operators.similarity import kmeans_exact
+from batch_processing_iac_aws_spark.operators.text import (
+    remove_boilerplate_segments,
+)
+
+emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+max_vid = emb1.agg(F.max("vec_id")).first()[0] + 1
+emb5 = emb1
+for k in range(1, 5):
+    emb5 = emb5.unionByName(
+        emb1.withColumn("vec_id", F.col("vec_id") + F.lit(k * max_vid))
+    )
+emb5 = emb5.repartition(32).cache()
+emb5.count()
+
+
+def t_line_dedup(d):
+    return remove_boilerplate_segments(
+        d, segment_words=10, max_doc_freq=2
+    ).count()
+
+
+def t_semantic(e):
+    return semantic_dedup(e, n_clusters=8, threshold=0.4).count()
+
+
+def t_kmeans(e):
+    return kmeans_exact(e, k=8, iters=2).count()
+
+
+for name, fn, one, five in [
+    ("corpus_line_dedup", t_line_dedup, docs1, docs5),
+    ("dedup_semantic", t_semantic, emb1, emb5),
+    ("cluster_kmeans", t_kmeans, emb1, emb5),
+]:
+    fn(one)  # warmup, untimed
+    for label, d in [("1x", one), ("5x", five), ("1x", one), ("5x", five)]:
+        t0 = time.time()
+        n = fn(d)
+        print(
+            f"MARKER {name} {label}: {time.time()-t0:.2f}s rows={n}",
+            flush=True,
+        )
