@@ -347,3 +347,42 @@ def test_no_cartesian_products_in_registered_queries(spark):
         assert "CartesianProduct" not in plan, (
             f"{name} plans a raw cartesian product"
         )
+
+
+def test_line_dedup_df_table_broadcasts_back(spark):
+    """corpus_line_dedup: the document-frequency table (Zipf-small) must
+    come back via BROADCAST join onto the segment stream — the segment
+    side never shuffles for the join — and the only hashpartitioning
+    exchanges are the md5-keyed DF aggregation and the doc-keyed
+    reassembly; segment text is never a shuffle KEY."""
+    import re
+
+    plan = plan_of(QUERIES["corpus_line_dedup"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "__seg#" not in m.group(1), (
+            "raw segment text is a shuffle key: " + m.group(0)
+        )
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark):
+    """dedup_semantic: map-only Arrow assignment, then each vector crosses
+    exactly ONE exchange (keyed by cluster id) into the per-cell matmul —
+    no join operator anywhere (the naive form is a quadratic self-join)."""
+    tree = plan_tree_of(QUERIES["dedup_semantic"](spark, SF))
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "ArrowEvalPython" in tree  # assignment scores
+    assert "FlatMapGroupsInPandas" in tree  # per-cell verify
+
+
+def test_kmeans_final_assignment_is_map_only(spark):
+    """cluster_kmeans: the returned frame (final Lloyd assignment) is a
+    pure map over the cached quantized input — zero exchanges; per
+    iteration the only shuffle is the k-row centroid-update agg, executed
+    eagerly during planning."""
+    tree = plan_tree_of(QUERIES["cluster_kmeans"](spark, SF))
+    assert "Exchange" not in tree
+    assert "ArrowEvalPython" in tree
