@@ -247,3 +247,48 @@ def token_budget_cap(
         .withColumn("cum_tokens_before", F.col("__before"))
         .drop("__before")
     )
+
+
+def dataset_mixture_epochs(
+    sources: dict[str, tuple[DataFrame, int, str]],
+    *,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Mixture with EPOCH UPSAMPLING — the pretraining-mixture shape
+    ``dataset_mixture`` can't express: a source weighted 2.3 epochs emits
+    every document twice plus a ~0.3 hash-gated third copy, so
+    high-quality sources repeat while bulk sources thin out, and the whole
+    mixture stays deterministic (same salt => same copies on any engine,
+    any partitioning — no RNG). Each source maps to
+    ``(df, whole_epochs, frac_keep_below_hex)`` where the fractional
+    epoch uses the same 2-hex md5 gate as :func:`hash_gate` ('00' = no
+    extra copy, '100' unsupported here — fold it into ``whole_epochs``).
+    Output rows carry ``mix_source`` and ``epoch`` (0-based copy index).
+
+    Scale shape: map-only per source — a bounded explode of at most
+    ``whole_epochs + 1`` copies fused into the scan stage, then
+    unionByName; no shuffle anywhere. Rows whose copy count is zero are
+    filtered BEFORE the explode (Spark's ``sequence(0, -1)`` yields
+    [0, -1], not empty — the guard is load-bearing)."""
+    parts = []
+    for name, (df, whole, frac_hex) in sorted(sources.items()):
+        if whole < 0:
+            raise ValueError(f"{name}: whole_epochs must be >= 0")
+        n_copies = F.lit(whole) + F.when(
+            hash_gate(F.col(key_col), frac_hex, salt=salt), 1
+        ).otherwise(0)
+        parts.append(
+            df.withColumn("__n", n_copies)
+            .filter(F.col("__n") > 0)
+            .withColumn(
+                "epoch",
+                F.explode(F.sequence(F.lit(0), F.col("__n") - 1)),
+            )
+            .drop("__n")
+            .withColumn("mix_source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -255,3 +255,53 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col="n_tokens",
         budget=2000,
     ).select("source", "doc_id", "n_tokens", "cum_tokens_before")
+
+
+@query(
+    "dataset_mixture_epochs",
+    oracle="""
+SELECT doc_id, 'hiq' AS mix_source, e AS epoch
+FROM documents,
+     UNNEST(generate_series(0,
+         2 + CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '4d' THEN 1 ELSE 0 END - 1)) AS t(e)
+WHERE source IN ('src0', 'src1')
+UNION ALL
+SELECT doc_id, 'mid' AS mix_source, e AS epoch
+FROM documents,
+     UNNEST(generate_series(0, 1 - 1)) AS t(e)
+WHERE source IN ('src2', 'src3')
+UNION ALL
+SELECT doc_id, 'bulk' AS mix_source, e AS epoch
+FROM documents,
+     UNNEST(generate_series(0,
+         CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '40' THEN 1 ELSE 0 END - 1)) AS t(e)
+WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+""",
+)
+def dataset_mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture with epoch upsampling: the high-quality pair of
+    sources runs ~2.3 epochs (2 whole copies + a ~30% hash-gated third),
+    the mid tier exactly once, and the bulk tail thins to ~25% — the
+    standard quality-weighted mixture, deterministic (no RNG) and
+    described entirely by (whole_epochs, hex) pairs. The oracle replays
+    the same md5 gates + generate_series fan-out relationally (DuckDB's
+    generate_series(0,-1) is empty, matching the engine's pre-explode
+    filter). operators.corpus.dataset_mixture_epochs: map-only bounded
+    explode per source, no shuffle."""
+    from ..operators.corpus import dataset_mixture_epochs
+
+    d = _t(spark, sf_dir, "documents")
+    hiq = d.filter(F.col("source").isin("src0", "src1"))
+    mid = d.filter(F.col("source").isin("src2", "src3"))
+    bulk = d.filter(~F.col("source").isin("src0", "src1", "src2", "src3"))
+    mixed = dataset_mixture_epochs(
+        {
+            "hiq": (hiq, 2, "4d"),
+            "mid": (mid, 1, "00"),
+            "bulk": (bulk, 0, "40"),
+        },
+        key_col="doc_id",
+    )
+    return mixed.select("doc_id", "mix_source", F.col("epoch").cast("long"))

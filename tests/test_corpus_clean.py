@@ -112,3 +112,58 @@ def test_kmeans_exact_empty_cluster_and_empty_input(spark):
     assert {r["cluster"] for r in out} == {0}  # ties go to the lowest id
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_exact(empty, k=2, iters=2).count() == 0
+
+
+def test_mixture_epochs_copy_counts(spark):
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        dataset_mixture_epochs,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mixed = dataset_mixture_epochs(
+        {"a": (df, 2, "80"), "b": (df, 0, "80"), "c": (df, 1, "00")},
+        key_col="doc_id",
+    )
+    per = {
+        (r["mix_source"], r["doc_id"]): r["n"]
+        for r in mixed.groupBy("mix_source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    a_counts = [v for (s, _), v in per.items() if s == "a"]
+    # source a: every doc 2 or 3 copies; ~half get the gated third epoch
+    assert set(a_counts) <= {2, 3}
+    assert 0.3 < sum(c == 3 for c in a_counts) / len(a_counts) < 0.7
+    # source b (0 whole epochs): only gated docs appear, exactly once —
+    # and they are EXACTLY the docs source a upsampled (same salt+gate)
+    b_ids = {d for (s, d) in per if s == "b"}
+    assert all(per[("b", d)] == 1 for d in b_ids)
+    assert b_ids == {d for (s, d), v in per.items() if s == "a" and v == 3}
+    # source c: exactly one copy of every doc, epoch 0
+    assert sorted(d for (s, d) in per if s == "c") == list(range(200))
+    # epochs are 0-based consecutive per copy set
+    eps = {
+        r["doc_id"]: r["es"]
+        for r in mixed.filter(F.col("mix_source") == "a")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("epoch")).alias("es"))
+        .collect()
+    }
+    assert all(es == list(range(len(es))) for es in eps.values())
+
+
+def test_mixture_epochs_partition_invariant(spark):
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        dataset_mixture_epochs,
+    )
+
+    rows = [(i, "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = dataset_mixture_epochs({"a": (df, 1, "40")}, key_col="doc_id")
+    out2 = dataset_mixture_epochs(
+        {"a": (df.repartition(13), 1, "40")}, key_col="doc_id"
+    )
+    assert sorted(map(tuple, out1.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
