@@ -495,3 +495,33 @@ def remove_boilerplate_segments(
         F.sum(F.col("__drop").cast("long")).cast("long").alias("n_dropped"),
     )
     return rebuilt
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+) -> DataFrame:
+    """C4/CCNet-style text normalization — the canonicalization pass run
+    BEFORE any hashing/shingling so that near-identical pages dedup
+    together: unify curly quotes and long dashes to ASCII, strip control
+    characters, collapse whitespace runs, trim, and (optionally)
+    lowercase. Returns the input plus (out_col, n_chars_raw,
+    n_chars_norm). Unicode NFC/NFKC folding needs ICU and stays an
+    upstream concern; every rule here is a plain regex/translate both
+    engines implement identically, so the op is SQL-oracle-able.
+
+    Map-only projection — fuses into the scan stage, no shuffle."""
+    c = F.col(text_col)
+    # char-for-char: ‘ ’ -> ', “ ” -> ", – — -> -, NBSP -> space
+    norm = F.translate(c, "‘’“”–— ", "''\"\"-- ")
+    norm = F.regexp_replace(norm, r"[\x00-\x1F\x7F]", " ")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    norm = F.trim(norm)
+    if lowercase:
+        norm = F.lower(norm)
+    return df.withColumn(out_col, norm).withColumn(
+        "n_chars_raw", F.length(c).cast("long")
+    ).withColumn("n_chars_norm", F.length(F.col(out_col)).cast("long"))

@@ -51,8 +51,8 @@ from . import quality  # noqa: E402,F401
 #     dedup_source_overlap, dedup_incremental_simhash,
 #     dedup_incremental_embedding) + the 3 queries added later in the
 #     round (corpus_line_dedup, dedup_semantic, cluster_kmeans — all
-#     hash-oracled, never driver-seen) + dataset_mixture_epochs + 40 of
-#     the 48 round-1-only greens, now 4 rounds stale — the oldest cohort
+#     hash-oracled, never driver-seen) + dataset_mixture_epochs +
+#     text_normalize + 39 of the 48 round-1-only greens, now 4 rounds stale — the oldest cohort
 #     (sort_limit, union_all, join_cross, and histogram_prices yield
 #     their slots to fit:
 #     TakeOrderedAndProject is exercised by topk_per_group (green r4) and
@@ -67,9 +67,9 @@ from . import quality  # noqa: E402,F401
 #   round 6 plan — the EXACT 50 (assuming the r5 window greens; computed
 #     from the CORRECTNESS ledgers, oldest-green first — re-derive if any
 #     r5 row comes back red and needs a re-check slot):
-#     r1 slot-donors (8): join_cross, sort_limit, union_all,
+#     r1 slot-donors (9): join_cross, sort_limit, union_all,
 #       histogram_prices, set_except_all, q4_order_priority,
-#       q14_promo_revenue, distinct_set
+#       q14_promo_revenue, distinct_set, agg_string_concat
 #     r2 cohort (37): zorder_roundtrip, join_skew_salted, q18_large_orders,
 #       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
 #       q11_important_stock, q13_customer_distribution,
@@ -82,11 +82,11 @@ from . import quality  # noqa: E402,F401
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
 #       merge_upsert, scd2_history, sample_deterministic, dataset_mixture,
 #       docs_pack_sequences, text_pii_scrub
-#     r3 backfill (5): json_expand, orc_roundtrip, parquet_schema_merge,
-#       table_profile, agg_quantile_bins
-#     (agg_regression, events_retention_cohorts, events_transition_matrix,
-#      and events_rolling_distinct_users slip to round 7 — the 4 extra r1
-#      donors displaced them)
+#     r3 backfill (4): json_expand, orc_roundtrip, parquet_schema_merge,
+#       table_profile
+#     (agg_quantile_bins, agg_regression, events_retention_cohorts,
+#      events_transition_matrix, and events_rolling_distinct_users slip
+#      to round 7 — the 5 extra r1 donors displaced them)
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
@@ -112,10 +112,15 @@ _PRIORITY = [
     #    donated by distinct_set, whose distinct hash-agg is shape-covered
     #    by in-window union_distinct + dedup family) --
     "dataset_mixture_epochs",
-    # -- the round-1-only greens (stalest cohort), minus the eight slot
+    # -- C4-style text normalization (noise-decorated input so every rule
+    #    fires; slot donated by agg_string_concat, whose ordered
+    #    collect-and-concat agg is shape-covered by in-window
+    #    corpus_line_dedup's reassembly) --
+    "text_normalize",
+    # -- the round-1-only greens (stalest cohort), minus the nine slot
     #    donors (sort_limit, union_all, join_cross, histogram_prices,
     #    set_except_all, q4_order_priority, q14_promo_revenue,
-    #    distinct_set) --
+    #    distinct_set, agg_string_concat) --
     # aggregations
     "agg_argminmax",
     "agg_corr",
@@ -125,7 +130,6 @@ _PRIORITY = [
     "agg_percentiles",
     "agg_rollup",
     "agg_stats",
-    "agg_string_concat",
     # joins (all 10 types + specials)
     "join_inner",
     "join_left",

@@ -1983,3 +1983,56 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_exact(e, k=8, iters=2)
+
+
+@query(
+    "text_normalize",
+    oracle="""
+WITH noisy AS (
+    SELECT doc_id,
+           '“Doc—' || text || '’' || chr(9) || chr(160)
+               || 'END' || chr(1) AS t
+    FROM documents
+)
+SELECT doc_id,
+       lower(trim(regexp_replace(
+           regexp_replace(
+               translate(t, '‘’“”–—'
+                            || chr(160),
+                         '''''""--' || ' '),
+               '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+           '\\s+', ' ', 'g'))) AS text_norm,
+       CAST(length(t) AS BIGINT) AS n_chars_raw,
+       CAST(length(lower(trim(regexp_replace(
+           regexp_replace(
+               translate(t, '‘’“”–—'
+                            || chr(160),
+                         '''''""--' || ' '),
+               '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+           '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+FROM noisy
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet canonicalization before any hash-based dedup: curly
+    quotes/long dashes/NBSP unify to ASCII, control chars strip,
+    whitespace collapses, case folds. The synthetic corpus is already
+    clean, so the query decorates every document with deterministic
+    noise (curly quotes, em-dash, tab, NBSP, a control byte) FIRST —
+    both engines build the same noisy input, so the oracle hash proves
+    every rule fires, not that the input was trivially clean.
+    operators.text.normalize_text: map-only translate+regex projection,
+    fuses into the scan."""
+    from ..operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("“Doc—"),
+            F.col("text"),
+            F.lit("’\t END\x01"),
+        ).alias("t"),
+    )
+    return normalize_text(d, text_col="t", out_col="text_norm").select(
+        "doc_id", "text_norm", "n_chars_raw", "n_chars_norm"
+    )

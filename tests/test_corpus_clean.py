@@ -167,3 +167,25 @@ def test_mixture_epochs_partition_invariant(spark):
     assert sorted(map(tuple, out1.collect())) == sorted(
         map(tuple, out2.collect())
     )
+
+
+def test_normalize_text_rules_and_idempotence(spark):
+    from batch_processing_iac_aws_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "“Hello”—world\t\t   café\x01END"),
+        (2, "  already clean  "),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == '"hello"-world café end'
+    assert out[2]["text_norm"] == "already clean"
+    assert out[3]["text_norm"] == ""
+    assert out[1]["n_chars_raw"] > out[1]["n_chars_norm"]
+    # idempotence: a second pass must be the identity
+    once = normalize_text(df).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    twice = {r["doc_id"]: r["text_norm"] for r in normalize_text(once).collect()}
+    assert twice == {k: v["text_norm"] for k, v in out.items()}

@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 180
-    assert len(ORACLES) == 178
+    assert len(QUERIES) == 181
+    assert len(ORACLES) == 179
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -59,11 +59,11 @@ def test_first_50_is_the_round5_rotation_window():
     (docs_token_budget after its oracle-CAST fix, embedding_pca with its
     r4 invariant oracle), the four queries new this round (the
     incremental near-dup family vs stored indexes — MinHash, SimHash,
-    embedding — plus the cross-source overlap matrix), the three
+    embedding — plus the cross-source overlap matrix), the five
     hash-oracled queries added later in the round (corpus-wide line
-    dedup, SemDeDup, exact-integer k-means, epoch-upsampling mixture),
-    and the stalest cohort — 40 of the 48 round-1-only greens, unvisited
-    by the driver since round 1."""
+    dedup, SemDeDup, exact-integer k-means, epoch-upsampling mixture,
+    C4 text normalization), and the stalest cohort — 39 of the 48
+    round-1-only greens, unvisited by the driver since round 1."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
