@@ -980,12 +980,19 @@ def semantic_dedup(
     n_clusters: int = 8,
     threshold: float = 0.6,
     score_round: int = 6,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space, then drop any vector with a LOWER-id same-cluster
     neighbor at cosine >= ``threshold`` (the one-pass keep-lowest variant;
     the transitive-closure variant is ``fuzzy_dedup_pipeline``'s CC).
     Returns kept (id, cluster) rows.
+
+    ``assignments`` — an optional externally-computed (id, cluster) frame
+    (e.g. :func:`~..operators.similarity.kmeans_exact`, the clustering
+    the published algorithm actually uses). When given, the built-in
+    nearest-of-first-k assignment is skipped and the near-dup scan runs
+    over the supplied cells via an equi-join on id.
 
     Scale shape: centroids are a deterministic bounded collect (first
     ``n_clusters`` by id — a k-means++ / trained-centroid injection
@@ -1001,25 +1008,30 @@ def semantic_dedup(
     so argmax and threshold tests are engine-portable."""
     from .similarity import _centroid_scores_udf
 
-    cent_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
-    )
-    centroids = [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)]
-    scored = df.withColumn(
-        "__scores", _centroid_scores_udf(centroids)(F.col(vec_col))
-    )
-    rounded = F.transform(
-        F.col("__scores"), lambda s: F.round(s, score_round)
-    )
-    assigned = (
-        scored.withColumn(
+    if assignments is not None:
+        assigned = df.join(
+            assignments.select(id_col, "cluster"), id_col
+        )
+    else:
+        cent_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_clusters)
+            .collect()
+        )
+        centroids = [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)]
+        scored = df.withColumn(
+            "__scores", _centroid_scores_udf(centroids)(F.col(vec_col))
+        )
+        rounded = F.transform(
+            F.col("__scores"), lambda s: F.round(s, score_round)
+        )
+        assigned = scored.withColumn(
             "cluster",
             (F.array_position(rounded, F.array_max(rounded)) - 1).cast(
                 "long"
             ),
-        )
-        .drop("__scores")
-    )
+        ).drop("__scores")
 
     def _keep_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()

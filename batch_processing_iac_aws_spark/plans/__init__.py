@@ -52,7 +52,8 @@ from . import quality  # noqa: E402,F401
 #     dedup_incremental_embedding) + the 3 queries added later in the
 #     round (corpus_line_dedup, dedup_semantic, cluster_kmeans — all
 #     hash-oracled, never driver-seen) + dataset_mixture_epochs +
-#     text_normalize + 39 of the 48 round-1-only greens, now 4 rounds stale — the oldest cohort
+#     text_normalize + dedup_semantic_kmeans + 38 of the 48
+#     round-1-only greens, now 4 rounds stale — the oldest cohort
 #     (sort_limit, union_all, join_cross, and histogram_prices yield
 #     their slots to fit:
 #     TakeOrderedAndProject is exercised by topk_per_group (green r4) and
@@ -67,9 +68,9 @@ from . import quality  # noqa: E402,F401
 #   round 6 plan — the EXACT 50 (assuming the r5 window greens; computed
 #     from the CORRECTNESS ledgers, oldest-green first — re-derive if any
 #     r5 row comes back red and needs a re-check slot):
-#     r1 slot-donors (9): join_cross, sort_limit, union_all,
+#     r1 slot-donors (10): join_cross, sort_limit, union_all,
 #       histogram_prices, set_except_all, q4_order_priority,
-#       q14_promo_revenue, distinct_set, agg_string_concat
+#       q14_promo_revenue, distinct_set, agg_string_concat, agg_cube
 #     r2 cohort (37): zorder_roundtrip, join_skew_salted, q18_large_orders,
 #       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
 #       q11_important_stock, q13_customer_distribution,
@@ -82,11 +83,11 @@ from . import quality  # noqa: E402,F401
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
 #       merge_upsert, scd2_history, sample_deterministic, dataset_mixture,
 #       docs_pack_sequences, text_pii_scrub
-#     r3 backfill (4): json_expand, orc_roundtrip, parquet_schema_merge,
-#       table_profile
-#     (agg_quantile_bins, agg_regression, events_retention_cohorts,
-#      events_transition_matrix, and events_rolling_distinct_users slip
-#      to round 7 — the 5 extra r1 donors displaced them)
+#     r3 backfill (3): json_expand, orc_roundtrip, parquet_schema_merge
+#     (table_profile, agg_quantile_bins, agg_regression,
+#      events_retention_cohorts, events_transition_matrix, and
+#      events_rolling_distinct_users slip to round 7 — the 6 extra r1
+#      donors displaced them)
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
@@ -117,15 +118,19 @@ _PRIORITY = [
     #    collect-and-concat agg is shape-covered by in-window
     #    corpus_line_dedup's reassembly) --
     "text_normalize",
+    # -- the published SemDeDup composition (k-means cells + per-cell
+    #    dedup, oracled end-to-end; slot donated by agg_cube, whose
+    #    Expand shape is covered in-window by agg_rollup +
+    #    agg_grouping_sets) --
+    "dedup_semantic_kmeans",
     # -- the round-1-only greens (stalest cohort), minus the nine slot
     #    donors (sort_limit, union_all, join_cross, histogram_prices,
     #    set_except_all, q4_order_priority, q14_promo_revenue,
-    #    distinct_set, agg_string_concat) --
+    #    distinct_set, agg_string_concat, agg_cube) --
     # aggregations
     "agg_argminmax",
     "agg_corr",
     "agg_count_distinct",
-    "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
     "agg_rollup",

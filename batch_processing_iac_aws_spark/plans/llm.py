@@ -2036,3 +2036,65 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(d, text_col="t", out_col="text_norm").select(
         "doc_id", "text_norm", "n_chars_raw", "n_chars_norm"
     )
+
+
+@query(
+    "dedup_semantic_kmeans",
+    oracle=r"""
+WITH eq AS (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x*1000) AS BIGINT)) AS xq
+    FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(xq,1) AS i, unnest(xq) AS x
+       FROM eq),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)-1 AS BIGINT) AS cid,
+              xq
+       FROM (SELECT * FROM eq ORDER BY vec_id LIMIT 8)),
+c0x AS (SELECT cid, generate_subscripts(xq,1) AS i, unnest(xq)*100 AS c
+        FROM c0),
+d1 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.x*100 - c.c)*(e.x*100 - c.c)) AS BIGINT) AS dist
+       FROM ex e JOIN c0x c USING (i) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+    FROM d1) WHERE rn=1),
+u1 AS (SELECT a.cluster AS cid, e.i, CAST(sum(e.x) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cluster, e.i),
+c1x AS (SELECT c.cid, c.i,
+               CASE WHEN u.s IS NULL THEN c.c
+                    ELSE (u.s*100 - (((u.s*100 % u.n) + u.n) % u.n)) // u.n
+               END AS c
+        FROM c0x c LEFT JOIN u1 u ON u.cid = c.cid AND u.i = c.i),
+d2 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.x*100 - c.c)*(e.x*100 - c.c)) AS BIGINT) AS dist
+       FROM ex e JOIN c1x c USING (i) GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+    FROM d2) WHERE rn=1),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id, a.cluster
+FROM a2 a JOIN ev ea ON ea.vec_id = a.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM a2 b JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4)
+""",
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED SemDeDup composition (Abbas et al. 2023 run k-means
+    first, then dedup within cells): cluster_kmeans' exact-integer Lloyd
+    assignment feeds semantic_dedup's per-cell matmul scan. The oracle
+    unrolls both Lloyd iterations AND the within-cluster neighbor test
+    relationally, so the hash match proves the whole two-operator
+    composition end-to-end — assignment trajectory and keep set.
+    operators.similarity.kmeans_exact + operators.dedup.semantic_dedup
+    (assignments=...)."""
+    from ..operators.dedup import semantic_dedup
+    from ..operators.similarity import kmeans_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    clusters = kmeans_exact(e, k=8, iters=2)
+    return semantic_dedup(e, threshold=0.4, assignments=clusters)
