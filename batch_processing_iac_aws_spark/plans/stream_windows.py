@@ -393,3 +393,83 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle="""
+WITH src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+              THEN d7.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+)
+SELECT d.doc_id, sha256(d.text) AS content_hash
+FROM src d
+WHERE NOT EXISTS (
+  SELECT 1 FROM src h
+  WHERE sha256(h.text) = sha256(d.text)
+    AND (h.doc_id % 3 < d.doc_id % 3
+         OR (h.doc_id % 3 = d.doc_id % 3 AND h.doc_id < d.doc_id)))
+""",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-corpus ingestion end-to-end through the REAL streaming
+    engine: documents arrive as three ordered batch files (doc_id % 3,
+    modification times forced so file order IS batch order), each
+    micro-batch dedups within itself (keep lowest id per sha256) and
+    against the persisted fingerprint index of all earlier batches, and
+    appends survivors + digests via deterministic batch-keyed partition
+    overwrite (streaming/pipeline.py:run_streaming_ingest_dedup). The
+    oracle states the fixpoint directly: a document survives iff no
+    earlier-batch (or same-batch lower-id) document shares its hash —
+    so the hash match proves checkpointed batch sequencing, the index
+    round-trip, and the anti-join compose to exactly first-arrival
+    semantics. The per-batch single-file writes and the deterministic
+    duplicate injection here are TEST SCAFFOLDING building the stream
+    source, not the operator."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..streaming.pipeline import run_streaming_ingest_dedup
+
+    base = tempfile.mkdtemp(prefix="ingest_")
+    src = f"{base}/src"
+    # the synthetic corpus has no exact-content duplicates, so decorate it
+    # deterministically (both engines identically): every doc_id ending in
+    # 7 copies the text of doc_id-7, which lands in a DIFFERENT batch
+    # class (7 % 3 != 0) — cross-batch duplicates in both directions
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = docs.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.col("text").alias("__dup_text"),
+    )
+    d = docs.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("__dup_text").isNotNull(),
+            F.col("__dup_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stamped: set[str] = set()
+    for b in range(3):
+        (
+            d.filter(F.col("doc_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        t = 1_700_000_000 + b * 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t, t))
+                stamped.add(f)
+    run_streaming_ingest_dedup(
+        spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt"
+    )
+    return spark.read.parquet(f"{base}/table").select(
+        "doc_id", "content_hash"
+    )

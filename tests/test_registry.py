@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 182
-    assert len(ORACLES) == 180
+    assert len(QUERIES) == 183
+    assert len(ORACLES) == 181
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -62,8 +62,8 @@ def test_first_50_is_the_round5_rotation_window():
     embedding — plus the cross-source overlap matrix), the five
     hash-oracled queries added later in the round (corpus-wide line
     dedup, SemDeDup, exact-integer k-means, epoch-upsampling mixture,
-    C4 text normalization, the k-means SemDeDup composition), and
-    the stalest cohort — 38 of the 48
+    C4 text normalization, the k-means SemDeDup composition, the
+    streaming rolling-ingest dedup), and the stalest cohort — 37 of the 48
     round-1-only greens, unvisited by the driver since round 1."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY

@@ -235,3 +235,51 @@ def test_continuous_rollup_idempotent_and_convergent(spark, tmp_path):
     shutil.rmtree(ckpt)  # full reprocess: overwrite, not append
     run_continuous_rollup(spark, events, table, ckpt)
     assert snapshot() == first
+
+
+def test_streaming_ingest_dedup_exactly_once_across_restarts(spark, tmp_path):
+    """Rolling ingest: three runs over a growing source. Run 2 must be a
+    no-op (drained checkpoint); run 3 processes ONLY the new batch file
+    and dedups it against the PERSISTED index from run 1 — duplicates of
+    long-ingested documents never re-enter, and nothing ever appends
+    twice."""
+    import os
+
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_ingest_dedup,
+    )
+
+    src, table = str(tmp_path / "src"), str(tmp_path / "table")
+    index, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    rows1 = [(1, "aaa"), (2, "bbb"), (3, "aaa")]  # 3 dups 1 in-batch
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.utime(f"{src}/{f}", (1_700_000_000, 1_700_000_000))
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2]
+
+    # drained re-run: checkpoint makes it a no-op
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
+    assert spark.read.parquet(table).count() == 2
+
+    # new batch arrives: 4 dups batch-1's "aaa" (cross-RUN, via the
+    # persisted index), 5 is new, 6 dups 5 within the batch
+    rows2 = [(4, "aaa"), (5, "ccc"), (6, "ccc")]
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            p = f"{src}/{f}"
+            if os.path.getmtime(p) < 1_700_000_001:
+                continue
+            os.utime(p, (1_700_000_060, 1_700_000_060))
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2, 5]
