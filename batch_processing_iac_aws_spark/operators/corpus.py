@@ -271,6 +271,8 @@ def dataset_mixture_epochs(
     unionByName; no shuffle anywhere. Rows whose copy count is zero are
     filtered BEFORE the explode (Spark's ``sequence(0, -1)`` yields
     [0, -1], not empty — the guard is load-bearing)."""
+    if not sources:
+        raise ValueError("dataset_mixture_epochs: sources must be non-empty")
     parts = []
     for name, (df, whole, frac_hex) in sorted(sources.items()):
         if whole < 0:

@@ -1045,6 +1045,9 @@ def semantic_dedup(
         out = pdf[pdf[id_col].isin(keep)]
         return out[[id_col, "cluster"]]
 
+    id_type = dict(df.dtypes)[id_col]
     return assigned.select(id_col, "cluster", vec_col).groupBy(
         "cluster"
-    ).applyInPandas(_keep_cell, schema=f"{id_col} long, cluster long")
+    ).applyInPandas(
+        _keep_cell, schema=f"{id_col} {id_type}, cluster long"
+    )

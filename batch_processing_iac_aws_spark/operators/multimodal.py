@@ -91,26 +91,35 @@ def auto_image_decoder(feature_dim: int = 8):
     image is slimmer than the executors'). Falls back to the
     deterministic fake, so one pipeline definition runs
     identically-shaped in both environments. The probe resolves ONCE per
-    process (a closure-cell memo, refilled after unpickling on each
-    worker), so steady-state rows pay one list access, not import-lock
-    machinery. CAVEAT: on a heterogeneous
+    process (a pid-keyed memo — pickled state from another process is
+    ignored, so a driver-side call can never freeze its branch into the
+    executors), steady-state rows pay one dict lookup. CAVEAT: on a heterogeneous
     cluster (PIL on some workers only) the fallback is per-process and
     features would silently mix families — pin ``decode_fn`` explicitly
     there."""
 
-    resolved: list = []  # per-process memo; re-resolves after unpickling
+    # memo keyed by PID: a plain closure list would be pickled BY VALUE,
+    # so one driver-side sanity call (resolving the driver's branch)
+    # would ship a pre-filled memo and freeze that branch into every
+    # executor — the exact failure the worker-side probe exists to avoid.
+    # A different pid after unpickling forces a fresh probe per process.
+    resolved: dict[int, object] = {}
 
     def decode(p: bytes) -> list[float]:
-        if not resolved:
+        import os
+
+        pid = os.getpid()
+        fn = resolved.get(pid)
+        if fn is None:
             try:
                 import PIL  # noqa: F401
 
-                resolved.append(
-                    lambda q: decode_image_real(q, feature_dim=feature_dim)
-                )
+                fn = lambda q: decode_image_real(q, feature_dim=feature_dim)  # noqa: E731
             except ImportError:
-                resolved.append(lambda q: _fake_features(q, feature_dim))
-        return resolved[0](p)
+                fn = lambda q: _fake_features(q, feature_dim)  # noqa: E731
+            resolved.clear()  # drop stale pids shipped from other processes
+            resolved[pid] = fn
+        return fn(p)
 
     return decode
 

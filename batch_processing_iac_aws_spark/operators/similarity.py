@@ -143,7 +143,12 @@ def incremental_embedding_dedup(
             # blockwise so the score slab stays ~1k x n_batch regardless
             # of Arrow batch size
             for lo in range(0, Mu.shape[0], 1024):
-                S = Mu[lo : lo + 1024] @ Bu
+                # round before thresholding (the repo-wide portability
+                # rule): numpy's blocked summation and a sequential SQL
+                # engine can differ in the last ulp, and a cosine ON the
+                # threshold must not flip the drop decision between
+                # engines
+                S = np.round(Mu[lo : lo + 1024] @ Bu, 6)
                 hit |= (S >= threshold).any(axis=0)
             yield pd.DataFrame({"idx": [np.where(hit)[0].tolist()]})
 
@@ -642,8 +647,9 @@ def kmeans_exact(
     )
     init_rows = dfq.orderBy(id_col).limit(k).collect()
     if not init_rows:
+        id_type = dict(df.dtypes)[id_col]
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster long"
+            [], f"{id_col} {id_type}, cluster long"
         )
     dim = len(init_rows[0]["__xq"])
     cents = [

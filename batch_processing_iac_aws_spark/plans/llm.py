@@ -433,8 +433,9 @@ WITH b AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
 SELECT b.vec_id FROM b
 WHERE NOT EXISTS (
     SELECT 1 FROM h
-    WHERE list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
-                                 CAST(h.embedding AS DOUBLE[])) >= 0.4)
+    WHERE round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(h.embedding AS DOUBLE[])), 6)
+          >= 0.4)
 """,
 )
 def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

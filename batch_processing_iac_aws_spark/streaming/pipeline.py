@@ -225,10 +225,14 @@ def run_streaming_ingest_dedup(
 
     Exactly-once by construction, twice over: the checkpoint guarantees a
     drained source never re-delivers a batch, and both writes are
-    dynamic-partition OVERWRITES keyed by the deterministic batch_seq
-    (min doc id in the batch — stable across checkpoint replays, unlike
-    foreachBatch's batch_id) — a replayed batch rewrites exactly its own
-    partition instead of appending duplicates.
+    dynamic-partition OVERWRITES keyed by foreachBatch's batch_id —
+    unique per micro-batch and REPLAY-STABLE (an interrupted batch
+    retries under the same id from the checkpoint), so a replayed batch
+    rewrites exactly its own partition instead of appending duplicates.
+    (A content-derived key like min(id) is NOT safe here: id spaces that
+    recur across crawls would collide two different batches onto one
+    partition and the second overwrite would destroy the first batch's
+    rows and index entries.)
 
     Scale shape per batch: one batch-sized hash-agg for the within-batch
     keep-first, one anti-join shipping 32-byte digests against an index
@@ -258,17 +262,25 @@ def run_streaming_ingest_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        from pyspark.errors import AnalysisException
+
         try:
             index = spark.read.parquet(index_dir).select("content_hash")
-        except Exception:
-            index = None  # first batch: no index yet
+        except AnalysisException as e:
+            # ONLY a missing index dir means "first batch". Any other read
+            # failure (storage error, corrupted footer) must raise: treating
+            # it as first-batch would silently skip the anti-join, ingest
+            # every duplicate, AND append their hashes to the index —
+            # permanent corpus duplication with no error surfaced.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            index = None
         survivors = (
             firsts
             if index is None
             else firsts.join(index, "content_hash", "left_anti")
         )
-        seq = batch_df.agg(F.min(id_col)).first()[0]
-        survivors = survivors.withColumn("batch_seq", F.lit(seq))
+        survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
         (
             survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -61,10 +61,13 @@ HEADLINE = [
     # inverted-broadcast semantic dedup)
     "dedup_incremental_fuzzy",
     "dedup_incremental_embedding",
-    # round 5 (cont.): corpus-wide line dedup, SemDeDup, exact k-means
+    # round 5 (cont.): corpus-wide line dedup, SemDeDup, exact k-means,
+    # the published k-means+SemDeDup composition, C4 normalization
     "corpus_line_dedup",
     "dedup_semantic",
     "cluster_kmeans",
+    "dedup_semantic_kmeans",
+    "text_normalize",
 ]
 
 

@@ -189,3 +189,21 @@ def test_normalize_text_rules_and_idempotence(spark):
     )
     twice = {r["doc_id"]: r["text_norm"] for r in normalize_text(once).collect()}
     assert twice == {k: v["text_norm"] for k, v in out.items()}
+
+
+def test_semantic_dedup_and_kmeans_accept_string_ids(spark):
+    """Review regression: the applyInPandas / empty-input schemas used to
+    hardcode the id column as long, crashing (or silently retyping) any
+    frame with string ids — e.g. URL-keyed corpora."""
+    rows = [
+        ("u10", [1.0, 0.0]),
+        ("u11", [1.0, 0.0]),
+        ("u20", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    kept = semantic_dedup(df, n_clusters=2, threshold=0.9).collect()
+    assert {r["vec_id"] for r in kept} == {"u10", "u20"}
+    out = kmeans_exact(df, k=2, iters=1).collect()
+    assert {r["vec_id"] for r in out} == {"u10", "u11", "u20"}
+    empty = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    assert dict(kmeans_exact(empty, k=2, iters=1).dtypes)["vec_id"] == "string"
