@@ -294,3 +294,34 @@ def dataset_mixture_epochs(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    salt: str = "qw",
+) -> DataFrame:
+    """Quality-weighted deterministic sampling (the DCLM/FineWeb shape:
+    keep probability proportional to a per-row quality score): a row with
+    weight w in [0, 1] survives iff the first-2-hex md5 gate of its key
+    falls below floor(w*256) — so w=0 drops everything, w>=1 keeps
+    everything (exact, special-cased), and intermediate weights keep
+    ~w of rows, reproducibly on ANY engine/partitioning (no RNG). The
+    gate threshold is built as a lowercase 2-hex string per row, so the
+    comparison is the same lexicographic compare :func:`hash_gate` uses;
+    granularity is 1/256 — widen the prefix for finer weights.
+
+    Map-only filter — fuses into the scan. ``weight_col`` must already be
+    engine-portable (compute it with rounded arithmetic, like the
+    oracled quality features)."""
+    w = F.col(weight_col)
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.least(w, F.lit(1.0)) * 256))), 2, "0"
+    )
+    keep = (w >= 1) | (
+        (w > 0) & (F.substring(digest, 1, 2) < thr)
+    )
+    return df.filter(keep)

@@ -53,7 +53,8 @@ from . import quality  # noqa: E402,F401
 #     round (corpus_line_dedup, dedup_semantic, cluster_kmeans — all
 #     hash-oracled, never driver-seen) + dataset_mixture_epochs +
 #     text_normalize + dedup_semantic_kmeans +
-#     streaming_incremental_dedup + 37 of the 48 round-1-only greens, now 4 rounds stale — the oldest cohort
+#     streaming_incremental_dedup + sample_quality_weighted + 36 of
+#     the 48 round-1-only greens, now 4 rounds stale — the oldest cohort
 #     (sort_limit, union_all, join_cross, and histogram_prices yield
 #     their slots to fit:
 #     TakeOrderedAndProject is exercised by topk_per_group (green r4) and
@@ -68,10 +69,10 @@ from . import quality  # noqa: E402,F401
 #   round 6 plan — the EXACT 50 (assuming the r5 window greens; computed
 #     from the CORRECTNESS ledgers, oldest-green first — re-derive if any
 #     r5 row comes back red and needs a re-check slot):
-#     r1 slot-donors (11): join_cross, sort_limit, union_all,
+#     r1 slot-donors (12): join_cross, sort_limit, union_all,
 #       histogram_prices, set_except_all, q4_order_priority,
 #       q14_promo_revenue, distinct_set, agg_string_concat, agg_cube,
-#       agg_grouping_sets
+#       agg_grouping_sets, join_right
 #     r2 cohort (37): zorder_roundtrip, join_skew_salted, q18_large_orders,
 #       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
 #       q11_important_stock, q13_customer_distribution,
@@ -84,11 +85,11 @@ from . import quality  # noqa: E402,F401
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
 #       merge_upsert, scd2_history, sample_deterministic, dataset_mixture,
 #       docs_pack_sequences, text_pii_scrub
-#     r3 backfill (2): json_expand, orc_roundtrip
-#     (parquet_schema_merge, table_profile, agg_quantile_bins,
-#      agg_regression, events_retention_cohorts, events_transition_matrix,
-#      and events_rolling_distinct_users slip to round 7 — the 7 extra r1
-#      donors displaced them)
+#     r3 backfill (1): json_expand
+#     (orc_roundtrip, parquet_schema_merge, table_profile,
+#      agg_quantile_bins, agg_regression, events_retention_cohorts,
+#      events_transition_matrix, and events_rolling_distinct_users slip
+#      to round 7 — the 8 extra r1 donors displaced them)
 _PRIORITY = [
     # -- never-green re-checks --
     "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
@@ -130,10 +131,16 @@ _PRIORITY = [
     #    agg_grouping_sets — in-window agg_rollup keeps the Expand shape
     #    covered) --
     "streaming_incremental_dedup",
+    # -- quality-weighted sampling (DCLM shape: P(keep) ~ quality, md5
+    #    gated; slot donated by join_right — in-window join_left +
+    #    join_full cover the outer-join physical shapes in both build
+    #    directions) --
+    "sample_quality_weighted",
     # -- the round-1-only greens (stalest cohort), minus the nine slot
     #    donors (sort_limit, union_all, join_cross, histogram_prices,
     #    set_except_all, q4_order_priority, q14_promo_revenue,
-    #    distinct_set, agg_string_concat, agg_cube, agg_grouping_sets) --
+    #    distinct_set, agg_string_concat, agg_cube, agg_grouping_sets,
+    #    join_right) --
     # aggregations
     "agg_argminmax",
     "agg_corr",
@@ -144,7 +151,6 @@ _PRIORITY = [
     # joins (all 10 types + specials)
     "join_inner",
     "join_left",
-    "join_right",
     "join_full",
     "join_semi",
     "join_anti",

@@ -305,3 +305,38 @@ def dataset_mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
     )
     return mixed.select("doc_id", "mix_source", F.col("epoch").cast("long"))
+
+
+@query(
+    "sample_quality_weighted",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           round(least(n_chars / 300.0, 1.0), 4) AS quality_w
+    FROM documents
+)
+SELECT doc_id, lang, quality_w FROM scored
+WHERE quality_w >= 1
+   OR (quality_w > 0 AND
+       substr(md5('qw' || CAST(doc_id AS VARCHAR)), 1, 2)
+           < printf('%02x', CAST(floor(least(quality_w, 1.0) * 256)
+                                 AS BIGINT)))
+""",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling: each document's keep probability is
+    its quality weight (here a length-derived score rounded to 4dp —
+    swap in the oracled Gopher/stopword features in production), gated
+    deterministically on an md5 prefix so the SAME rows survive on any
+    engine and any partitioning. The oracle rebuilds the weight, the
+    2-hex threshold, and the gate identically.
+    operators.corpus.quality_weighted_sample: map-only filter."""
+    from ..operators.corpus import quality_weighted_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "quality_w",
+        F.round(F.least(F.col("n_chars") / 300.0, F.lit(1.0)), 4),
+    )
+    return quality_weighted_sample(
+        d, key_col="doc_id", weight_col="quality_w"
+    ).select("doc_id", "lang", "quality_w")

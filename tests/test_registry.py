@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 183
-    assert len(ORACLES) == 181
+    assert len(QUERIES) == 184
+    assert len(ORACLES) == 182
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -63,7 +63,8 @@ def test_first_50_is_the_round5_rotation_window():
     hash-oracled queries added later in the round (corpus-wide line
     dedup, SemDeDup, exact-integer k-means, epoch-upsampling mixture,
     C4 text normalization, the k-means SemDeDup composition, the
-    streaming rolling-ingest dedup), and the stalest cohort — 37 of the 48
+    streaming rolling-ingest dedup, quality-weighted sampling), and
+    the stalest cohort — 36 of the 48
     round-1-only greens, unvisited by the driver since round 1."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
