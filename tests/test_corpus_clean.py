@@ -207,3 +207,29 @@ def test_semantic_dedup_and_kmeans_accept_string_ids(spark):
     assert {r["vec_id"] for r in out} == {"u10", "u11", "u20"}
     empty = spark.createDataFrame([], "vec_id string, embedding array<float>")
     assert dict(kmeans_exact(empty, k=2, iters=1).dtypes)["vec_id"] == "string"
+
+
+def test_quality_weighted_sample_rates_and_invariance(spark):
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        quality_weighted_sample,
+    )
+
+    rows = [(i, [0.0, 0.25, 0.5, 0.75, 1.0][i % 5]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = quality_weighted_sample(
+        df, key_col="doc_id", weight_col="w"
+    ).collect()
+    by_w = {}
+    for r in kept:
+        by_w.setdefault(r["w"], set()).add(r["doc_id"])
+    # w=0 drops everything, w=1 keeps everything — exactly
+    assert 0.0 not in by_w
+    assert len(by_w[1.0]) == 200
+    # intermediate weights keep ~w of their 200 rows (md5 gate, ±40%)
+    for w in (0.25, 0.5, 0.75):
+        assert abs(len(by_w.get(w, set())) / 200 - w) < 0.4 * w
+    # deterministic under repartitioning
+    kept2 = quality_weighted_sample(
+        df.repartition(17), key_col="doc_id", weight_col="w"
+    ).collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in kept2}
