@@ -138,3 +138,87 @@ def test_line_dedup_matches_pure_python(spark, texts):
         ).collect()
     }
     assert got == _py_line_dedup(texts, seg_words=2, max_df=1)
+
+
+# ---------------------------------------------------------------------------
+# dataset_mixture_epochs vs a pure-Python md5 twin
+# ---------------------------------------------------------------------------
+
+epoch_weights = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["00", "40", "80", "c0", "ff"]),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=30, unique=True),
+       epoch_weights)
+def test_mixture_epochs_matches_pure_python(spark, ids, w):
+    import hashlib
+
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        dataset_mixture_epochs,
+    )
+
+    whole, frac_hex = w
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in ids], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in dataset_mixture_epochs(
+            {"s": (df, whole, frac_hex)}, key_col="doc_id"
+        ).collect()
+    )
+    want = []
+    for i in ids:
+        gate = (
+            frac_hex != "100"
+            and hashlib.md5(f"mix{i}".encode()).hexdigest()[:2] < frac_hex
+        )
+        n = whole + (1 if gate else 0)
+        want += [(i, e) for e in range(n)]
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text vs a pure-Python twin (Java's ASCII \s, not Python's
+# unicode-aware one)
+# ---------------------------------------------------------------------------
+
+_norm_chars = st.sampled_from(
+    list("ab c\t\n") + ["‘", "’", "“", "”", "–", "—", " ", "\x01", "\x1f", "A"]
+)
+norm_text = st.lists(_norm_chars, min_size=0, max_size=30).map("".join)
+
+
+def _py_normalize(t: str) -> str:
+    import re
+
+    table = str.maketrans("‘’“”–— ", "''\"\"-- ")
+    t = t.translate(table)
+    t = re.sub(r"[\x00-\x1F\x7F]", " ", t)
+    t = re.sub(r"[ \t\n\x0b\f\r]+", " ", t)  # Java \s is ASCII-only
+    return t.strip(" \t\n\x0b\f\r").lower()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(norm_text, min_size=1, max_size=5))
+def test_normalize_matches_pure_python(spark, texts):
+    from batch_processing_iac_aws_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()
+    }
+    assert got == {i: _py_normalize(t) for i, t in enumerate(texts)}
