@@ -123,6 +123,15 @@ def write_zorder_parquet(
     """
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
+    if num_files and bits * len(zorder_by) > 20:
+        raise ValueError(
+            f"write_zorder_parquet: bits*len(zorder_by) = "
+            f"{bits * len(zorder_by)} exceeds the 2^20 deterministic-"
+            "histogram budget; lower bits or drop a z-column. (Silently "
+            "falling back to sampled repartitionByRange would "
+            "reintroduce the nondeterministic, mid-block file cuts this "
+            "writer exists to avoid.)"
+        )
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
@@ -151,7 +160,7 @@ def write_zorder_parquet(
                 )
             )
     tagged = df.withColumn("__z", z)
-    if num_files and bits * len(zorder_by) <= 20:
+    if num_files:
         # DETERMINISTIC, BLOCK-ALIGNED file boundaries. Two problems with
         # plain repartitionByRange("__z"):
         #   1. its per-run random sample moves file boundaries between
@@ -170,6 +179,12 @@ def write_zorder_parquet(
         # heavy skew may yield fewer than num_files files — deterministic,
         # never wrong. At 100 TB the collect stays <= 2^20 longs —
         # cheaper than the sample pass it replaces.
+        # the histogram and the final write both evaluate `tagged`; for a
+        # derived input plan (joins/filters upstream) persist once so the
+        # upstream runs once, not twice (the min/max stats agg above is a
+        # third, unavoidable evaluation — it must run BEFORE `tagged`
+        # can be constructed)
+        tagged = tagged.persist()
         hist = sorted(
             (r["__z"], r["n"])
             for r in tagged.groupBy("__z")
@@ -240,9 +255,12 @@ def write_zorder_parquet(
             if num_files
             else tagged.repartitionByRange("__z")
         )
-    parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(
-        path
-    )
+    try:
+        parted.sortWithinPartitions("__z").drop("__z").write.mode(
+            mode
+        ).parquet(path)
+    finally:
+        tagged.unpersist()
 
 
 def compact_parquet(
@@ -256,18 +274,31 @@ def compact_parquet(
     sizes. Streaming appends and fine-grained partition overwrites both
     accrete small files; at 100 TB the file count itself becomes the scan
     bottleneck (driver listing + one task per tiny file). Rewrites
-    IN PLACE via an adjacent temp dir + atomic-ish rename, since
-    overwriting the path being read is undefined."""
+    IN PLACE via an adjacent temp dir + renames, since overwriting the
+    path being read is undefined. The rename order is crash-safe: the old
+    data moves ASIDE before the new data moves in, so no instant exists
+    where the only copy of the dataset sits under a temp name with the
+    real path gone — a crash leaves either the old data (recoverable from
+    the __old name) or the new data in place, never neither. Local-
+    filesystem paths only (shutil semantics); on object stores run the
+    same two-step through the store's rename/copy API."""
     import shutil
     import uuid
 
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}__compact_{tag}"
+    old = f"{path.rstrip('/')}__old_{tag}"
     df = spark.read.parquet(path)
     write_parquet(
         df, tmp, partition_by=partition_by, target_file_rows=target_file_rows
     )
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(old, path)  # roll back: restore the original dataset
+        raise
+    shutil.rmtree(old)
 
 
 def write_parquet(

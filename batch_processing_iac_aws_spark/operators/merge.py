@@ -6,9 +6,11 @@ warehouse needs the other half: applying a keyed changeset (upserts +
 deletes) to a snapshot, and building slowly-changing-dimension history from
 a changelog. Both are single-shuffle plans:
 
-* :func:`merge_changes` — one full-outer shuffle join on the merge key
-  (AQE broadcasts the changeset side when it is small enough, which is the
-  common CDC case: a day's changes vs a 100 TB snapshot);
+* :func:`merge_changes` — one LEFT ANTI join on the merge key plus a
+  union of the non-delete change rows; anti joins (unlike FULL OUTER,
+  which has no broadcast build side in Spark) let AQE broadcast the
+  changeset, so the common CDC case — a day's changes vs a 100 TB
+  snapshot — never shuffles the snapshot;
 * :func:`scd2_from_changelog` — one hash shuffle on the key + an in-
   partition window (lead); no global sort.
 
@@ -43,24 +45,31 @@ def merge_changes(
     * key in both, op == delete  -> dropped
     * key only in target         -> target row unchanged
     * key only in changes        -> inserted unless op == delete
+    * any change row with a NULL ``op_col`` -> raise_error at execution
+      (malformed CDC must fail loudly, not silently upsert)
 
-    One full-outer hash join on ``key``; every column resolution is a
-    codegen ``coalesce`` over two structs — no UDFs, no driver loop.
+    Shape: one LEFT ANTI join of the snapshot against the changeset's
+    keys plus a union with the non-delete change rows. Unlike the
+    textbook full-outer formulation, BOTH operators support a broadcast
+    build of the changes side — so the common CDC case (a day's changes
+    vs a 100 TB snapshot) never shuffles the snapshot at all (Spark has
+    no broadcast build for FULL OUTER joins, and AQE cannot convert one).
     """
     cols = [c for c in target.columns if c != key]
     missing = set(cols) - set(changes.columns)
     if missing:
         raise ValueError(f"changes is missing target columns: {sorted(missing)}")
-    t = target.select(key, F.struct(*cols).alias("__t"))
-    c = changes.select(key, F.struct(*cols).alias("__c"), F.col(op_col))
-    merged = (
-        t.join(c, key, "full_outer")
-        # present-in-changes + delete marker -> drop (covers both matched
-        # deletes and deletes for already-absent keys)
-        .filter(F.col(op_col).isNull() | (F.col(op_col) != delete_op))
-        .withColumn("__r", F.coalesce("__c", "__t"))
-    )
-    return merged.select(key, *[F.col(f"__r.{c}").alias(c) for c in cols])
+    checked_op = F.when(
+        F.col(op_col).isNull(),
+        F.raise_error(
+            F.lit(f"merge_changes: NULL {op_col} marker in changeset")
+        ),
+    ).otherwise(F.col(op_col))
+    upserts = changes.filter(checked_op != delete_op).select(key, *cols)
+    survivors = target.join(
+        changes.select(key), key, "left_anti"
+    ).select(key, *cols)
+    return survivors.unionByName(upserts)
 
 
 def snapshot_diff(

@@ -23,15 +23,33 @@ def check_counts(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     a rule that cannot be evaluated has failed). Returns
     ``(check, n_violations)`` — one aggregation, no matter how many rules.
     """
+    if not checks:
+        raise ValueError("check_counts: checks must be non-empty")
+    for n in checks:
+        if "`" in n:
+            # backticks cannot be escaped portably inside the quoted
+            # identifier the stack() expression needs
+            raise ValueError(f"check name may not contain a backtick: {n!r}")
     agg = df.agg(
         *[
-            F.sum(
-                F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)
+            # coalesce OUTSIDE the sum too: sum() over ZERO rows is NULL,
+            # and a NULL violation count neither passes nor fails a
+            # downstream `n_violations == 0` gate — an empty partition
+            # must audit as 0 violations
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(name)
             for name, pred in checks.items()
         ]
     )
-    pairs = ", ".join(f"'{n}', `{n}`" for n in checks)
+    # names are data (dict keys) but reach the SQL parser: escape string
+    # quotes the SQL way
+    pairs = ", ".join(
+        "'{}', `{}`".format(n.replace("'", "''"), n) for n in checks
+    )
     return agg.select(
         F.expr(f"stack({len(checks)}, {pairs}) AS (check, n_violations)")
     )
@@ -58,8 +76,11 @@ def orphan_count(
     name: str,
 ) -> DataFrame:
     """Referential-integrity audit: child rows whose key has no parent.
-    Anti join (AQE broadcasts the parent key set when small) + count."""
-    orphans = child.join(
+    Anti join (AQE broadcasts the parent key set when small) + count.
+    NULL child keys are exempt, matching SQL FOREIGN KEY semantics (a
+    nullable FK with no value is not an orphan) — without the filter the
+    null-keyed rows survive the anti join and inflate the count."""
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
         child_key,
         "left_anti",

@@ -49,7 +49,7 @@ FROM orders
 UNION ALL
 SELECT 'orders.custkey_resolves',
        CAST(count(*) AS BIGINT)
-FROM orders o WHERE NOT EXISTS
+FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 UNION ALL
 SELECT 'lineitem.discount_in_range',
@@ -63,7 +63,7 @@ FROM (SELECT count(*) AS n FROM lineitem
 UNION ALL
 SELECT 'lineitem.orderkey_resolves',
        CAST(count(*) AS BIGINT)
-FROM lineitem l WHERE NOT EXISTS
+FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 """,
 )

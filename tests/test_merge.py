@@ -124,3 +124,29 @@ def test_snapshot_diff_rejects_schema_mismatch(spark):
 
     with _pytest.raises(ValueError, match="share one schema"):
         snapshot_diff(a, b, key="k")
+
+
+def test_merge_changes_null_op_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "b", None)], "k long, v string, op string"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        merge_changes(target, changes, key="k").collect()
+
+
+def test_merge_changes_plan_has_no_full_outer_join(spark):
+    """The broadcastability fix: the merge must be anti-join + union
+    (both broadcast-capable on the changes side), never a FULL OUTER
+    join (no broadcast build side exists for it in Spark)."""
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "b", "U")], "k long, v string, op string"
+    )
+    plan = merge_changes(target, changes, key="k")._jdf.queryExecution().toString()
+    assert "FullOuter" not in plan
+    assert "LeftAnti" in plan

@@ -63,3 +63,31 @@ def test_winsorize_clips_and_counts(spark):
         assert r["p_lo"] < r["p_hi"]
         # ~10% of rows fall outside [p05, p95]
         assert 0 < r["n_clipped"] < 0.2 * r["n"]
+
+
+def test_check_counts_empty_input_is_zero_not_null(spark):
+    df = spark.createDataFrame([], "x long")
+    rows = check_counts(df, {"x.null": F.col("x").isNull()}).collect()
+    assert rows[0]["n_violations"] == 0  # NULL would fail == 0 gates
+
+
+def test_check_counts_quoted_name_and_empty_dict(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,), (None,)], "x long")
+    rows = check_counts(df, {"x can't be null": F.col("x").isNull()}).collect()
+    assert rows[0]["check"] == "x can't be null"
+    assert rows[0]["n_violations"] == 1
+    with pytest.raises(ValueError):
+        check_counts(df, {})
+    with pytest.raises(ValueError):
+        check_counts(df, {"bad`name": F.col("x").isNull()})
+
+
+def test_orphan_count_exempts_null_foreign_keys(spark):
+    child = spark.createDataFrame([(1,), (None,), (99,)], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    row = orphan_count(
+        child, parent, child_key="fk", parent_key="pk", name="fk.resolves"
+    ).collect()[0]
+    assert row["n_violations"] == 1  # only 99; the NULL FK is exempt

@@ -138,3 +138,16 @@ def test_zorder_empty_input_writes_empty_dataset(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 0
     assert set(back.columns) == {"l_partkey", "l_suppkey", "other"}
+
+
+def test_zorder_budget_overflow_raises(spark, tmp_path):
+    import pytest
+
+    from batch_processing_iac_aws_spark.io import write_zorder_parquet
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError, match="deterministic"):
+        write_zorder_parquet(
+            df, str(tmp_path / "z"), zorder_by=["a", "b", "c"],
+            bits=8, num_files=4,
+        )
