@@ -86,18 +86,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    # forward-fill the matched right row as ONE struct, not per-column:
+    # independent last(ignorenulls) per column would skip a NULL attribute
+    # in the truly-matched row and pull that attribute from an OLDER right
+    # row — mixing attributes across rows and defeating the tolerance
+    # check (merge_asof fills whole rows). Right rows always produce a
+    # non-null struct (even when every attribute is NULL), left rows NULL.
+    right_row = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in right_cols]),
+    )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(right_row, ignorenulls=True).over(w).alias("__fr")
     )
     keep = None
     if tolerance is not None:
-        matched_t = F.col(f"__f_{right_ts}")
+        matched_t = F.col("__fr").getField(right_ts)
         dist = (
             (F.col("__t") - matched_t)
             if direction == "backward"
@@ -106,7 +110,7 @@ def asof_join(
         keep = dist <= tolerance
 
     def _right_out(c: str) -> Column:
-        col = F.col(f"__f_{c}")
+        col = F.col("__fr").getField(c)
         if keep is None:
             return col.alias(f"{c}{suffix}")
         return F.when(keep, col).alias(f"{c}{suffix}")
@@ -128,8 +132,10 @@ def interval_overlap_join(
     extra: Column | None = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Join rows whose [start, end] intervals overlap:
-    ``l.start < r.end AND r.start < l.end``.
+    """Join rows whose HALF-OPEN [start, end) intervals overlap:
+    ``l.start < r.end AND r.start < l.end`` — intervals that merely touch
+    at an endpoint (or zero-length points on a boundary) do NOT match;
+    use <= variants for closed-interval semantics.
 
     At 100 TB this is the operator to pair with a coarse equi-join key
     (e.g. day bucket) so the non-equi predicate only runs within buckets;

@@ -32,6 +32,13 @@ def _global_row_number_with_total(
     pay a second count() job."""
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    # PERSIST before the two actions below (offsets collect + the returned
+    # frame): repartitionByRange samples its boundaries per action and
+    # monotonically_increasing_id reassigns per action, so an uncached
+    # lineage could put different rows in a partition than the offsets
+    # were computed from — duplicate/skipped global row numbers. The
+    # cache pins one layout for both.
+    ranged = ranged.persist()
     with_ids = ranged.withColumn("__mono", F.monotonically_increasing_id())
     with_ids = with_ids.withColumn(
         "__pid", F.shiftrightunsigned("__mono", 33)
@@ -90,6 +97,8 @@ def global_ntile(
     gives the same equal-split semantics as the window ntile (larger tiles
     first when N % n != 0 matches because Spark splits remainder forward).
     N comes from the offsets collect — no extra count() job."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
     ranked, n = _global_row_number_with_total(df, *order_cols, out="__rn")
     base, rem = divmod(n, n_tiles)
     # first `rem` tiles have base+1 rows (SQL ntile semantics)

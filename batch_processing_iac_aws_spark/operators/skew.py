@@ -53,7 +53,11 @@ def salted_aggregate(
             partial_exprs.append(F.sum(col).alias(p))
             final_exprs.append(F.sum(p).alias(out))
         elif op == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            # count:* counts rows; count:col counts NON-NULL values of
+            # col, matching a direct F.count(col) — silently counting
+            # rows for a named column would diverge from the unsalted agg
+            cexpr = F.count(F.lit(1)) if col == "*" else F.count(col)
+            partial_exprs.append(cexpr.alias(p))
             final_exprs.append(F.sum(p).cast("long").alias(out))
         elif op == "min":
             partial_exprs.append(F.min(col).alias(p))
@@ -81,7 +85,19 @@ def salted_join(
     ``salt_from`` (a stable left column), the right side is replicated once
     per salt value, and the join key becomes (key, salt). Output equals the
     unsalted join; right-side replication costs n_salts x |right|, so keep
-    the replicated side the smaller one."""
+    the replicated side the smaller one.
+
+    ``how`` is restricted to joins that preserve unsalted semantics:
+    an unmatched RIGHT row exists n_salts times after replication, so
+    right/full outer joins would emit it n_salts times — refused."""
+    if how.replace("_", "").lower() in (
+        "right", "rightouter", "full", "fullouter", "outer"
+    ):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            "emit each unmatched right row n_salts times (the right side "
+            "is replicated); salt the other side or use the plain join"
+        )
     l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     )

@@ -19,6 +19,7 @@ picking the latest via regex + strptime argmax (:38-52; upload_csv_to_s3.py
 from __future__ import annotations
 
 import re
+import os
 import shutil
 from datetime import datetime
 from pathlib import Path
@@ -67,12 +68,15 @@ def latest_partition(df: DataFrame, date_col: str = "ingest_date") -> DataFrame:
 
 def with_file_date(df: DataFrame, out_col: str = "file_date") -> DataFrame:
     """Attach the filename-encoded date (the reference's convention honored
-    as-is) via input_file_name + regexp_extract — no driver listing."""
+    as-is) via input_file_name + regexp_extract — no driver listing.
+    The date stamp is extracted from the BASENAME only: input_file_name
+    returns the full URI, and an 8-digit run in a bucket/job/directory
+    name (s3://x/run_123456789/20230703_data.csv) would otherwise win
+    over the filename's stamp and parse to NULL."""
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
     return df.withColumn(
         out_col,
-        F.to_date(
-            F.regexp_extract(F.input_file_name(), r"(\d{8})", 1), "yyyyMMdd"
-        ),
+        F.to_date(F.regexp_extract(basename, r"(\d{8})", 1), "yyyyMMdd"),
     )
 
 
@@ -83,5 +87,11 @@ def land(source_file: str | Path, dataset_dir: str | Path) -> Path:
     dst_dir = Path(dataset_dir)
     dst_dir.mkdir(parents=True, exist_ok=True)
     dst = dst_dir / src.name
-    shutil.copy2(src, dst)
+    # copy under a dot-prefixed temp name, then rename atomically: Spark
+    # readers ignore dotfiles, so a concurrent scan of the dataset dir
+    # never observes a half-written file (a direct copy2 to the final
+    # name is readable mid-copy — truncated rows, no error)
+    tmp = dst_dir / f".{src.name}.landing"
+    shutil.copy2(src, tmp)
+    os.replace(tmp, dst)
     return dst

@@ -45,3 +45,20 @@ def test_no_tolerance_unchanged(spark):
     right = spark.createDataFrame([(1, 1, "old")], "k int, rt long, tag string")
     out = asof_join(left, right, on="k", left_ts="lt", right_ts="rt")
     assert out.first()["tag_right"] == "old"
+
+
+def test_asof_fills_matched_row_as_a_unit(spark):
+    """Review regression: per-column forward fill would replace a NULL
+    attribute in the truly-matched right row with the attribute of an
+    OLDER right row (outside tolerance) — the fill must move whole rows,
+    like merge_asof."""
+    right = spark.createDataFrame(
+        [(1, 1, "old"), (1, 100, None)], "k long, rt long, tag string"
+    )
+    left = spark.createDataFrame([(1, 101)], "k long, lt long")
+    row = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        direction="backward", tolerance=10,
+    ).collect()[0]
+    assert row["rt_right"] == 100
+    assert row["tag_right"] is None  # NOT 'old' leaked from rt=1

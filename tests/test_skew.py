@@ -73,3 +73,25 @@ def test_salted_aggregate_spreads_hot_key(spark):
     )
     n_groups = salted.groupBy("k", "__salt").count().count()
     assert n_groups == 8  # one hot key -> eight partial groups
+
+
+def test_salted_join_refuses_right_and_full_outer(spark):
+    import pytest
+
+    l = spark.createDataFrame([(1, "x")], "k long, s string")
+    r = spark.createDataFrame([(2, 9)], "k long, v long")
+    for how in ("right", "full", "right_outer", "fullouter"):
+        with pytest.raises(ValueError, match="n_salts times"):
+            salted_join(l, r, "k", salt_from="s", how=how)
+
+
+def test_salted_aggregate_count_column_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", None), (1, "c", 30)],
+        "k long, s string, v long",
+    )
+    row = salted_aggregate(
+        df, "k", {"n_rows": "count:*", "n_vals": "count:v"}, salt_col="s"
+    ).collect()[0]
+    assert row["n_rows"] == 3
+    assert row["n_vals"] == 2  # NULL v not counted, matching F.count(v)

@@ -147,3 +147,17 @@ def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
     # nothing lost
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_with_file_date_ignores_path_digit_runs(spark, tmp_path):
+    """Review regression: digits in directory names must not shadow the
+    filename's date stamp."""
+    d = tmp_path / "run_123456789"
+    d.mkdir()
+    f = d / "20230703_measurement_data.csv"
+    f.write_text("a,b\n1,2\n")
+    df = spark.read.option("header", True).csv(str(f))
+    import datetime
+
+    row = with_file_date(df).collect()[0]
+    assert row["file_date"] == datetime.date(2023, 7, 3)
