@@ -16,10 +16,26 @@ from pyspark.sql import Column
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<numeric> columns, accumulated in double,
-    sequential left-to-right (deterministic)."""
+    sequential left-to-right (deterministic). Length-mismatched vectors
+    RAISE at execution: zip_with pads the shorter side with NULLs and the
+    silent alternative — a NULL score — reads as "not similar" to every
+    downstream threshold, quietly disabling dedup for any row whose
+    embedding was truncated or corrupted. NULL ELEMENTS inside
+    equal-length vectors still yield NULL (score unknown)."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+    raw = F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(
+        F.size(a) != F.size(b),
+        F.raise_error(
+            F.concat(
+                F.lit("vectors.dot: length mismatch "),
+                F.size(a).cast("string"),
+                F.lit(" vs "),
+                F.size(b).cast("string"),
+            )
+        ),
+    ).otherwise(raw)
 
 
 def l2_norm(a: Column | str) -> Column:

@@ -19,20 +19,43 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def salted_digest(key: Column, salt: str = "") -> Column:
+    """THE salted md5 digest every hash-keyed corpus op shares — gates,
+    per-group sampling, and quality weighting must stay byte-identical to
+    each other and to their DuckDB oracle twins, so the expression lives
+    in exactly one place. NULL keys digest to NULL (concat of NULL):
+    every gate built on this treats a NULL key as "not sampled" — a row
+    without a stable identity has no reproducible sample membership."""
+    return F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+
+def _validate_hex2(value: str, what: str) -> str:
+    if len(value) != 2:
+        raise ValueError(f"{what} must be 2 hex chars (or '100'): {value!r}")
+    try:
+        int(value, 16)
+    except ValueError:
+        raise ValueError(
+            f"{what} must be hexadecimal: {value!r} — every md5 hex char "
+            "sorts below a non-hex letter, so a typo like 'zz' would "
+            "silently keep ~100% of rows"
+        ) from None
+    return value.lower()
+
+
 def hash_gate(key: Column, keep_below_hex: str, *, salt: str = "") -> Column:
     """Boolean sampling gate: md5(salt || key) first-2-hex-chars compared
     lexicographically against ``keep_below_hex`` ('00'..'100'). The md5 hex
     alphabet is uniform, so '29' keeps ~0x29/0x100 = 16% of keys; '100'
     keeps everything. Lowercase-hex string comparison is identical in every
-    engine (the DuckDB oracle twin uses the same expression verbatim)."""
+    engine (the DuckDB oracle twin uses the same expression verbatim).
+    NULL keys gate to NULL — dropped by filters (see salted_digest)."""
     if keep_below_hex == "100":
         # keep-all must short-circuit: lexicographic compare of a 2-char
         # digest prefix against the 3-char '100' would only pass '0?'
         return F.lit(True)
-    if len(keep_below_hex) != 2:
-        raise ValueError("keep_below_hex must be 2 hex chars (or '100')")
-    digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    return F.substring(digest, 1, 2) < F.lit(keep_below_hex.lower())
+    thr = _validate_hex2(keep_below_hex, "keep_below_hex")
+    return F.substring(salted_digest(key, salt), 1, 2) < F.lit(thr)
 
 
 def deterministic_sample(
@@ -65,6 +88,8 @@ def dataset_mixture(
 
     unionByName keeps it one wide scan per source with no shuffle; the
     caller controls schema alignment."""
+    if not sources:
+        raise ValueError("dataset_mixture: sources must be non-empty")
     parts = []
     for name, (df, keep_below_hex) in sorted(sources.items()):
         parts.append(
@@ -180,10 +205,18 @@ def deterministic_split(
     under re-runs, repartitions, and corpus growth — a given id never
     changes split. Map-only; composes with quota_cap / sample_gate."""
     bounds = boundaries or {"train": "cc", "val": "e6"}
-    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    # the when-chain is first-match-wins, so build it in ASCENDING
+    # threshold order regardless of dict insertion order — otherwise
+    # {'val': 'e6', 'train': 'cc'} would silently label every h<'cc' row
+    # 'val' and starve 'train'. '100' (keep-everything-below) sorts last.
+    def _key(item):
+        _, upper = item
+        return 256 if upper == "100" else int(_validate_hex2(upper, "boundary"), 16)
+
+    h = F.substring(salted_digest(F.col(id_col)), 1, 2)
     expr = None
-    for name, upper in bounds.items():
-        cond = h < F.lit(upper)
+    for name, upper in sorted(bounds.items(), key=_key):
+        cond = F.lit(True) if upper == "100" else h < F.lit(upper.lower())
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr.otherwise("test"))
 
@@ -207,7 +240,7 @@ def uniform_sample_per_group(
     window over the digest; only (group, k) rows survive. The classic
     distributed-reservoir alternative needs stateful merging; hash-ranking
     gets the same distribution with plain relational ops."""
-    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    digest = salted_digest(F.col(id_col), salt)
     w = Window.partitionBy(group_col).orderBy(digest.asc(), F.col(id_col))
     return (
         df.withColumn("__rank", F.row_number().over(w))
@@ -241,11 +274,8 @@ def token_budget_cap(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return (
-        df.withColumn("__before", before)
-        .filter(F.col("__before") < budget)
-        .withColumn("cum_tokens_before", F.col("__before"))
-        .drop("__before")
+    return df.withColumn("cum_tokens_before", before).filter(
+        F.col("cum_tokens_before") < budget
     )
 
 
@@ -281,7 +311,12 @@ def dataset_mixture_epochs(
             hash_gate(F.col(key_col), frac_hex, salt=salt), 1
         ).otherwise(0)
         parts.append(
-            df.withColumn("__n", n_copies)
+            # NULL keys have no reproducible sample membership: every
+            # hash-keyed op here excludes them (the gate alone would
+            # still emit their whole-epoch copies — inconsistent with
+            # deterministic_sample/dataset_mixture, which drop them)
+            df.filter(F.col(key_col).isNotNull())
+            .withColumn("__n", n_copies)
             .filter(F.col("__n") > 0)
             .withColumn(
                 "epoch",
@@ -317,7 +352,7 @@ def quality_weighted_sample(
     engine-portable (compute it with rounded arithmetic, like the
     oracled quality features)."""
     w = F.col(weight_col)
-    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    digest = salted_digest(F.col(key_col), salt)
     thr = F.lpad(
         F.lower(F.hex(F.floor(F.least(w, F.lit(1.0)) * 256))), 2, "0"
     )

@@ -109,7 +109,11 @@ def expand_intervals(
             (F.unix_timestamp(e) - F.unix_timestamp(s)) / n,
         ).otherwise(F.lit(0)),
     )
-    out = out.withColumn("idx_array", F.expr(f"sequence(0, {samples} - 1)"))
+    # F.sequence compiles to the identical Sequence expression as the
+    # reference's raw-SQL string (including the [0,-1] artifact for
+    # samples=0) WITHOUT splicing a column name into SQL — a name like
+    # 'n samples' would be a parse error under the expr form
+    out = out.withColumn("idx_array", F.sequence(F.lit(0), n - F.lit(1)))
     out = out.select(
         "*", F.posexplode("idx_array").alias(idx_col, "__i")
     ).drop("idx_array")
@@ -140,7 +144,10 @@ def intervals_from_events(
     return events.groupBy(key).agg(
         F.min(ts).alias("start_time"),
         F.max(ts).alias("end_time"),
-        F.count(F.lit(1)).cast("int").alias("samples"),
+        # bigint, not int: at fact scale a key can exceed 2^31-1 events,
+        # and a wrapped negative count would be silently DROPPED by
+        # expand_intervals' n >= 1 filter; the sequence cast happens there
+        F.count(F.lit(1)).alias("samples"),
         F.avg(value).alias("reading"),
     )
 

@@ -25,12 +25,21 @@ _OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, s double"
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, *, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
     """Running per-user (count, sum(value)) maintained in group state.
 
     Each micro-batch emits one row per active user with the totals seen so
     far — the streaming analogue of a cumulative groupBy that batch mode
     can't express incrementally without reprocessing history.
+
+    ``timeout`` defaults to NoTimeout for a BOUNDED key domain (the
+    user dimension); with high/rotating key cardinality state grows one
+    entry per key forever, so pass ``GroupStateTimeout.ProcessingTimeTimeout``
+    (and call ``state.setTimeoutDuration`` in a custom update) or front
+    the stream with a watermarked pre-aggregation — the parameter exists
+    so a long-running deployment is not locked into unbounded state.
     """
 
     def update(
@@ -55,5 +64,5 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -233,3 +233,49 @@ def test_quality_weighted_sample_rates_and_invariance(spark):
         df.repartition(17), key_col="doc_id", weight_col="w"
     ).collect()
     assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in kept2}
+
+
+def test_split_boundaries_order_independent_and_100(spark):
+    import pytest
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        deterministic_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = deterministic_split(
+        df, id_col="doc_id", boundaries={"train": "cc", "val": "e6"}
+    )
+    b = deterministic_split(  # same mapping, reversed insertion order
+        df, id_col="doc_id", boundaries={"val": "e6", "train": "cc"}
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # '100' = everything below it: no row can fall through to 'test'
+    all_train = deterministic_split(
+        df, id_col="doc_id", boundaries={"train": "100"}
+    )
+    assert {r["split"] for r in all_train.collect()} == {"train"}
+    with pytest.raises(ValueError, match="hex"):
+        deterministic_split(df, id_col="doc_id", boundaries={"t": "zz"}).collect()
+
+
+def test_hash_gate_rejects_non_hex_threshold(spark):
+    import pytest
+    from batch_processing_iac_aws_spark.operators.corpus import hash_gate
+
+    with pytest.raises(ValueError, match="hex"):
+        hash_gate(F.col("doc_id"), "zz")  # would silently keep ~100%
+
+
+def test_vector_dot_raises_on_length_mismatch(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from batch_processing_iac_aws_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])],
+        "a array<float>, b array<float>",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        df.select(cosine("a", "b")).collect()  # NOT a silent NULL score
