@@ -151,13 +151,24 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
+                    # NULL payload -> NULL features, matching
+                    # text_as_media's meta.n_bytes (octet_length
+                    # semantics): reporting 0 bytes + the hash of b''
+                    # made the meta and feature outputs disagree on the
+                    # same media_id for null media
                     "n_bytes": payloads.map(
-                        lambda p: len(p) if p is not None else 0
-                    ).astype("int64"),
+                        lambda p: len(p) if p is not None else None
+                    ).astype("Int64"),
                     "sha256": payloads.map(
-                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                        lambda p: (
+                            hashlib.sha256(p).hexdigest()
+                            if p is not None
+                            else None
+                        )
                     ),
-                    "features": payloads.map(fn),
+                    "features": payloads.map(
+                        lambda p: fn(p) if p is not None else None
+                    ),
                 }
             )
 

@@ -22,9 +22,15 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text_col: Column | str) -> Column:
-    """Whitespace tokenization (lowercased)."""
+    """Whitespace tokenization (lowercased), EMPTY TOKENS DROPPED: Spark's
+    split keeps the '' a leading/trailing separator produces, which made
+    every downstream consumer miscount — an empty document scored
+    n_tokens=1 / quality 0.505 (passing the >=0.5 gate), padded docs
+    shifted their boilerplate-segment windows so cross-document dedup
+    missed them, and ' a b ' counted 4 tokens. Python's str.split() and
+    the property-test ground truths already use no-empty semantics."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(F.lower(c), r"\s+")
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
 
 
 def bpe_ish_tokens(text_col: Column | str) -> Column:
@@ -57,13 +63,18 @@ def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    uniq_ratio = n_uniq.cast("double") / n_tok
+    # zero-token docs (empty/whitespace text): ratios are undefined, so
+    # they surface as NULL — which FAILS any >= threshold quality gate,
+    # exactly what an empty document deserves (ANSI mode would otherwise
+    # raise DIVIDE_BY_ZERO here)
+    uniq_ratio = F.when(n_tok > 0, n_uniq.cast("double") / n_tok)
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("n_uniq_tokens", n_uniq)
         .withColumn("uniq_ratio", F.round(uniq_ratio, 4))
         .withColumn(
-            "avg_token_len", F.round(sum_len.cast("double") / n_tok, 4)
+            "avg_token_len",
+            F.round(F.when(n_tok > 0, sum_len.cast("double") / n_tok), 4),
         )
         .withColumn(
             "quality_score",
@@ -115,12 +126,16 @@ def dedup_sentences(
     corpus gets: boilerplate sentences repeat WITHIN a page). Splits on
     sentence boundaries, keeps the FIRST occurrence of each distinct
     sentence, and reassembles in original order. Returns
-    (id, out_col, n_sentences, n_removed).
+    (id, out_col, n_sentences, n_removed) with ONE ROW PER INPUT DOC —
+    a document whose text is empty (or splits to nothing) comes back as
+    ('', 0, 0), not silently missing (a pipeline joining this output
+    back to the corpus must not lose rows).
 
     Shape: posexplode (codegen Generate) -> one hash-agg on
     (doc, sentence) taking min position -> one agg back per doc with an
-    in-group array_sort. Everything partitions by doc id; no windows over
-    the whole corpus, no Python."""
+    in-group array_sort -> a doc-keyed left join restoring empty docs.
+    Everything partitions by doc id; no windows over the whole corpus,
+    no Python."""
     sents = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias(
@@ -130,7 +145,7 @@ def dedup_sentences(
     firsts = sents.groupBy(id_col, "__sent").agg(
         F.min("__pos").alias("__pos"), F.count(F.lit(1)).alias("__n")
     )
-    return firsts.groupBy(id_col).agg(
+    rebuilt = firsts.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("__pos", "__sent"))),
@@ -140,6 +155,16 @@ def dedup_sentences(
         ).alias(out_col),
         F.sum("__n").cast("long").alias("n_sentences"),
         (F.sum("__n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        F.coalesce(F.col("n_sentences"), F.lit(0)).cast("long").alias(
+            "n_sentences"
+        ),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+            "n_removed"
+        ),
     )
 
 
@@ -192,9 +217,19 @@ def bigram_surprisal(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__bits"), 4).alias("avg_bits"),
+    )
+    # keep docs with < 2 tokens (no bigrams): exactly the degenerate
+    # documents a quality score exists to flag must not silently escape
+    # scoring — they come back as (0, NULL avg_bits)
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
+        ),
+        F.col("avg_bits"),
     )
 
 
@@ -229,7 +264,7 @@ def tfidf_top_terms(
     n_docs = df.agg(
         F.count(
             F.when(
-                F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+                F.size(tokens(F.col(text_col)))
                 > 0,
                 1,
             )
@@ -287,7 +322,10 @@ def bm25_scores(
     sort."""
     # doc length as a map-only array size — no explode, no shuffle (the
     # naive explode+groupBy form costs a full extra pass over the corpus)
-    nonempty = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    query_terms = [q.lower() for q in query_terms if q and q.strip()]
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    nonempty = tokens(F.col(text_col))
     dl = df.select(F.col(id_col), F.size(nonempty).alias("__dl")).filter(
         F.col("__dl") > 0
     )
@@ -443,7 +481,13 @@ def remove_boilerplate_segments(
     it is, by Zipf); reassembly is ONE hash-agg keyed by doc id with an
     in-group array_sort. No windows over the corpus, no Python, no
     per-doc driver logic."""
-    segs = df.select(
+    # tokenize ONCE into a bound column: with tokens() inside the
+    # transform lambda the split re-evaluated per segment index —
+    # O(n_segments x doc_len) work per document
+    words = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__w")
+    )
+    segs = words.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -451,8 +495,7 @@ def remove_boilerplate_segments(
                     F.lit(0),
                     F.greatest(
                         F.ceil(
-                            F.size(tokens(F.col(text_col)))
-                            / F.lit(segment_words)
+                            F.size(F.col("__w")) / F.lit(segment_words)
                         ).cast("int")
                         - 1,
                         F.lit(0),
@@ -460,9 +503,7 @@ def remove_boilerplate_segments(
                 ),
                 lambda i: F.array_join(
                     F.slice(
-                        tokens(F.col(text_col)),
-                        i * segment_words + 1,
-                        segment_words,
+                        F.col("__w"), i * segment_words + 1, segment_words
                     ),
                     " ",
                 ),

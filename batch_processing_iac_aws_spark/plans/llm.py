@@ -592,7 +592,11 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle="""
 WITH t AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS toks, text FROM documents
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks,
+           text
+    FROM documents
 )
 SELECT doc_id,
        CAST(len(toks) AS INT)                    AS n_tokens,
@@ -1174,15 +1178,21 @@ WITH toks AS (
 ), v AS (
     SELECT count(DISTINCT tok) AS vocab FROM toks
 )
-SELECT b.doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(-log2((bc.cb + 1.0) / (pc.cp + 1.0 * v.vocab))), 4)
-           AS avg_bits
-FROM big b
-JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
-JOIN pc ON pc.prev = b.prev
-CROSS JOIN v
-GROUP BY b.doc_id
+, per_doc AS (
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2((bc.cb + 1.0) / (pc.cp + 1.0 * v.vocab))), 4)
+               AS avg_bits
+    FROM big b
+    JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+    JOIN pc ON pc.prev = b.prev
+    CROSS JOIN v
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.avg_bits
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """,
 )
 def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,11 +1341,12 @@ WITH inj AS (
     SELECT doc_id, sent, min(pos) AS pos, count(*) AS n
     FROM s WHERE sent != '' GROUP BY doc_id, sent
 )
-SELECT doc_id,
-       string_agg(sent, '. ' ORDER BY pos) AS text_dedup,
-       CAST(sum(n) AS BIGINT) AS n_sentences,
-       CAST(sum(n) - count(*) AS BIGINT) AS n_removed
-FROM f GROUP BY doc_id
+SELECT i.doc_id,
+       coalesce(string_agg(f.sent, '. ' ORDER BY f.pos), '') AS text_dedup,
+       CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_sentences,
+       CAST(coalesce(sum(f.n) - count(f.sent), 0) AS BIGINT) AS n_removed
+FROM inj i LEFT JOIN f ON f.doc_id = i.doc_id
+GROUP BY i.doc_id
 """,
 )
 def text_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1855,8 +1866,10 @@ def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH w AS (
     SELECT doc_id,
-           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
-               AS words
+           list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                            ' '),
+               x -> x <> '') AS words
     FROM documents
 ), seg AS (
     SELECT doc_id, i AS seg_idx,

@@ -138,4 +138,13 @@ def get_spark(
     conf.update(extra_conf or {})
     for key, value in conf.items():
         builder = builder.config(key, value)
-    return apply_runtime_conf(builder.getOrCreate())
+    spark = apply_runtime_conf(builder.getOrCreate())
+    if shuffle_partitions is not None:
+        # getOrCreate DISCARDS builder configs when a session already
+        # exists; shuffle partitions are runtime-settable, so honor the
+        # explicit request on the fetched session instead of silently
+        # keeping the old value
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    return spark

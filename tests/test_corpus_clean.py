@@ -279,3 +279,50 @@ def test_vector_dot_raises_on_length_mismatch(spark):
     )
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         df.select(cosine("a", "b")).collect()  # NOT a silent NULL score
+
+
+def test_tokens_drop_empties_everywhere(spark):
+    """Batch-4 review regressions, all live-verified failures before the
+    fix: empty/padded docs miscounting tokens, padded docs dodging
+    corpus-wide segment dedup, degenerate docs vanishing from scoring."""
+    from batch_processing_iac_aws_spark.operators.text import (
+        bigram_surprisal,
+        dedup_sentences,
+        quality_features,
+    )
+
+    rows = [(1, ""), (2, " a b "), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["n_tokens"] == 0  # was 1 -> quality 0.505 passed the gate
+    assert q[2]["n_tokens"] == 2  # was 4
+    assert q[2]["avg_token_len"] == 1.0  # was 0.5
+    # degenerate docs stay in the scored outputs
+    s = {r["doc_id"]: r for r in dedup_sentences(df).collect()}
+    assert s[1]["text_dedup"] == "" and s[1]["n_sentences"] == 0
+    b = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(b) == {1, 2, 3}
+    assert b[1]["n_bigrams"] == 0 and b[1]["avg_bits"] is None
+
+
+def test_boilerplate_dedup_survives_padding(spark):
+    """A leading space used to shift the segment windows so a 3-doc
+    boilerplate run hashed differently in the padded doc and slipped
+    under the document-frequency threshold."""
+    base = "cookie banner one two three four five six seven eight"
+    rows = [(1, base), (2, base), (3, " " + base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_segments(
+        df, segment_words=10, max_doc_freq=2
+    ).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_dropped"] == 1, f"doc {i} kept the boilerplate"
+
+
+def test_bm25_query_terms_case_insensitive(spark):
+    from batch_processing_iac_aws_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "the real thing")], "doc_id long, text string"
+    )
+    assert bm25_scores(df, ["Real"]).count() == 1  # was 0
