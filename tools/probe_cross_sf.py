@@ -8,7 +8,7 @@ wall time if it lived in tests/):
 
     python tools/probe_cross_sf.py [sf_dir]
 
-Round-5 result: 181/181 green at sf0.001 (and the standard suite holds
+Round-5 result: 182/182 green at sf0.001 (and the standard suite holds
 170+ green at sf0.01, spot checks at sf0.1).
 """
 
