@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.merge import merge_changes, scd2_from_changelog, snapshot_diff
-from .registry import query
+from .registry import money_sum, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -122,8 +122,15 @@ SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
        CASE WHEN b.c_custkey IS NULL THEN 'added'
             WHEN a.c_custkey IS NULL THEN 'removed'
             ELSE 'changed' END AS change_type,
-       COALESCE(a.c_name, b.c_name) AS c_name,
-       COALESCE(a.acctbal, b.acctbal) AS acctbal
+       -- WHOLE-image semantics, matching the operator's struct coalesce:
+       -- changed/added rows carry the after-image (including its NULLs),
+       -- removed rows the before-image — per-column COALESCE(a.c, b.c)
+       -- would smuggle a before value into a changed row whose after
+       -- column is legitimately NULL
+       CASE WHEN a.c_custkey IS NULL THEN b.c_name ELSE a.c_name END
+           AS c_name,
+       CASE WHEN a.c_custkey IS NULL THEN b.acctbal ELSE a.acctbal END
+           AS acctbal
 FROM before b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
 WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
    OR a.c_name IS DISTINCT FROM b.c_name
@@ -187,8 +194,6 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual filter — it shuffles on custkey like any fact-dim join (NO
     nested-loop: the range never becomes the join key). Each fact matches
     exactly one version by construction."""
-    from ..plans.registry import money_sum
-
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     changes = o.select(

@@ -251,12 +251,13 @@ def latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark_script.py:38-52) as partition pruning: aggregate only the most
     recent event date. The max-date subframe is broadcast, so the only wide
     exchange is the final single-row aggregation."""
+    from ..sources.files import latest_partition as keep_latest
+
     events = load_table(spark, sf_dir, "events").withColumn(
         "d", F.to_date("ts")
     )
-    latest = events.agg(F.max("d").alias("d"))
     return (
-        events.join(F.broadcast(latest), "d")
+        keep_latest(events, "d")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money_sum(F.col("value"), 4).alias("sum_value"),

@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..streaming.pipeline import drain_to_memory
 from .registry import ORACLES, money_sum, query
 
 _HOUR_US = 3_600_000_000
@@ -94,15 +95,18 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session",
     oracle="""
 WITH o AS (
-    SELECT user_id, ts, epoch_us(ts) AS us,
+    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
                 WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000 THEN 1
                 ELSE 0 END AS new_session
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    -- event_id tiebreaker: two events of one user at the SAME microsecond
+    -- must order identically in this window and the running sum below, or
+    -- a tied row at a session boundary lands in the wrong session
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT user_id, us,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
     FROM o
 )
@@ -155,16 +159,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(
         stream, keys=["user_id", "event_type"], delay="24 hours"
     ).select("user_id", "event_type")
-    name = f"sd_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(
+        deduped, prefix="sd", output_mode="append"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @query(
@@ -172,7 +169,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS sum_value
 FROM events GROUP BY user_id
 """,
 )
@@ -186,16 +184,9 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     totals = running_user_totals(stream)
-    name = f"st_{uuid.uuid4().hex[:8]}"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return drain_to_memory(
+        totals, prefix="st", output_mode="update"
+    ).select(
         "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
     )
 
@@ -284,16 +275,9 @@ def streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "c_mktsegment",
     )
-    name = f"sj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(
+        joined, prefix="sj", output_mode="append"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @query(
@@ -344,16 +328,9 @@ def streaming_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
-    name = f"ss_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(
+        joined, prefix="ss", output_mode="append"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 _SLIDING_ORACLE = ORACLES["window_sliding"]
@@ -383,16 +360,9 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"sl_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(
+        agg, prefix="sl", output_mode="complete"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @query(

@@ -302,3 +302,25 @@ def run_streaming_ingest_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def drain_to_memory(
+    df: DataFrame, *, prefix: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming frame through a memory sink with
+    Trigger.AvailableNow and return the materialized table — the single
+    drain contract all batch-twin streaming queries share (a change here
+    — e.g. adding a checkpoint — must not have to be applied in five
+    copy-pasted blocks)."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

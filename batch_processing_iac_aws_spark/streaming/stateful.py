@@ -22,7 +22,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: Output row per key per micro-batch: the running totals after the batch.
 _OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
-_STATE_SCHEMA = "n bigint, s double"
+#: State accumulates the value sum in INTEGER MICROS (round(value*1e6)):
+#: int64 addition is exact and order-free, so the emitted total cannot
+#: depend on micro-batch arrival order — a plain double accumulator could
+#: land a sum on either side of a rounding boundary depending on
+#: scheduling, turning the differential oracle flaky.
+_STATE_SCHEMA = "n bigint, s bigint"
 
 
 def running_user_totals(
@@ -47,16 +52,29 @@ def running_user_totals(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
             n, s = state.get
         else:
-            n, s = 0, 0.0
+            n, s = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            v = pdf["value"].to_numpy(dtype="float64")
+            # round-half-away-from-zero to integer micros, matching SQL
+            # round(value*1e6) (numpy .round alone would round half-even)
+            s += int(
+                (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5))
+                .astype("int64")
+                .sum()
+            )
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s / 1e6],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
