@@ -114,8 +114,10 @@ def pack_sequences(
     """Greedy concat-then-chunk sequence packing (LLM pretraining layout):
     documents are laid end-to-end in ``id_col`` order and cut into
     ``context_len``-token bins; each doc gets (bin_id, bin_offset) of where
-    its first token lands. Token count = whitespace word count (swap in a
-    BPE count column upstream if available).
+    its first token lands. Token count = whitespace word count; for a
+    real vocabulary, compute the count upstream with
+    operators.text.count_tokens (pluggable tokenize_fn seam) and pass it
+    through — the packing math is count-source-agnostic.
 
     Scale shape: ONE running-sum window. With ``shard_col`` the window
     partitions by shard — fully parallel packing, each shard packing its

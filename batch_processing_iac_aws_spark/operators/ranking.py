@@ -32,14 +32,19 @@ def _global_row_number_with_total(
     pay a second count() job."""
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    # PERSIST before the two actions below (offsets collect + the returned
-    # frame): repartitionByRange samples its boundaries per action and
-    # monotonically_increasing_id reassigns per action, so an uncached
-    # lineage could put different rows in a partition than the offsets
-    # were computed from — duplicate/skipped global row numbers. The
-    # cache pins one layout for both.
-    ranged = ranged.persist()
-    with_ids = ranged.withColumn("__mono", F.monotonically_increasing_id())
+    # MATERIALIZE before the two actions below (offsets collect + the
+    # returned frame): repartitionByRange samples its boundaries per
+    # action and monotonically_increasing_id reassigns per action, so an
+    # unmaterialized lineage could put different rows in a partition than
+    # the offsets were computed from — duplicate/skipped global row
+    # numbers. An eager localCheckpoint pins one layout for both AND,
+    # unlike a .persist() this function could never safely release (the
+    # returned frame still references it), its blocks are freed by the
+    # ContextCleaner once the RDD is GC'd — no pinned-cache growth in a
+    # long-lived session.
+    with_ids = ranged.withColumn(
+        "__mono", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     with_ids = with_ids.withColumn(
         "__pid", F.shiftrightunsigned("__mono", 33)
     ).withColumn("__local", F.col("__mono").bitwiseAND(F.lit(_LOCAL_MASK)))

@@ -341,7 +341,32 @@ def ivf_topk(
         centroids,
         vec_col="__cv",
     )
+    return _ivf_search(
+        c,
+        queries,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
 
+
+def _ivf_search(
+    c: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Probe + exact-rescore stage shared by :func:`ivf_topk` (in-memory
+    index) and :func:`ivf_index_topk` (persisted index). ``c`` is the
+    assigned corpus: (neighbor_id, __cv vector, __cn norm, ivf_cluster)."""
     # per-query probe list: indices of the n_probe highest-scoring centroids
     q = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -384,6 +409,294 @@ def ivf_topk(
             "rank",
             F.round("__score", 4).alias("score"),
         )
+    )
+
+
+def _write_ivf_centroids(
+    spark, centroids: list[tuple[int, list[float]]], index_dir: str
+) -> None:
+    # centroid_id is the POSITION (what assign_ivf_clusters emits); the
+    # source row id is bookkeeping only
+    df = spark.createDataFrame(
+        [
+            (i, int(sid), [float(x) for x in v])
+            for i, (sid, v) in enumerate(centroids)
+        ],
+        "centroid_id int, source_id long, centroid array<double>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def read_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
+    """Load the persisted centroid table back into the broadcastable
+    in-memory form every assignment/search call takes. Model-sized collect
+    (n_centroids x dim doubles) — the same bytes a broadcast would ship."""
+    rows = (
+        spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return [(r["source_id"], list(r["centroid"])) for r in rows]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int = 0,
+) -> None:
+    """Build and PERSIST an IVF index — the rolling-corpus answer to
+    :func:`ivf_topk` re-training per call (the similarity twin of the
+    round-5 incremental-dedup signature indexes; incrementality pattern ~
+    reference batch_processing_IaC.py:300-304 Glue bookmarks).
+
+    Layout under ``index_dir``:
+      * ``centroids/``   — (centroid_id, source_id, centroid) — one tiny file;
+      * ``assignments/`` — (id, embedding, norm) partitioned by
+        (batch_seq, ivf_cluster): cell-partitioned so probes prune to
+        n_probe/n_centroids of the data at the SCAN, and batch-keyed so a
+        replayed ingest overwrites exactly its own partitions
+        (the streaming/pipeline.py idempotency contract).
+
+    Centroid init is the deterministic smallest-``n_centroids`` ids (the
+    random-subset IVF bootstrap — swap for k-means|| on clustered data).
+    The only driver traffic is the centroid matrix itself."""
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError("cannot build an IVF index from an empty corpus")
+    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
+    _write_ivf_centroids(corpus.sparkSession, centroids, index_dir)
+    _write_ivf_assignments(
+        corpus, centroids, index_dir,
+        id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+    )
+
+
+def _write_ivf_assignments(
+    batch: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    index_dir: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    batch_id: int,
+) -> None:
+    """Assign + write ONE batch under its own (batch_seq, cell) partitions
+    — dynamic overwrite, so a replayed batch_id rewrites exactly itself."""
+    assigned = assign_ivf_clusters(
+        batch.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        centroids,
+        vec_col="vec",
+    ).select(
+        "id",
+        "vec",
+        l2_norm(F.col("vec")).alias("norm"),
+        F.lit(batch_id).alias("batch_seq"),
+        "ivf_cluster",
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq", "ivf_cluster")
+        .parquet(f"{index_dir}/assignments")
+    )
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int,
+    drift_floor: float = 0.0,
+    max_drift_frac: float = 0.5,
+    n_centroids: int | None = None,
+) -> bool:
+    """Ingest a new batch into the persisted IVF index MAP-ONLY: assign
+    against the stored (broadcast-sized) centroids, write the batch's
+    assignments under its own (batch_seq, cell) partitions — dynamic
+    overwrite, so a crashed-and-replayed ingest under the same
+    ``batch_id`` rewrites its partitions instead of duplicating them, and
+    the 100 TB history is never read, let alone shuffled.
+
+    Drift trigger: if more than ``max_drift_frac`` of the batch lands
+    below ``drift_floor`` best-cell cosine (distribution shift — the
+    stored coarse quantizer no longer covers the data), the index is
+    RETRAINED from the full persisted corpus + this batch (one full
+    reassignment scan, the amortized-rare path). Returns True iff a
+    retrain happened. The drift probe is one small aggregate (two longs),
+    not a collect of vectors."""
+    spark = batch.sparkSession
+    centroids = read_ivf_centroids(spark, index_dir)
+    scored = batch.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn(
+        "__best",
+        F.array_max(_centroid_scores_udf(centroids)(F.col("vec"))),
+    )
+    drift = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__best") < drift_floor).cast("long")).alias("n_drift"),
+    ).collect()[0]
+    if drift["n"] == 0:
+        return False
+    if drift["n_drift"] > max_drift_frac * drift["n"]:
+        _retrain_ivf_index(
+            batch,
+            index_dir,
+            n_centroids=n_centroids or len(centroids),
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_id=batch_id,
+        )
+        return True
+    _write_ivf_assignments(
+        batch, centroids, index_dir,
+        id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+    )
+    return False
+
+
+def _retrain_ivf_index(
+    batch: DataFrame,
+    index_dir: str,
+    *,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    batch_id: int,
+) -> None:
+    """Drift path: retrain the coarse quantizer over old + new and reassign
+    EVERYTHING — old vectors re-read from the index itself (the caller
+    never replays history). Each stored row KEEPS its original batch_seq
+    and the new batch gets ``batch_id``, so a crash-and-replay of this
+    batch after the retrain goes down the normal append path (no drift
+    against the new centroids) and dynamic-overwrites exactly its own
+    partitions — replay idempotency survives the retrain.
+
+    The rebuild writes to a STAGING dir and swaps it in, because Spark
+    cannot overwrite a path it is reading in the same job; the swap also
+    keeps readers off a half-written index (on an object store / HDFS use
+    the FileSystem rename or a metastore pointer swap the same way)."""
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    old = spark.read.parquet(f"{index_dir}/assignments").select(
+        "id", "vec", F.col("batch_seq").cast("long").alias("batch_seq")
+    )
+    full = old.unionByName(
+        batch.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.lit(batch_id).cast("long").alias("batch_seq"),
+        )
+    )
+    # Stratified re-seed: allocate centroid slots per batch_seq
+    # proportional to row count (largest-remainder, min 1 per group) and
+    # take each group's smallest ids. A plain smallest-ids init would
+    # reproduce the OLD quantizer verbatim — the drifted batch (usually a
+    # small fraction of the corpus) would again have no covering centroid
+    # and the retrain would be a no-op. Stratifying guarantees the new
+    # mass seeds at least one cell; production can refine with Lloyd
+    # iterations (kmeans_exact in this module) from this init.
+    counts = sorted(
+        (r["batch_seq"], r["n"])
+        for r in full.groupBy("batch_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(n for _, n in counts)
+    share = {s: n_centroids * n / total for s, n in counts}
+    slots = {s: int(share[s]) for s, _ in counts}
+    leftover = n_centroids - sum(slots.values())
+    for s in sorted(share, key=lambda s: (-(share[s] - slots[s]), s)):
+        if leftover <= 0:
+            break
+        slots[s] += 1
+        leftover -= 1
+    for s, _ in counts:  # min 1: steal from the fattest group
+        if slots[s] == 0:
+            donor = max(slots, key=lambda g: (slots[g], -g))
+            if slots[donor] > 1:
+                slots[donor] -= 1
+                slots[s] = 1
+    slot_df = full.sparkSession.createDataFrame(
+        [(s, m) for s, m in slots.items()], "batch_seq long, __slots long"
+    )
+    w = Window.partitionBy("batch_seq").orderBy("id")
+    cent_rows = (
+        full.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(slot_df), "batch_seq")
+        .filter(F.col("__rn") <= F.col("__slots"))
+        .select("id", "vec")
+        .orderBy("id")
+        .collect()
+    )
+    centroids = [(r["id"], list(r["vec"])) for r in cent_rows]
+    assigned = assign_ivf_clusters(full, centroids, vec_col="vec").select(
+        "id",
+        "vec",
+        l2_norm(F.col("vec")).alias("norm"),
+        "batch_seq",
+        "ivf_cluster",
+    )
+    staging = f"{index_dir}/assignments__rebuild"
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("batch_seq", "ivf_cluster")
+        .parquet(staging)
+    )
+    live = f"{index_dir}/assignments"
+    shutil.rmtree(live)
+    os.replace(staging, live)
+    _write_ivf_centroids(spark, centroids, index_dir)
+
+
+def ivf_index_topk(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against the PERSISTED index: centroids load once
+    (model-sized), assignments stream off parquet already cell-partitioned
+    — the probed-cell equi-join can prune whole partition directories, and
+    stored norms make rescoring one dot product per candidate."""
+    centroids = read_ivf_centroids(spark, index_dir)
+    c = spark.read.parquet(f"{index_dir}/assignments").select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("__cv"),
+        F.col("norm").alias("__cn"),
+        "ivf_cluster",
+    )
+    return _ivf_search(
+        c,
+        queries,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
 
 
@@ -656,31 +969,41 @@ def kmeans_exact(
         [int(x) * centroid_scale for x in r["__xq"]] for r in init_rows
     ]
     dfq = dfq.cache()
-    assigned = None
-    for t in range(iters):
-        assigned = dfq.withColumn(
-            "cluster",
-            _nearest_centroid_udf(cents, centroid_scale)(F.col("__xq")),
-        )
-        if t == iters - 1:
-            break  # final round is assignment-only
-        upd = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.col("__xq")[i]).alias(f"__s{i}")
-                    for i in range(dim)
-                ],
+    try:
+        assigned = None
+        for t in range(iters):
+            assigned = dfq.withColumn(
+                "cluster",
+                _nearest_centroid_udf(cents, centroid_scale)(
+                    F.col("__xq")
+                ),
             )
-            .collect()
-        )
-        for r in upd:
-            n = r["__n"]
-            cents[r["cluster"]] = [
-                (int(r[f"__s{i}"]) * centroid_scale) // n
-                for i in range(dim)
-            ]
-    return assigned.select(
-        F.col(id_col), F.col("cluster").cast("long")
-    )
+            if t == iters - 1:
+                break  # final round is assignment-only
+            upd = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(F.col("__xq")[i]).alias(f"__s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            for r in upd:
+                n = r["__n"]
+                cents[r["cluster"]] = [
+                    (int(r[f"__s{i}"]) * centroid_scale) // n
+                    for i in range(dim)
+                ]
+        # eager localCheckpoint: the returned frame no longer references
+        # dfq, so the finally-unpersist can't trigger a recompute, and —
+        # unlike a .cache() left pinned — checkpoint blocks are released
+        # by the ContextCleaner once the RDD is GC'd, so repeated calls
+        # in a long-lived session don't accumulate pinned partitions.
+        return assigned.select(
+            F.col(id_col), F.col("cluster").cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        dfq.unpersist()

@@ -51,6 +51,93 @@ def token_count(text_col: Column | str) -> Column:
     return F.size(tokens(text_col))
 
 
+#: regex shared by the codegen Column path (bpe_ish_tokens) and its
+#: pure-Python twin — ONE definition so the two can never drift
+_BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_tokenize_py(text: str) -> list[str]:
+    """Pure-Python twin of :func:`bpe_ish_tokens` (same regex, same
+    no-empties semantics) — the deterministic in-sandbox fallback for the
+    pluggable tokenizer seam, asserted equal to the Column path in
+    tests/test_text_tokens.py."""
+    import re
+
+    return [t for t in re.findall(_BPE_ISH_PATTERN, text or "") if t]
+
+
+def auto_tokenizer():
+    """``str -> list[str]`` tokenizer that probes for a REAL BPE
+    implementation in the process that EXECUTES it — on a cluster that is
+    the worker, not the driver (the operators/multimodal.py
+    auto_image_decoder pattern: a driver-side probe would pickle the
+    wrong branch when driver and executor images differ). Preference
+    order: ``tiktoken`` (GPT BPE), then ``transformers``' GPT-2 fast
+    tokenizer; in this sandbox neither exists, so it falls back to
+    :func:`bpe_ish_tokenize_py` — deterministic, SQL-twin-reproducible,
+    so registered-query oracles are unchanged. The probe resolves once
+    per process via a pid-keyed memo (pickled memo state from another
+    process is ignored). On a heterogeneous cluster pin ``tokenize_fn``
+    explicitly, or token counts would silently mix vocabularies."""
+    resolved: dict[int, object] = {}
+
+    def tokenize(text: str) -> list[str]:
+        import os
+
+        pid = os.getpid()
+        fn = resolved.get(pid)
+        if fn is None:
+            try:
+                import tiktoken
+
+                enc = tiktoken.get_encoding("gpt2")
+                fn = lambda s: [  # noqa: E731
+                    str(t) for t in enc.encode(s or "")
+                ]
+            except ImportError:
+                try:
+                    from transformers import GPT2TokenizerFast
+
+                    tok = GPT2TokenizerFast.from_pretrained("gpt2")
+                    fn = lambda s: tok.tokenize(s or "")  # noqa: E731
+                except ImportError:
+                    fn = bpe_ish_tokenize_py
+            resolved.clear()  # drop stale pids from other processes
+            resolved[pid] = fn
+        return fn(text)
+
+    return tokenize
+
+
+def count_tokens(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+    tokenize_fn=None,
+) -> DataFrame:
+    """Append a REAL-tokenizer token count — the production seam behind
+    every "N tokens" knob (token_budget_cap, pack_sequences,
+    docs_token_budget / docs_pack_sequences): those operators take the
+    count as a column, so swapping vocabularies is swapping this one
+    upstream call. ``tokenize_fn: str -> list[str]`` defaults to
+    :func:`auto_tokenizer` (worker-side probe, deterministic fallback).
+
+    Arrow-batched pandas UDF — the tokenizer is Python (that is the point
+    of the seam), so this is the 10-100x-over-row-UDF path, map-only, no
+    shuffle. The in-engine Column twin (token_count / bpe_ish_tokens)
+    stays the hot path when the regex approximation is acceptable."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = tokenize_fn or auto_tokenizer()
+
+    @pandas_udf("long")
+    def _count(s):  # pd.Series -> pd.Series
+        return s.map(lambda t: len(fn(t)))
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
+
+
 def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Append per-doc quality heuristics: token counts, distinct-token
     ratio, mean token length, and a composite [0,1] quality score. Integer
@@ -535,7 +622,24 @@ def remove_boilerplate_segments(
         F.count(F.lit(1)).cast("long").alias("n_segments"),
         F.sum(F.col("__drop").cast("long")).cast("long").alias("n_dropped"),
     )
-    return rebuilt
+    # A NULL-text doc yields NULL __w, hence zero posexplode rows, so it
+    # has no group in `rebuilt` — left-join back onto the full id set (as
+    # dedup_sentences does) so the promised one-row-per-input-document
+    # contract holds for degenerate docs too.
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias(
+                "n_segments"
+            ),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+    )
 
 
 def normalize_text(

@@ -44,7 +44,7 @@ from . import quality  # noqa: E402,F401
 #     dtype check in tests/test_oracle.py::test_oracle_match): the 32
 #     round-3-debt queries, the invariant-oracled sketch/ANN set, the
 #     events.ts canaries, and the 5 round-4-new queries.
-#   round 5 window (this one) = the 2 remaining fixable never-greens
+#   round 5 window = the 2 remaining fixable never-greens
 #     (docs_token_budget re-check after the CAST fix; embedding_pca, whose
 #     invariant oracle landed in r4 but never got a window slot) + the
 #     4 queries new this round (dedup_incremental_fuzzy,
@@ -66,125 +66,102 @@ from . import quality  # noqa: E402,F401
 #     cohort). The rows-only
 #     dedup_simhash/_pairs slots rotate OUT: their algorithm is already
 #     proven by the r4-green dedup_simhash_portable twin.
-#   round 6 plan — the EXACT 50 (assuming the r5 window greens; computed
-#     from the CORRECTNESS ledgers, oldest-green first — re-derive if any
-#     r5 row comes back red and needs a re-check slot):
+#   round 5 greened its whole 50-slot window — CORRECTNESS_r05 is 50/50,
+#     including the two previous never-greens (docs_token_budget after
+#     the BIGINT CAST; embedding_pca on its invariant oracle).
+#   round 6 window (this one) — the pinned r5 plan executed verbatim,
+#     except 2 slots go to the queries NEW this round (the registry
+#     invariant: never-driver-seen queries must be in the window), each
+#     displacing the most shape-redundant r2-cohort member:
+#     new (2): similarity_incremental (rolling-corpus IVF index — the
+#       similarity twin of r5's incremental dedup family),
+#       dedup_minhash_capped (the max_bucket production guard, oracled
+#       equal to exhaustive LSH on the clean corpus). Displaced to r7:
+#       window_ntile (its one-task global window shape is covered
+#       in-window by window_ntile_scalable, which computes the same
+#       ntiles the scalable way) and dataset_mixture (weighted
+#       sample-union shape covered by in-window sample_deterministic
+#       plus the r5-green dataset_mixture_epochs/sample_quality_weighted).
 #     r1 slot-donors (12): join_cross, sort_limit, union_all,
 #       histogram_prices, set_except_all, q4_order_priority,
 #       q14_promo_revenue, distinct_set, agg_string_concat, agg_cube,
 #       agg_grouping_sets, join_right
-#     r2 cohort (37): zorder_roundtrip, join_skew_salted, q18_large_orders,
+#     r2 cohort (35): zorder_roundtrip, join_skew_salted, q18_large_orders,
 #       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
 #       q11_important_stock, q13_customer_distribution,
 #       q16_supplier_relationship, q20_excess_suppliers,
-#       q21_waiting_suppliers, window_rank, window_running, window_ntile,
+#       q21_waiting_suppliers, window_rank, window_running,
 #       window_ntile_scalable, string_funcs, date_funcs, math_funcs,
 #       array_hof_funcs, dedup_exact, text_decontaminate,
 #       dedup_ngram_jaccard, dedup_embedding_cosine, similarity_topk,
 #       text_lang_profile, text_quality, text_token_topk, multimodal_meta,
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
-#       merge_upsert, scd2_history, sample_deterministic, dataset_mixture,
+#       merge_upsert, scd2_history, sample_deterministic,
 #       docs_pack_sequences, text_pii_scrub
 #     r3 backfill (1): json_expand
-#     (orc_roundtrip, parquet_schema_merge, table_profile,
-#      agg_quantile_bins, agg_regression, events_retention_cohorts,
-#      events_transition_matrix, and events_rolling_distinct_users slip
-#      to round 7 — the 8 extra r1 donors displaced them)
+#   round 7 plan: the 8 displaced r3 queries (orc_roundtrip,
+#     parquet_schema_merge, table_profile, agg_quantile_bins,
+#     agg_regression, events_retention_cohorts, events_transition_matrix,
+#     events_rolling_distinct_users) + window_ntile + dataset_mixture +
+#     the 12 r1 donors listed above (last green r6) rotate behind
+#     whatever round 7 adds; oldest-green-first stays the rule.
 _PRIORITY = [
-    # -- never-green re-checks --
-    "docs_token_budget",  # red r4: oracle HUGEINT widening, now CAST
-    "embedding_pca",  # invariant oracle ready since r4, first window slot
-    # -- new this round: incremental near-dup dedup vs stored indexes
-    #    (MinHash signature index + SimHash pigeonhole index) and the
-    #    cross-source near-dup overlap matrix --
-    "dedup_incremental_fuzzy",
-    "dedup_source_overlap",
-    "dedup_incremental_simhash",
-    "dedup_incremental_embedding",
-    # -- new this session: corpus-wide boilerplate line dedup (CCNet
-    #    shape), SemDeDup semantic dedup, and exact-integer Lloyd's
-    #    k-means (each hash-oracled; three more r1 slots donated:
-    #    set_except_all's ExceptAll is shape-covered by in-window
-    #    set_except + union_distinct, q4's EXISTS semi-join by in-window
-    #    join_semi + in_subquery, q14's join+conditional agg by in-window
-    #    q5/q9/q12 — all three rotate in next round with the r2 cohort) --
-    "corpus_line_dedup",
-    "dedup_semantic",
-    "cluster_kmeans",
-    # -- epoch-upsampling mixture (hash-gated fractional epochs; slot
-    #    donated by distinct_set, whose distinct hash-agg is shape-covered
-    #    by in-window union_distinct + dedup family) --
-    "dataset_mixture_epochs",
-    # -- C4-style text normalization (noise-decorated input so every rule
-    #    fires; slot donated by agg_string_concat, whose ordered
-    #    collect-and-concat agg is shape-covered by in-window
-    #    corpus_line_dedup's reassembly) --
-    "text_normalize",
-    # -- the published SemDeDup composition (k-means cells + per-cell
-    #    dedup, oracled end-to-end; slot donated by agg_cube, whose
-    #    Expand shape is covered in-window by agg_rollup +
-    #    agg_grouping_sets) --
-    "dedup_semantic_kmeans",
-    # -- rolling ingest through the real streaming engine (checkpointed
-    #    batch sequencing + persisted index + idempotent batch-keyed
-    #    overwrite, oracled as a first-arrival fixpoint; slot donated by
-    #    agg_grouping_sets — in-window agg_rollup keeps the Expand shape
-    #    covered) --
-    "streaming_incremental_dedup",
-    # -- quality-weighted sampling (DCLM shape: P(keep) ~ quality, md5
-    #    gated; slot donated by join_right — in-window join_left +
-    #    join_full cover the outer-join physical shapes in both build
-    #    directions) --
-    "sample_quality_weighted",
-    # -- the round-1-only greens (stalest cohort), minus the nine slot
-    #    donors (sort_limit, union_all, join_cross, histogram_prices,
-    #    set_except_all, q4_order_priority, q14_promo_revenue,
-    #    distinct_set, agg_string_concat, agg_cube, agg_grouping_sets,
-    #    join_right) --
-    # aggregations
-    "agg_argminmax",
-    "agg_corr",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    # joins (all 10 types + specials)
-    "join_inner",
-    "join_left",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_range",
-    "join_interval_overlap",
-    # set ops + distinct
-    "set_except",
-    "set_intersect",
-    "union_distinct",
-    # subqueries
-    "in_subquery",
-    "scalar_subquery",
-    # reshaping
-    "pivot_status",
-    "unpivot_measures",
-    # sources + entrypoints
-    "latest_partition",
-    "sql_entrypoint",
-    # timeseries
-    "events_funnel",
-    "timeseries_gapfill",
-    # TPC-H round-1 cohort
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_top_customers",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q17_small_quantity",
+    # -- new this round (registry invariant: never-driver-seen queries
+    #    enter the window) --
+    "similarity_incremental",
+    "dedup_minhash_capped",
+    # -- r1 slot-donors from rounds 4-5, last driver-green in round 1 --
+    "join_cross",
+    "sort_limit",
+    "union_all",
+    "histogram_prices",
+    "set_except_all",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "distinct_set",
+    "agg_string_concat",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_right",
+    # -- the full round-2 cohort (35 after the two displacements above),
+    #    last driver-green in round 2 --
+    "zorder_roundtrip",
+    "join_skew_salted",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q16_supplier_relationship",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "window_rank",
+    "window_running",
+    "window_ntile_scalable",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_hof_funcs",
+    "dedup_exact",
+    "text_decontaminate",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "text_lang_profile",
+    "text_quality",
+    "text_token_topk",
+    "multimodal_meta",
+    "multimodal_features",
+    "docs_prep_pipeline",
+    "dedup_edit_distance",
+    "merge_upsert",
+    "scd2_history",
+    "sample_deterministic",
+    "docs_pack_sequences",
+    "text_pii_scrub",
+    # -- r3 backfill --
+    "json_expand",
 ]
 
 

@@ -241,7 +241,11 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest (n_chars-best) docs until 2 000 tokens are covered — the
     training-mix governor when the target is tokens per source, not doc
     counts. One partitioned window shuffle (never a global sort).
-    operators.corpus.token_budget_cap."""
+    operators.corpus.token_budget_cap. The whitespace count here is the
+    SQL-twin-provable stand-in; production swaps in a real-vocabulary
+    count upstream via operators.text.count_tokens (pluggable
+    tokenize_fn, worker-side probe, deterministic in-sandbox fallback) —
+    token_budget_cap takes the count as a column either way."""
     from ..operators.corpus import token_budget_cap
 
     d = _t(spark, sf_dir, "documents").withColumn(

@@ -139,6 +139,58 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_capped",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS sh
+    FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
+""",
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash with the PRODUCTION skew guard engaged: band buckets
+    wider than ``max_bucket=100`` are structurally dropped before the
+    candidate self-join (operators/dedup.py:minhash_lsh_candidates). On a
+    clean corpus the cap is a no-op — the widest band bucket in every
+    fixture is 4 (probed at sf0.001/0.01/0.1), so this query is oracled
+    against the SAME exhaustive all-pairs Jaccard twin as dedup_minhash:
+    a hash match proves the GUARDED code path (the one you'd actually run
+    at 100 TB, where one boilerplate bucket of 10^6 docs is 10^12 pairs)
+    loses zero recall when no bucket exceeds the cap. The adversarial
+    case — a 40-doc byte-identical clique contributing zero candidates
+    while normal clusters still surface — is asserted in
+    tests/test_dedup.py::test_lsh_max_bucket_caps_degenerate_buckets,
+    and zero collateral loss under a 1000-doc bomb in
+    tests/test_dedup.py::test_capped_lsh_zero_collateral_on_clean_docs."""
+    from ..operators.dedup import verified_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return verified_near_duplicates(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        jaccard_threshold=0.9,
+        max_bucket=100,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "dedup_source_overlap",
     oracle="""
 WITH w AS (
@@ -562,6 +614,43 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(ann, exact, min_recall=0.45)
 
 
+@query("similarity_incremental", oracle=_ANN_SHAPE_ORACLE)
+def similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-corpus ANN — the similarity twin of the round-5 incremental
+    dedup family: 75% of the embeddings (vec_id % 4 != 3) build a
+    PERSISTED IVF index (centroids parquet + assignments partitioned by
+    (batch_seq, cell)); the remaining 25% arrive as a later batch and are
+    ingested MAP-ONLY against the stored centroids (history never re-read,
+    never shuffled; batch-keyed dynamic overwrite makes replays
+    idempotent — the streaming/pipeline.py contract). Top-5 search then
+    runs against the persisted index (probe 4/16 cells) and is audited
+    in-engine against exact brute force over the same 20 queries with a
+    recall@5 floor of 0.70 (measured 0.84-0.89 across SFs — same margin
+    discipline as similarity_ivf; drift-triggered retrain is exercised in
+    tests/test_similarity.py, not here). Incrementality pattern ~
+    reference batch_processing_IaC.py:300-304 (Glue job bookmarks)."""
+    import tempfile
+
+    from ..operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    history = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)
+    base = tempfile.mkdtemp(prefix="ivfidx_")
+    build_ivf_index(history, base, n_centroids=16, batch_id=0)
+    append_to_ivf_index(
+        batch, base, batch_id=1, drift_floor=-0.5, max_drift_frac=0.5
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    ann = ivf_index_topk(spark, q, base, k=5, n_probe=4)
+    exact = brute_force_topk(e, q, k=5)
+    return _ann_recall_summary(ann, exact, min_recall=0.70)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -593,7 +682,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'),
+           list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> '') AS toks,
            text
     FROM documents
@@ -656,7 +745,10 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_gopher_filter",
     oracle="""
 WITH t AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
 ), q AS (
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_tokens,
@@ -1034,7 +1126,8 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id, source, text,
-           string_split(lower(text), ' ') AS toks
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
     FROM documents
 ), q AS (
     SELECT doc_id, source, text,
@@ -1878,15 +1971,21 @@ WITH w AS (
         0, greatest(CAST(ceil(len(words)/10.0) AS INT)-1, 0))) AS t(i)
 ), dfq AS (
     SELECT seg, count(DISTINCT doc_id) AS dfreq FROM seg GROUP BY seg
+), agg AS (
+    SELECT s.doc_id,
+           coalesce(string_agg(CASE WHEN d.dfreq <= 2 THEN s.seg END,
+                               ' ' ORDER BY s.seg_idx), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN d.dfreq > 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM seg s JOIN dfq d USING (seg)
+    GROUP BY s.doc_id
 )
-SELECT s.doc_id,
-       coalesce(string_agg(CASE WHEN d.dfreq <= 2 THEN s.seg END,
-                           ' ' ORDER BY s.seg_idx), '') AS text_clean,
-       CAST(count(*) AS BIGINT) AS n_segments,
-       CAST(sum(CASE WHEN d.dfreq > 2 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_dropped
-FROM seg s JOIN dfq d USING (seg)
-GROUP BY s.doc_id
+SELECT doc.doc_id,
+       coalesce(a.text_clean, '')               AS text_clean,
+       coalesce(a.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+       coalesce(a.n_dropped, CAST(0 AS BIGINT))  AS n_dropped
+FROM documents doc LEFT JOIN agg a USING (doc_id)
 """,
 )
 def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

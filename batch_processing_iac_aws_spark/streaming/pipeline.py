@@ -238,8 +238,6 @@ def run_streaming_ingest_dedup(
     keep-first, one anti-join shipping 32-byte digests against an index
     ~3 orders smaller than the corpus (bucket the index by hash to make
     it shuffle-free on the history side), map-only writes."""
-    from pyspark.sql import Window
-
     schema = (
         spark.read.format("parquet").load(source_dir).schema
     )
@@ -250,49 +248,13 @@ def run_streaming_ingest_dedup(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        hashed = batch_df.withColumn(
-            "content_hash", F.sha2(F.col(text_col), 256)
-        )
-        # within-batch keep-first (lowest id per hash)
-        w = Window.partitionBy("content_hash").orderBy(id_col)
-        firsts = (
-            hashed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        from pyspark.errors import AnalysisException
-
-        try:
-            index = spark.read.parquet(index_dir).select("content_hash")
-        except AnalysisException as e:
-            # ONLY a missing index dir means "first batch". Any other read
-            # failure (storage error, corrupted footer) must raise: treating
-            # it as first-batch would silently skip the anti-join, ingest
-            # every duplicate, AND append their hashes to the index —
-            # permanent corpus duplication with no error surfaced.
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            index = None
-        survivors = (
-            firsts
-            if index is None
-            else firsts.join(index, "content_hash", "left_anti")
-        )
-        survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
-        (
-            survivors.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_seq")
-            .parquet(table_dir)
-        )
-        (
-            survivors.select("content_hash", "batch_seq")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_seq")
-            .parquet(index_dir)
+        ingest_dedup_batch(
+            batch_df,
+            batch_id,
+            table_dir=table_dir,
+            index_dir=index_dir,
+            id_col=id_col,
+            text_col=text_col,
         )
 
     q = (
@@ -302,6 +264,79 @@ def run_streaming_ingest_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    table_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the rolling-ingest dedup — module-level so the
+    crash/replay contract is directly testable outside the streaming
+    engine (tests/test_streaming.py replays it mid-crash-window).
+
+    Idempotent for EVERY crash point under a replay-stable ``batch_id``:
+    both writes are dynamic-partition overwrites keyed by batch_seq, and
+    the index read EXCLUDES the batch's own partition — a crash after the
+    index write but before checkpoint commit would otherwise leave the
+    retry anti-joining against its own partial output, shrinking the
+    batch to the complement subset and permanently losing rows from both
+    the table and the index."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    hashed = batch_df.withColumn(
+        "content_hash", F.sha2(F.col(text_col), 256)
+    )
+    # within-batch keep-first (lowest id per hash)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    firsts = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch_seq") != F.lit(batch_id))
+            .select("content_hash")
+        )
+    except AnalysisException as e:
+        # ONLY a missing index dir means "first batch". Any other read
+        # failure (storage error, corrupted footer) must raise: treating
+        # it as first-batch would silently skip the anti-join, ingest
+        # every duplicate, AND append their hashes to the index —
+        # permanent corpus duplication with no error surfaced.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        index = None
+    survivors = (
+        firsts
+        if index is None
+        else firsts.join(index, "content_hash", "left_anti")
+    )
+    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(table_dir)
+    )
+    (
+        survivors.select("content_hash", "batch_seq")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(index_dir)
+    )
 
 
 def drain_to_memory(

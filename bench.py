@@ -8,10 +8,16 @@ count/collect of the final frame), twice:
 
 * cold (first run) — includes codegen compile + Python-worker startup; this
   is what `value`/`queries` report, comparable across rounds;
-* warm (second run) — the data-path time once codegen/worker pools are hot;
-  reported as `value_warm`/`queries_warm`. Cold-vs-warm separates fixed
-  JIT/compile overhead (irrelevant at 100 TB, where it amortizes to zero)
-  from the scan/shuffle/compute time that actually scales with data.
+* warm — the data-path time once codegen/worker pools are hot, reported
+  as `value_warm`/`queries_warm`. Since round 6 the warm number is the
+  MEDIAN OF 3 iterations with the per-query (max-min) spread published in
+  `queries_warm_spread`, so a regression is a trend, not a coin flip
+  (round 5's 1.17x-published vs 1.08x-rerun ambiguity was exactly one
+  noisy sample). Cold-vs-warm separates fixed JIT/compile overhead
+  (irrelevant at 100 TB, where it amortizes to zero) from the
+  scan/shuffle/compute time that actually scales with data. Every run
+  also appends its full record (plus load-average machine state) to
+  BENCH_HISTORY.jsonl for trend reads across rounds.
 
 The headline set spans the engine's surface: reference-parity expansion,
 TPC-H-style joins/aggs, windows, dedup (exact + MinHash-LSH + SimHash +
@@ -68,13 +74,25 @@ HEADLINE = [
     "cluster_kmeans",
     "dedup_semantic_kmeans",
     "text_normalize",
+    # round 6: persisted rolling-corpus IVF index + capped-LSH prod guard
+    "similarity_incremental",
+    "dedup_minhash_capped",
 ]
+
+WARM_ITERS = 3
+
+
+def _median(xs: list[float]) -> float:
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load0 = os.getloadavg()[0]
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,32 +102,49 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         n = QUERIES[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t1, 3)
+        samples = []
+        for _ in range(WARM_ITERS):
+            t1 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t1)
+        warm[name] = round(_median(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
         print(
-            f"# {name}: {cold[name]}s cold / {warm[name]}s warm ({n} rows)",
+            f"# {name}: {cold[name]}s cold / {warm[name]}s warm median "
+            f"(±{spread[name]}s over {WARM_ITERS}) ({n} rows)",
             flush=True,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(cold.values()), 3),
-                "unit": "sec",
-                "queries": cold,
-                "value_warm": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "queries_warm_spread": spread,
+        "warm_iters": WARM_ITERS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(record), flush=True)
+    try:  # per-query trend ledger: regression = trend, not coin flip
+        hist = dict(record)
+        hist["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        hist["load_avg_start"] = load0
+        hist["load_avg_end"] = os.getloadavg()[0]
+        hist["cpus"] = cpus
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_HISTORY.jsonl"), "a"
+        ) as fh:
+            fh.write(json.dumps(hist) + "\n")
+    except OSError:
+        pass  # history is best-effort; the stdout contract is the product
     spark.stop()
 
 

@@ -443,3 +443,42 @@ def test_incremental_simhash_family_guard_and_prechunked_layout(spark):
         ).collect()
     )
     assert via_compact == via_chunked == [12]
+
+
+def test_capped_lsh_zero_collateral_on_clean_docs(spark):
+    """Promotes the ARCHITECTURE.md boilerplate-bomb measurement to an
+    assertion: inject a 200-doc byte-identical clique into the real
+    sf0.001 corpus; with max_bucket=100 the capped run must produce
+    EXACTLY the clean corpus's verified near-dup pairs — the bomb
+    contributes zero candidates and costs zero recall on clean content
+    (the guarantee dedup_minhash_capped's oracle equality rests on)."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        verified_near_duplicates,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    bomb = spark.createDataFrame(
+        [(1_000_000 + i, "identical boilerplate template text repeated "
+                         "verbatim on every page of the site")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    clean_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in verified_near_duplicates(
+            docs, jaccard_threshold=0.9, max_bucket=100
+        ).collect()
+    }
+    bombed_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in verified_near_duplicates(
+            docs.unionByName(bomb), jaccard_threshold=0.9, max_bucket=100
+        ).collect()
+    }
+    assert bombed_pairs == clean_pairs  # bomb gone, zero collateral loss
+    assert all(a < 1_000_000 and b < 1_000_000 for a, b in bombed_pairs)

@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 184
-    assert len(ORACLES) == 182
+    assert len(QUERIES) == 186
+    assert len(ORACLES) == 184
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -54,18 +54,15 @@ def _ever_driver_confirmed() -> set[str]:
     return seen
 
 
-def test_first_50_is_the_round5_rotation_window():
-    """Rotation policy: the round-5 window = the two fixable never-greens
-    (docs_token_budget after its oracle-CAST fix, embedding_pca with its
-    r4 invariant oracle), the four queries new this round (the
-    incremental near-dup family vs stored indexes — MinHash, SimHash,
-    embedding — plus the cross-source overlap matrix), the five
-    hash-oracled queries added later in the round (corpus-wide line
-    dedup, SemDeDup, exact-integer k-means, epoch-upsampling mixture,
-    C4 text normalization, the k-means SemDeDup composition, the
-    streaming rolling-ingest dedup, quality-weighted sampling), and
-    the stalest cohort — 36 of the 48
-    round-1-only greens, unvisited by the driver since round 1."""
+def test_first_50_is_the_round6_rotation_window():
+    """Rotation policy: the round-6 window = the two queries new this
+    round (similarity_incremental — the persisted rolling-corpus IVF
+    index; dedup_minhash_capped — the max_bucket production guard oracled
+    equal to exhaustive LSH on the clean corpus) + the staleness-debt
+    cohorts exactly as pinned at the end of round 5: the 12 r1 slot
+    donors (last green r1), 35 of the 37-query r2 cohort (window_ntile
+    and dataset_mixture displaced to r7 by the two new queries — both
+    shape-covered in-window), and the json_expand r3 backfill."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the

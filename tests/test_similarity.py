@@ -218,3 +218,100 @@ def test_incremental_embedding_dedup_matches_numpy(spark, emb):
         out.explain("formatted")
     txt = buf.getvalue()
     assert "BroadcastExchange" in txt
+
+
+def test_ivf_index_roundtrip_matches_in_memory(spark, emb, tmp_path):
+    """Persisted-index search == in-memory ivf_topk when the index holds
+    the same corpus and centroids (build on the full corpus: identical
+    deterministic init), so the parquet round-trip (centroids +
+    cell-partitioned assignments) loses nothing."""
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=16)
+    q = emb.filter("vec_id < 10")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_index_topk(spark, q, idx, k=5, n_probe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, q, k=5, n_probe=4, n_centroids=16).collect()
+    }
+    assert got == want
+
+
+def test_ivf_index_incremental_append_and_replay(spark, emb, tmp_path):
+    """Map-only batch ingest: history builds the index, a later batch
+    appends against the STORED centroids (no retrain for in-distribution
+    data), search sees the full corpus, and replaying the same batch_id
+    (the crash/retry path) does not duplicate index rows."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf")
+    history = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    build_ivf_index(history, idx, n_centroids=16, batch_id=0)
+    retrained = append_to_ivf_index(
+        batch, idx, batch_id=1, drift_floor=-0.5, max_drift_frac=0.5
+    )
+    assert retrained is False
+    total = emb.count()
+    stored = spark.read.parquet(f"{idx}/assignments")
+    assert stored.count() == total
+    # replay the same batch under the same batch_id: a fixpoint
+    append_to_ivf_index(
+        batch, idx, batch_id=1, drift_floor=-0.5, max_drift_frac=0.5
+    )
+    assert spark.read.parquet(f"{idx}/assignments").count() == total
+    # a batch vector is findable through the persisted index
+    some_batch_id = batch.select("vec_id").orderBy("vec_id").first()[0]
+    q = emb.filter(F.col("vec_id") == some_batch_id)
+    res = ivf_index_topk(spark, q, idx, k=5, n_probe=16).collect()
+    assert len(res) == 5  # full probe => exact top-5 over everything
+
+
+def test_ivf_index_drift_triggers_retrain(spark, emb, tmp_path):
+    """Out-of-distribution batch (vectors orthogonal-ish to the corpus:
+    all mass on one dimension, far from every stored centroid) trips the
+    drift gate; the retrain rebuilds centroids from old + new WITHOUT the
+    caller replaying history, and the new batch lands in real cells."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        read_ivf_centroids,
+    )
+
+    idx = str(tmp_path / "ivf")
+    dim = len(emb.first()["embedding"])
+    build_ivf_index(emb, idx, n_centroids=8, batch_id=0)
+    before = read_ivf_centroids(spark, idx)
+    spike = [0.0] * dim
+    spike[0] = 100.0
+    ood = spark.createDataFrame(
+        [(10_000 + i, [x * (1 + 0.001 * i) for x in spike]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    # drift_floor=0.95: corpus vectors are near-random, an OOD spike won't
+    # cosine-match any centroid at 0.95
+    retrained = append_to_ivf_index(
+        ood, idx, batch_id=1, drift_floor=0.95, max_drift_frac=0.25
+    )
+    assert retrained is True
+    after = read_ivf_centroids(spark, idx)
+    assert [c for _, c in after] != [c for _, c in before]
+    stored = spark.read.parquet(f"{idx}/assignments")
+    assert stored.count() == emb.count() + 5
+    assert stored.filter(F.col("id") >= 10_000).count() == 5

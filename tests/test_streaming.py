@@ -283,3 +283,59 @@ def test_streaming_ingest_dedup_exactly_once_across_restarts(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 2, 5]
+
+
+def test_ingest_batch_replay_idempotent_after_partial_index_write(
+    spark, tmp_path
+):
+    """The crash-window contract (module-level ingest_dedup_batch, the
+    exact function foreachBatch runs): a batch crashes AFTER its index
+    partition is (partially or fully) written but BEFORE the checkpoint
+    commits, so the replay re-runs under the same batch_id. The replay
+    must NOT anti-join against its own partial index partition — that
+    would shrink the batch to the complement subset and permanently lose
+    rows from both table and index."""
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_dedup_batch,
+    )
+
+    table, index = str(tmp_path / "table"), str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    ingest_dedup_batch(b0, 0, table_dir=table, index_dir=index)
+
+    # batch 1: docs 3 (new), 4 (dup of batch-0's aaa), 5 (new).
+    # Simulate the crash: batch 1's index partition already holds doc 3's
+    # hash (the partial write), then the replay runs the full batch.
+    import pyspark.sql.functions as F
+
+    partial = (
+        spark.createDataFrame([(3, "ccc")], "doc_id long, text string")
+        .select(
+            F.sha2("text", 256).alias("content_hash"),
+            F.lit(1).alias("batch_seq"),
+        )
+    )
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_seq").parquet(index)
+
+    b1 = spark.createDataFrame(
+        [(3, "ccc"), (4, "aaa"), (5, "ddd")], "doc_id long, text string"
+    )
+    ingest_dedup_batch(b1, 1, table_dir=table, index_dir=index)
+
+    # doc 3 must SURVIVE the replay (its own partial index entry must not
+    # kill it); doc 4 still dedups against batch 0's persisted hash
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2, 3, 5]
+    idx = spark.read.parquet(index)
+    assert idx.count() == 4  # aaa,bbb from b0 + ccc,ddd from b1
+    # and a SECOND full replay of the same batch is still a fixpoint
+    ingest_dedup_batch(b1, 1, table_dir=table, index_dir=index)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2, 3, 5]
+    assert spark.read.parquet(index).count() == 4
