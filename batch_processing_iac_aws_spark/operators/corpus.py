@@ -103,6 +103,45 @@ def dataset_mixture(
     return out
 
 
+def balanced_shards(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign rows to ``n_shards`` with near-equal total weight — the
+    shard layout step before writing pretraining data, where every shard
+    (file group / worker) should carry the same token mass or the slowest
+    shard gates the epoch. Deterministic serpentine (boustrophedon) LPT
+    approximation: order rows by weight DESC (id tiebreak), then walk
+    shards 0..k-1, k-1..0, repeating — each round of 2k rows adds one
+    heavy+one light item per shard, so totals stay within one max-weight
+    of each other without any sequential state.
+
+    Scale shape: the global order comes from operators.ranking's
+    two-pass range-shuffle row_number (never a one-task window), and the
+    shard formula is a map-only expression on the rank — one range
+    shuffle total, deterministic on any partitioning, SQL-twin-exact."""
+    from .ranking import global_row_number
+
+    ordered = df.withColumn(
+        "__negw", -F.col(weight_col).cast("double")
+    )
+    ranked = global_row_number(ordered, "__negw", id_col, out="__rn")
+    fold = (F.col("__rn") - 1) % (2 * n_shards)
+    return (
+        ranked.withColumn(
+            out_col,
+            F.when(fold < n_shards, fold)
+            .otherwise(2 * n_shards - 1 - fold)
+            .cast("int"),
+        )
+        .drop("__negw", "__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

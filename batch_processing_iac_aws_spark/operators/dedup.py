@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 # Mersenne prime 2^31 - 1: keeps a*h+b inside signed-64 without overflow
 # (h is first folded into [0, P), and a,b < P, so a*h+b < 2^62).
@@ -600,6 +600,59 @@ def fuzzy_dedup_keep_one(
     return df.join(losers, id_col, "left_anti")
 
 
+def fuzzy_dedup_keep_best(
+    df: DataFrame,
+    *,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`fuzzy_dedup_keep_one` with QUALITY-AWARE representative
+    selection: per near-duplicate cluster the ``quality_col``-best member
+    survives (ties to the lowest id) instead of the lowest id — the
+    production knob when duplicates differ (truncated vs full page,
+    boilerplate-wrapped vs clean extraction) and you want to keep the
+    best copy, not the first-crawled one.
+
+    Same LSH -> exact-verify -> connected-components preamble (shared
+    code, shared cost); the selection adds one broadcast-sized join of
+    (id, quality) onto the component table — which is EDGE-list sized
+    (duplicates only), orders of magnitude smaller than the corpus — and
+    one window over components. Nothing corpus-sized shuffles beyond the
+    shared preamble."""
+    verified = verified_near_duplicates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    quality = df.select(
+        F.col(id_col).alias("vertex"), F.col(quality_col).alias("__q")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("vertex")
+    )
+    losers = (
+        comp.join(quality, "vertex")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("vertex").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def chunked_simhash(
     sh: DataFrame, *, id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
@@ -690,6 +743,107 @@ def incremental_dedup(
     repeat itself internally."""
     hashed = batch.withColumn(index_col, F.sha2(F.col(text_col), 256))
     return hashed.join(history_index, index_col, "left_anti")
+
+
+def _bloom_positions(
+    hash_col: Column, *, m_bits: int, n_hashes: int
+) -> Column:
+    """``array<long>`` of Bloom bit positions for one content hash:
+    position_i = lower-60-bit md5 of ``hash:i`` mod ``m_bits`` — the
+    engine-portable md5 family (plans/llm.py:_md5_lower60 arithmetic), so
+    a DuckDB twin can reproduce build AND probe bit-exactly. ``m_bits``
+    must be a power of two: (x % 2^60) % m == x % m only then, which is
+    what keeps the two-step form identical across engines."""
+    def pos(i: int) -> Column:
+        m = F.md5(F.concat(hash_col, F.lit(f":{i}")))
+        le = F.concat(*[F.substring(m, 31 - 2 * j, 2) for j in range(8)])
+        return F.conv(F.substring(le, 2, 15), 16, 10).cast("long") % m_bits
+
+    return F.array(*[pos(i) for i in range(n_hashes)])
+
+
+def build_bloom_index(
+    history: DataFrame,
+    *,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Distinct Bloom bit positions set by the history corpus — the
+    MEMBERSHIP SUMMARY a rolling ingest broadcasts instead of shuffling
+    the full fingerprint index against every batch. One history pass:
+    hash -> ``n_hashes`` positions (map-only explode) -> distinct (the
+    only shuffle, output bounded by ``m_bits`` rows of one long each).
+    Persist it like the signature indexes; rebuild is incremental too
+    (union + distinct — bits only turn on)."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return (
+        history.select(F.sha2(F.col(text_col), 256).alias("__h"))
+        .select(
+            F.explode(
+                _bloom_positions(
+                    F.col("__h"), m_bits=m_bits, n_hashes=n_hashes
+                )
+            ).alias("bloom_pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_prefilter_dedup(
+    batch: DataFrame,
+    history_index: DataFrame,
+    bloom: DataFrame,
+    *,
+    text_col: str = "text",
+    index_col: str = "content_hash",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Exact incremental dedup with a Bloom PREFILTER: batch rows whose
+    ``n_hashes`` bit positions are not all set in ``bloom`` are DEFINITELY
+    new (Bloom filters have no false negatives when build and probe share
+    the hash family — here literally the same :func:`_bloom_positions`
+    expression) and skip the anti-join entirely; only the candidates
+    (true duplicates + the ~fpp false-positive sliver) verify against the
+    real fingerprint index. The result is EXACT — bit-identical to the
+    plain anti-join, which is what the registered oracle asserts; a
+    build/probe arithmetic mismatch would create false negatives and show
+    up as surviving duplicates, so the hash equality proves the plumbing.
+
+    Scale shape: the bloom table is at most ``m_bits`` rows of one long
+    (8 MiB at 2^20) — broadcast, so the prefilter pass is MAP-ONLY over
+    the batch; the anti-join's probe side shrinks from |batch| to
+    |dups| + fpp*|batch|, which is the whole point when 99% of a crawl
+    batch is new content and the history index is 10^10 rows. Size
+    ``m_bits`` ~ 10-15 bits per history doc for ~0.1-1% fpp; beyond
+    broadcast range, shard the position table by position prefix and the
+    probe becomes a bucketed equi-join instead (same arithmetic).
+    Engine-portable md5 positions keep it oracle-able; swap
+    ``xxhash64(hash, i)`` in for raw JVM speed once differentially
+    proven, as dedup_simhash does."""
+    hashed = batch.withColumn(index_col, F.sha2(F.col(text_col), 256))
+    probed = (
+        hashed.select(
+            index_col,
+            F.posexplode(
+                _bloom_positions(
+                    F.col(index_col), m_bits=m_bits, n_hashes=n_hashes
+                )
+            ).alias("__i", "bloom_pos"),
+        )
+        .join(F.broadcast(bloom.withColumn("__hit", F.lit(1))),
+              "bloom_pos", "left")
+        .groupBy(index_col)
+        .agg(F.count("__hit").alias("__hits"))
+    )
+    definite_new = probed.filter(F.col("__hits") < n_hashes).select(index_col)
+    candidates = probed.filter(F.col("__hits") == n_hashes).select(index_col)
+    verified_new = candidates.join(history_index, index_col, "left_anti")
+    return hashed.join(
+        definite_new.unionByName(verified_new), index_col, "left_semi"
+    )
 
 
 def incremental_fuzzy_dedup(

@@ -968,42 +968,41 @@ def kmeans_exact(
     cents = [
         [int(x) * centroid_scale for x in r["__xq"]] for r in init_rows
     ]
-    dfq = dfq.cache()
-    try:
-        assigned = None
-        for t in range(iters):
-            assigned = dfq.withColumn(
-                "cluster",
-                _nearest_centroid_udf(cents, centroid_scale)(
-                    F.col("__xq")
-                ),
-            )
-            if t == iters - 1:
-                break  # final round is assignment-only
-            upd = (
-                assigned.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    *[
-                        F.sum(F.col("__xq")[i]).alias(f"__s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            for r in upd:
-                n = r["__n"]
-                cents[r["cluster"]] = [
-                    (int(r[f"__s{i}"]) * centroid_scale) // n
+    # Materialize the quantized input with an eager localCheckpoint, NOT
+    # .cache(): every iteration (and the returned frame) reads the same
+    # pinned blocks, but — unlike a cache this function could never
+    # safely unpersist (the returned lazy frame keeps referencing it) —
+    # checkpoint blocks are released by the ContextCleaner once the RDD
+    # is GC'd, so repeated calls in a long-lived session don't
+    # accumulate pinned partitions. The returned frame stays a pure
+    # Arrow-assignment map over the checkpointed scan (plan-asserted in
+    # tests/test_plans.py).
+    dfq = dfq.localCheckpoint(eager=True)
+    assigned = None
+    for t in range(iters):
+        assigned = dfq.withColumn(
+            "cluster",
+            _nearest_centroid_udf(cents, centroid_scale)(F.col("__xq")),
+        )
+        if t == iters - 1:
+            break  # final round is assignment-only
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("__xq")[i]).alias(f"__s{i}")
                     for i in range(dim)
-                ]
-        # eager localCheckpoint: the returned frame no longer references
-        # dfq, so the finally-unpersist can't trigger a recompute, and —
-        # unlike a .cache() left pinned — checkpoint blocks are released
-        # by the ContextCleaner once the RDD is GC'd, so repeated calls
-        # in a long-lived session don't accumulate pinned partitions.
-        return assigned.select(
-            F.col(id_col), F.col("cluster").cast("long")
-        ).localCheckpoint(eager=True)
-    finally:
-        dfq.unpersist()
+                ],
+            )
+            .collect()
+        )
+        for r in upd:
+            n = r["__n"]
+            cents[r["cluster"]] = [
+                (int(r[f"__s{i}"]) * centroid_scale) // n
+                for i in range(dim)
+            ]
+    return assigned.select(
+        F.col(id_col), F.col("cluster").cast("long")
+    )

@@ -73,36 +73,60 @@ from . import quality  # noqa: E402,F401
 #     except 2 slots go to the queries NEW this round (the registry
 #     invariant: never-driver-seen queries must be in the window), each
 #     displacing the most shape-redundant r2-cohort member:
-#     new (2): similarity_incremental (rolling-corpus IVF index — the
+#     new (4): similarity_incremental (rolling-corpus IVF index — the
 #       similarity twin of r5's incremental dedup family),
 #       dedup_minhash_capped (the max_bucket production guard, oracled
-#       equal to exhaustive LSH on the clean corpus). Displaced to r7:
+#       equal to exhaustive LSH on the clean corpus),
+#       dedup_bloom_prefilter (broadcast membership-summary prefilter in
+#       front of the exact anti-join — definitely-new docs skip the join;
+#       oracle equality proves the no-false-negative plumbing), and
+#       docs_balanced_shards (token-balanced serpentine sharding over the
+#       scalable two-pass global rank), and streaming_incremental_ann
+#       (the rolling-corpus ANN composition through the real streaming
+#       engine — first batch trains the persisted IVF index, later
+#       batches ingest map-only under checkpointed sequencing; the
+#       similarity twin of r5's streaming_incremental_dedup headline),
+#       and dedup_keep_best (quality-aware cluster representative —
+#       keep the n_chars-best duplicate, not the lowest id; oracled
+#       end-to-end through the recursive-CTE closure + argmax rule).
+#       Displaced to r7:
 #       window_ntile (its one-task global window shape is covered
 #       in-window by window_ntile_scalable, which computes the same
-#       ntiles the scalable way) and dataset_mixture (weighted
+#       ntiles the scalable way), dataset_mixture (weighted
 #       sample-union shape covered by in-window sample_deterministic
-#       plus the r5-green dataset_mixture_epochs/sample_quality_weighted).
+#       plus the r5-green dataset_mixture_epochs/sample_quality_weighted),
+#       dedup_ngram_jaccard (its shingle-explode + exact-Jaccard shape is
+#       exactly in-window dedup_minhash_capped's verify stage, on the
+#       same shingle definition), math_funcs (map-only scalar
+#       projection — string_funcs + date_funcs keep that plan shape
+#       covered in-window), multimodal_meta (binary+meta-struct
+#       projection — in-window multimodal_features exercises the same
+#       media schema through the full Arrow mapInPandas path), and
+#       sample_deterministic (the md5-prefix gate arithmetic is proven
+#       green in r5 by sample_quality_weighted and
+#       dataset_mixture_epochs, which gate on the identical expression).
 #     r1 slot-donors (12): join_cross, sort_limit, union_all,
 #       histogram_prices, set_except_all, q4_order_priority,
 #       q14_promo_revenue, distinct_set, agg_string_concat, agg_cube,
 #       agg_grouping_sets, join_right
-#     r2 cohort (35): zorder_roundtrip, join_skew_salted, q18_large_orders,
+#     r2 cohort (31): zorder_roundtrip, join_skew_salted, q18_large_orders,
 #       q19_disjunctive, q22_idle_customers, q2_min_cost_supplier,
 #       q11_important_stock, q13_customer_distribution,
 #       q16_supplier_relationship, q20_excess_suppliers,
 #       q21_waiting_suppliers, window_rank, window_running,
-#       window_ntile_scalable, string_funcs, date_funcs, math_funcs,
+#       window_ntile_scalable, string_funcs, date_funcs,
 #       array_hof_funcs, dedup_exact, text_decontaminate,
-#       dedup_ngram_jaccard, dedup_embedding_cosine, similarity_topk,
-#       text_lang_profile, text_quality, text_token_topk, multimodal_meta,
+#       dedup_embedding_cosine, similarity_topk,
+#       text_lang_profile, text_quality, text_token_topk,
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
-#       merge_upsert, scd2_history, sample_deterministic,
-#       docs_pack_sequences, text_pii_scrub
+#       merge_upsert, scd2_history, docs_pack_sequences, text_pii_scrub
 #     r3 backfill (1): json_expand
 #   round 7 plan: the 8 displaced r3 queries (orc_roundtrip,
 #     parquet_schema_merge, table_profile, agg_quantile_bins,
 #     agg_regression, events_retention_cohorts, events_transition_matrix,
 #     events_rolling_distinct_users) + window_ntile + dataset_mixture +
+#     dedup_ngram_jaccard + math_funcs + multimodal_meta +
+#     sample_deterministic +
 #     the 12 r1 donors listed above (last green r6) rotate behind
 #     whatever round 7 adds; oldest-green-first stays the rule.
 _PRIORITY = [
@@ -110,6 +134,10 @@ _PRIORITY = [
     #    enter the window) --
     "similarity_incremental",
     "dedup_minhash_capped",
+    "dedup_bloom_prefilter",
+    "docs_balanced_shards",
+    "streaming_incremental_ann",
+    "dedup_keep_best",
     # -- r1 slot-donors from rounds 4-5, last driver-green in round 1 --
     "join_cross",
     "sort_limit",
@@ -123,7 +151,7 @@ _PRIORITY = [
     "agg_cube",
     "agg_grouping_sets",
     "join_right",
-    # -- the full round-2 cohort (35 after the two displacements above),
+    # -- the round-2 cohort (31 after the six displacements above),
     #    last driver-green in round 2 --
     "zorder_roundtrip",
     "join_skew_salted",
@@ -141,23 +169,19 @@ _PRIORITY = [
     "window_ntile_scalable",
     "string_funcs",
     "date_funcs",
-    "math_funcs",
     "array_hof_funcs",
     "dedup_exact",
     "text_decontaminate",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "similarity_topk",
     "text_lang_profile",
     "text_quality",
     "text_token_topk",
-    "multimodal_meta",
     "multimodal_features",
     "docs_prep_pipeline",
     "dedup_edit_distance",
     "merge_upsert",
     "scd2_history",
-    "sample_deterministic",
     "docs_pack_sequences",
     "text_pii_scrub",
     # -- r3 backfill --

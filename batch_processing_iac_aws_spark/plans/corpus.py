@@ -71,6 +71,46 @@ def dataset_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_balanced_shards",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), r AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN (rn - 1) % 16 < 8 THEN (rn - 1) % 16
+                 ELSE 15 - (rn - 1) % 16 END AS INT) AS shard
+FROM r
+""",
+)
+def docs_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (8 shards): descending-weight
+    serpentine over a SCALABLE global rank (operators/ranking.py's
+    range-shuffle two-pass row_number, not a one-task window) — the
+    write-layout step that keeps every pretraining shard the same token
+    mass. Balance quality is asserted in tests/test_corpus.py (max/min
+    shard total within one max-doc-weight); this oracle pins the exact
+    assignment. operators.corpus.balanced_shards."""
+    from ..operators.corpus import balanced_shards
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long"),
+    )
+    return balanced_shards(
+        d.select("doc_id", "n_tokens"),
+        weight_col="n_tokens",
+        id_col="doc_id",
+        n_shards=8,
+    ).select("doc_id", "n_tokens", "shard")
+
+
+@query(
     "docs_pack_sequences",
     oracle="""
 WITH t AS (

@@ -288,6 +288,56 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle="""
+WITH RECURSIVE w AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS sh
+    FROM w
+), e0 AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8
+), edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+reach AS (
+    SELECT u AS a, v AS b FROM edges
+    UNION
+    SELECT r.a, e.v AS b FROM reach r JOIN edges e ON r.b = e.u
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM reach r JOIN documents o ON o.doc_id = r.b
+    WHERE r.a = d.doc_id
+      AND (o.n_chars > d.n_chars
+           OR (o.n_chars = d.n_chars AND o.doc_id < d.doc_id)))
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_dedup_keep_one with QUALITY-AWARE survivor selection: per
+    near-dup cluster the n_chars-longest member survives (ties to lowest
+    id) — keep the fullest copy, not the first-crawled one. The oracle
+    unrolls the whole thing exhaustively (all-pairs Jaccard graph,
+    recursive-CTE transitive closure, then argmax-by-quality per
+    component expressed as NOT EXISTS a better reachable member), so the
+    hash match proves LSH recall AND the representative rule end-to-end.
+    operators.dedup.fuzzy_dedup_keep_best."""
+    from ..operators.dedup import fuzzy_dedup_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_dedup_keep_best(
+        d, quality_col="n_chars", jaccard_threshold=0.8
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "dedup_fuzzy_pipeline",
     oracle="""
 WITH RECURSIVE w AS (
@@ -625,10 +675,13 @@ def similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent — the streaming/pipeline.py contract). Top-5 search then
     runs against the persisted index (probe 4/16 cells) and is audited
     in-engine against exact brute force over the same 20 queries with a
-    recall@5 floor of 0.70 (measured 0.84-0.89 across SFs — same margin
-    discipline as similarity_ivf; drift-triggered retrain is exercised in
-    tests/test_similarity.py, not here). Incrementality pattern ~
-    reference batch_processing_IaC.py:300-304 (Glue job bookmarks)."""
+    recall@5 floor of 0.65 (measured 0.78-0.88 across sf0.001/0.01/0.1 —
+    a 75%-corpus random init sits between similarity_ivf's full-corpus
+    init and the streaming first-batch init, and the floor keeps the
+    repo's ~0.1 measured-minimum margin; drift-triggered retrain is
+    exercised in tests/test_similarity.py, not here). Incrementality
+    pattern ~ reference batch_processing_IaC.py:300-304 (Glue job
+    bookmarks)."""
     import tempfile
 
     from ..operators.similarity import (
@@ -648,7 +701,56 @@ def similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20)
     ann = ivf_index_topk(spark, q, base, k=5, n_probe=4)
     exact = brute_force_topk(e, q, k=5)
-    return _ann_recall_summary(ann, exact, min_recall=0.70)
+    return _ann_recall_summary(ann, exact, min_recall=0.65)
+
+
+@query("streaming_incremental_ann", oracle=_ANN_SHAPE_ORACLE)
+def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling-corpus ANN story end-to-end through the REAL streaming
+    engine (the similarity twin of streaming_incremental_dedup):
+    embeddings arrive as three ordered batch files (vec_id % 3, mtimes
+    forced so file order IS batch order); micro-batch 0 trains and
+    persists the IVF index, batches 1-2 ingest map-only against the
+    stored centroids under checkpointed sequencing with replay-stable
+    batch-keyed overwrites (streaming/pipeline.py:run_streaming_ann_
+    ingest). Search then runs against the persisted index over the same
+    20 queries with the standard in-engine recall audit: floor 0.60 at
+    n_probe=5/16 (measured 0.70-0.77 across sf0.001/0.01/0.1 — a
+    first-batch-only random init is a noisier coarse quantizer than the
+    fuller corpus samples, so this floor keeps the ~0.1 margin
+    discipline of similarity_lsh rather than similarity_ivf's). The
+    per-batch single-file writes are TEST SCAFFOLDING building the
+    stream source, not the operator."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..operators.similarity import ivf_index_topk
+    from ..streaming.pipeline import run_streaming_ann_ingest
+
+    base = tempfile.mkdtemp(prefix="annstream_")
+    src = f"{base}/src"
+    e = _t(spark, sf_dir, "embeddings")
+    stamped: set[str] = set()
+    for b in range(3):
+        (
+            e.filter(F.col("vec_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        t = 1_700_000_000 + b * 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t, t))
+                stamped.add(f)
+    run_streaming_ann_ingest(
+        spark, src, f"{base}/index", f"{base}/ckpt", n_centroids=16
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    ann = ivf_index_topk(spark, q, f"{base}/index", k=5, n_probe=5)
+    exact = brute_force_topk(e, q, k=5)
+    return _ann_recall_summary(ann, exact, min_recall=0.60)
 
 
 # --------------------------------------------------------------------------
@@ -1725,6 +1827,63 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     batch = d.filter(F.col("doc_id") % 5 != 0)
     return incremental_dedup(batch, history).select("doc_id", "content_hash")
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle="""
+WITH deco AS (
+    SELECT d.doc_id,
+           COALESCE(CASE WHEN d.doc_id % 10 = 7 THEN dn.text END, d.text)
+               AS text
+    FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 7
+)
+SELECT b.doc_id, sha256(b.text) AS content_hash
+FROM deco b
+WHERE b.doc_id % 5 <> 0
+  AND NOT EXISTS (
+      SELECT 1 FROM deco h
+      WHERE h.doc_id % 5 = 0 AND sha256(h.text) = sha256(b.text))
+""",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup behind a broadcast Bloom prefilter — the
+    membership-summary pattern for when 99% of a crawl batch is NEW: the
+    bloom position table (<= m_bits longs, broadcast) lets definitely-new
+    docs skip the fingerprint anti-join entirely, so the join's probe
+    side shrinks to true dups + the fpp sliver. The result is exact and
+    the oracle is the PLAIN anti-join — hash equality proves the bloom's
+    no-false-negative plumbing (a build/probe mismatch would leak
+    duplicates through the definitely-new shortcut). Duplicates are
+    injected deterministically (every doc_id ending in 7 copies
+    doc_id-7's text, which lands in history: (id-7) % 10 == 0 => % 5 ==
+    0) so both the shortcut AND the candidate-verify path provably fire;
+    the positions use the engine-portable md5 family
+    (plans/llm.py:_md5_lower60 arithmetic).
+    operators.dedup.build_bloom_index / bloom_prefilter_dedup."""
+    from ..operators.dedup import bloom_prefilter_dedup, build_bloom_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = d.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.col("text").alias("__dup_text"),
+    )
+    deco = d.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.when(F.col("doc_id") % 10 == 7, F.col("__dup_text")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    history = deco.filter(F.col("doc_id") % 5 == 0)
+    batch = deco.filter(F.col("doc_id") % 5 != 0)
+    index = history.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    bloom = build_bloom_index(history, m_bits=1 << 16, n_hashes=4)
+    return bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 16, n_hashes=4
+    ).select("doc_id", "content_hash")
 
 
 @query(

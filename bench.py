@@ -75,8 +75,11 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "text_normalize",
     # round 6: persisted rolling-corpus IVF index + capped-LSH prod guard
+    # + bloom-prefiltered ingest + token-balanced sharding
     "similarity_incremental",
     "dedup_minhash_capped",
+    "dedup_bloom_prefilter",
+    "docs_balanced_shards",
 ]
 
 WARM_ITERS = 3

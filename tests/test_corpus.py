@@ -151,3 +151,31 @@ def test_deterministic_split_proportions_and_stability(spark):
         .join(again.withColumnRenamed("split", "b"), "id")
     )
     assert merged.filter("a != b").count() == 0
+
+
+def test_balanced_shards_balance_and_coverage(spark):
+    """Serpentine sharding on real corpus weights: every row assigned,
+    all shards used, and shard token totals within one max-doc-weight of
+    each other (the serpentine guarantee for sorted-desc input)."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.corpus import (
+        balanced_shards,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split("text", r"\s+")).cast("long").alias("w"),
+        )
+    )
+    out = balanced_shards(d, weight_col="w", id_col="doc_id", n_shards=8)
+    assert out.count() == d.count()
+    totals = {
+        r["shard"]: r["t"]
+        for r in out.groupBy("shard").agg(F.sum("w").alias("t")).collect()
+    }
+    assert sorted(totals) == list(range(8))
+    max_w = d.agg(F.max("w")).collect()[0][0]
+    assert max(totals.values()) - min(totals.values()) <= max_w

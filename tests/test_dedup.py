@@ -482,3 +482,91 @@ def test_capped_lsh_zero_collateral_on_clean_docs(spark):
     }
     assert bombed_pairs == clean_pairs  # bomb gone, zero collateral loss
     assert all(a < 1_000_000 and b < 1_000_000 for a, b in bombed_pairs)
+
+
+def test_bloom_prefilter_exact_and_both_paths_fire(spark):
+    """Relational Bloom prefilter: result must equal the plain anti-join
+    (exactness), the definitely-new shortcut must actually skip docs
+    (hits < n_hashes exists), and the candidate path must carry the true
+    duplicate. Also: m_bits must reject non-powers-of-two (the two-step
+    mod is only engine-portable for powers of two)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_prefilter_dedup,
+        build_bloom_index,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "alpha text"), (5, "beta text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha text"), (2, "gamma text"), (3, "delta text")],
+        "doc_id long, text string",
+    )
+    index = history.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    bloom = build_bloom_index(history, m_bits=1 << 12, n_hashes=4)
+    got = bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 12, n_hashes=4
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [2, 3]
+
+    # the shortcut really fires: at 4096 bits with 8 set, a random new
+    # doc's 4 positions are (essentially) never all set
+    probed = (
+        batch.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .select(
+            "doc_id",
+            F.explode(
+                _bloom_positions(
+                    F.col("content_hash"), m_bits=1 << 12, n_hashes=4
+                )
+            ).alias("bloom_pos"),
+        )
+        .join(bloom, "bloom_pos", "left_semi")
+        .groupBy("doc_id")
+        .count()
+    )
+    hits = {r["doc_id"]: r["count"] for r in probed.collect()}
+    assert hits.get(1) == 4  # the true dup is a full-hit candidate
+    assert hits.get(2, 0) < 4 and hits.get(3, 0) < 4  # shortcut fired
+
+    with _pytest.raises(ValueError, match="power of two"):
+        build_bloom_index(history, m_bits=1000, n_hashes=4)
+
+
+def test_keep_best_picks_quality_not_id(spark):
+    """keep-best must keep the highest-quality cluster member even when
+    it has the HIGHEST id (where keep-one would keep the lowest id), and
+    must agree with keep-one on singleton (non-duplicate) docs."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        fuzzy_dedup_keep_best,
+        fuzzy_dedup_keep_one,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    rows = [
+        (1, base, 10),
+        (2, base, 30),          # same text, higher quality, higher id
+        (3, "completely unrelated text about spark engines", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    best = sorted(
+        r["doc_id"]
+        for r in fuzzy_dedup_keep_best(
+            df, quality_col="q", jaccard_threshold=0.8
+        ).collect()
+    )
+    one = sorted(
+        r["doc_id"]
+        for r in fuzzy_dedup_keep_one(df, jaccard_threshold=0.8).collect()
+    )
+    assert best == [2, 3]  # quality wins
+    assert one == [1, 3]   # lowest id wins

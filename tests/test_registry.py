@@ -27,8 +27,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 186
-    assert len(ORACLES) == 184
+    assert len(QUERIES) == 190
+    assert len(ORACLES) == 188
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -55,14 +55,23 @@ def _ever_driver_confirmed() -> set[str]:
 
 
 def test_first_50_is_the_round6_rotation_window():
-    """Rotation policy: the round-6 window = the two queries new this
+    """Rotation policy: the round-6 window = the six queries new this
     round (similarity_incremental — the persisted rolling-corpus IVF
     index; dedup_minhash_capped — the max_bucket production guard oracled
-    equal to exhaustive LSH on the clean corpus) + the staleness-debt
-    cohorts exactly as pinned at the end of round 5: the 12 r1 slot
-    donors (last green r1), 35 of the 37-query r2 cohort (window_ntile
-    and dataset_mixture displaced to r7 by the two new queries — both
-    shape-covered in-window), and the json_expand r3 backfill."""
+    equal to exhaustive LSH on the clean corpus; dedup_bloom_prefilter —
+    the broadcast membership-summary prefilter, oracled equal to the
+    plain anti-join; docs_balanced_shards — token-balanced serpentine
+    sharding over the scalable global rank; streaming_incremental_ann —
+    the streaming composition of the persisted IVF index;
+    dedup_keep_best — quality-aware cluster representative, oracled
+    through the recursive-closure + argmax rule) + the
+    staleness-debt cohorts
+    exactly as pinned at the end of round 5: the 12 r1 slot donors (last
+    green r1), 31 of the 37-query r2 cohort (window_ntile,
+    dataset_mixture, dedup_ngram_jaccard, math_funcs, multimodal_meta,
+    and sample_deterministic displaced to r7 by the six new queries —
+    each shape-covered or arithmetic-proven in-window/r5), and the
+    json_expand r3 backfill."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the

@@ -339,3 +339,56 @@ def test_ingest_batch_replay_idempotent_after_partial_index_write(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 2, 3, 5]
     assert spark.read.parquet(index).count() == 4
+
+
+def test_streaming_ann_ingest_builds_then_appends_exactly_once(
+    spark, tmp_path
+):
+    """Streaming ANN maintenance: batch 0 trains the persisted index,
+    later batches append map-only; a drained re-run is a checkpoint
+    no-op (no duplicate assignments); a new batch file appends WITHOUT
+    retraining centroids."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        read_ivf_centroids,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_ann_ingest,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    for b in range(2):
+        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    for i, f in enumerate(sorted(os.listdir(src))):
+        if f.endswith(".parquet"):
+            os.utime(f"{src}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
+    n2 = emb.filter(F.col("vec_id") % 3 != 2).count()
+    assert spark.read.parquet(f"{idx}/assignments").count() == n2
+    cents_before = read_ivf_centroids(spark, idx)
+
+    # drained re-run: no-op
+    run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
+    assert spark.read.parquet(f"{idx}/assignments").count() == n2
+
+    # third batch arrives: appended map-only, centroids unchanged
+    emb.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    newest = max(
+        (f"{src}/{f}" for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    os.utime(newest, (1_700_000_100, 1_700_000_100))
+    run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
+    assert spark.read.parquet(f"{idx}/assignments").count() == emb.count()
+    assert read_ivf_centroids(spark, idx) == cents_before
