@@ -61,7 +61,13 @@ def _global_row_number_with_total(
         offsets.append((r["__pid"], offset))
         offset += r["__n"]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pid long, __offset long")
+    from ..session import local_frame
+
+    # Arrow path, NOT createDataFrame(list): the pickled-parallelize form
+    # makes every consumer job spin Python workers to deserialize two
+    # longs per partition — a measured ~4s hidden fixed cost per ranking
+    # call at local[32]
+    off_df = local_frame(spark, offsets, "__pid long, __offset long")
 
     ranked = (
         with_ids.join(F.broadcast(off_df), "__pid")

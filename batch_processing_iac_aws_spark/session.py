@@ -148,3 +148,27 @@ def get_spark(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
     return spark
+
+
+def local_frame(spark: SparkSession, rows, ddl: str):
+    """DataFrame from SMALL driver-side rows via the Arrow/pandas path.
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes PICKLED rows:
+    every job that reads the frame spins up Python workers just to
+    deserialize them — measured ~4s per tiny write/collect at local[32]
+    (vs ~0.2s through Arrow), a hidden fixed cost this repo was paying in
+    every global-ranking offsets table and persisted-index centroid
+    write. The Arrow path converts once on the driver and the data is
+    JVM-local afterwards.
+
+    ``ddl`` must be a comma-separated ``name type`` list whose types
+    contain no top-level commas (arrays/structs of simple types are fine;
+    map<k,v> is not — fall back to createDataFrame there)."""
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in ddl.split(",")]
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=names), schema=ddl
+    )

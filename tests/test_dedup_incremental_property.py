@@ -81,3 +81,48 @@ def test_incremental_fuzzy_matches_python_ground_truth(spark, corp):
         ).collect()
     }
     assert got == _true_survivors(history_texts, batch_texts, 0.9)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus)
+def test_bloom_prefilter_matches_plain_antijoin(spark, corp):
+    """For ARBITRARY small corpora (heavy duplicate overlap by
+    construction) the bloom-prefiltered exact dedup must equal set-exact
+    first-principles anti-join semantics: batch docs whose text appears
+    anywhere in history are dropped, everything else survives — Bloom
+    false positives get verified away, and false negatives cannot exist
+    when build and probe share the position expression."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+        build_bloom_index,
+    )
+
+    history_texts, batch_texts = corp
+    history = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(history_texts)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    index = history.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    bloom = build_bloom_index(history, m_bits=1 << 10, n_hashes=3)
+    got = {
+        r["doc_id"] - 1000
+        for r in bloom_prefilter_dedup(
+            batch, index, bloom, m_bits=1 << 10, n_hashes=3
+        ).collect()
+    }
+    want = {
+        i for i, t in enumerate(batch_texts) if t not in set(history_texts)
+    }
+    assert got == want
