@@ -123,7 +123,10 @@ def balanced_shards(
     Scale shape: the global order comes from operators.ranking's
     two-pass range-shuffle row_number (never a one-task window), and the
     shard formula is a map-only expression on the rank — one range
-    shuffle total, deterministic on any partitioning, SQL-twin-exact."""
+    shuffle total, deterministic on any partitioning, SQL-twin-exact.
+    NULL weights sort as heaviest (Spark ascending-nulls-first on the
+    negated weight; engines disagree on DESC null order, so coalesce the
+    weight column upstream if NULLs are possible)."""
     from .ranking import global_row_number
 
     ordered = df.withColumn(

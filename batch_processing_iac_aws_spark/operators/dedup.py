@@ -780,6 +780,7 @@ def build_bloom_index(
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     return (
         history.select(F.sha2(F.col(text_col), 256).alias("__h"))
+        .filter(F.col("__h").isNotNull())
         .select(
             F.explode(
                 _bloom_positions(
@@ -788,6 +789,15 @@ def build_bloom_index(
             ).alias("bloom_pos")
         )
         .distinct()
+        # hash-family metadata travels WITH the index (persist it and the
+        # parameters can't drift from the bits): the probe side verifies
+        # them at the trust boundary, same discipline as the MinHash /
+        # SimHash index family checks
+        .select(
+            "bloom_pos",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+        )
     )
 
 
@@ -823,9 +833,31 @@ def bloom_prefilter_dedup(
     Engine-portable md5 positions keep it oracle-able; swap
     ``xxhash64(hash, i)`` in for raw JVM speed once differentially
     proven, as dedup_simhash does."""
+    # trust boundary: probing with different parameters than the build is
+    # a SILENT false-negative machine (every duplicate sails through the
+    # definitely-new shortcut) — verify the family metadata the index
+    # carries before using a single bit, as the signature indexes do
+    meta = bloom.agg(
+        F.min("m_bits").alias("m"), F.min("n_hashes").alias("j")
+    ).first()
+    if meta["m"] is not None and (
+        meta["m"] != m_bits or meta["j"] != n_hashes
+    ):
+        raise ValueError(
+            f"bloom index family mismatch: index built with "
+            f"m_bits={meta['m']}, n_hashes={meta['j']}; probe requested "
+            f"m_bits={m_bits}, n_hashes={n_hashes}"
+        )
+    positions = bloom.select("bloom_pos")
     hashed = batch.withColumn(index_col, F.sha2(F.col(text_col), 256))
+    # NULL-text rows hash to NULL: under anti-join semantics NULL never
+    # equals anything, so the plain form KEEPS them — carry them past the
+    # prefilter unconditionally instead of letting the NULL group die in
+    # the left_semi below
+    null_rows = hashed.filter(F.col(index_col).isNull())
+    nn = hashed.filter(F.col(index_col).isNotNull())
     probed = (
-        hashed.select(
+        nn.select(
             index_col,
             F.posexplode(
                 _bloom_positions(
@@ -833,7 +865,7 @@ def bloom_prefilter_dedup(
                 )
             ).alias("__i", "bloom_pos"),
         )
-        .join(F.broadcast(bloom.withColumn("__hit", F.lit(1))),
+        .join(F.broadcast(positions.withColumn("__hit", F.lit(1))),
               "bloom_pos", "left")
         .groupBy(index_col)
         .agg(F.count("__hit").alias("__hits"))
@@ -841,9 +873,9 @@ def bloom_prefilter_dedup(
     definite_new = probed.filter(F.col("__hits") < n_hashes).select(index_col)
     candidates = probed.filter(F.col("__hits") == n_hashes).select(index_col)
     verified_new = candidates.join(history_index, index_col, "left_anti")
-    return hashed.join(
+    return nn.join(
         definite_new.unionByName(verified_new), index_col, "left_semi"
-    )
+    ).unionByName(null_rows)
 
 
 def incremental_fuzzy_dedup(

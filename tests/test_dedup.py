@@ -570,3 +570,43 @@ def test_keep_best_picks_quality_not_id(spark):
     )
     assert best == [2, 3]  # quality wins
     assert one == [1, 3]   # lowest id wins
+
+
+def test_bloom_prefilter_null_text_and_family_mismatch(spark):
+    """Anti-join parity for degenerate rows and the loud trust boundary:
+    NULL-text batch docs must SURVIVE (NULL hash never equals anything
+    under anti-join semantics), and probing with parameters different
+    from the build must raise instead of silently leaking duplicates
+    through the definitely-new shortcut."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+        build_bloom_index,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "alpha text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha text"), (2, None), (3, "new text")],
+        "doc_id long, text string",
+    )
+    index = history.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    bloom = build_bloom_index(history, m_bits=1 << 12, n_hashes=4)
+    got = bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 12, n_hashes=4
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [2, 3]
+
+    with _pytest.raises(ValueError, match="family mismatch"):
+        bloom_prefilter_dedup(
+            batch, index, bloom, m_bits=1 << 13, n_hashes=4
+        )
+    with _pytest.raises(ValueError, match="family mismatch"):
+        bloom_prefilter_dedup(
+            batch, index, bloom, m_bits=1 << 12, n_hashes=3
+        )

@@ -386,3 +386,26 @@ def test_kmeans_final_assignment_is_map_only(spark):
     tree = plan_tree_of(QUERIES["cluster_kmeans"](spark, SF))
     assert "Exchange" not in tree
     assert "ArrowEvalPython" in tree
+
+
+def test_bloom_prefilter_plan_shape(spark):
+    """dedup_bloom_prefilter: the position table must BROADCAST (that is
+    the whole point — the membership summary rides to the batch, the
+    batch never shuffles for the prefilter), and nothing in the plan may
+    be a cartesian product."""
+    tree = plan_tree_of(QUERIES["dedup_bloom_prefilter"](spark, SF))
+    assert "BroadcastExchange" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_balanced_shards_final_plan_is_map_only(spark):
+    """docs_balanced_shards: the range shuffle is absorbed by the
+    ranking checkpoint, so the FINAL plan must be a map-only projection
+    plus the tiny broadcast of the per-partition offsets — no window, no
+    sort, no range exchange at execution time."""
+    tree = plan_tree_of(QUERIES["docs_balanced_shards"](spark, SF))
+    assert "Window" not in tree
+    assert "rangepartitioning" not in tree.lower()
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" in tree  # the offsets table

@@ -8,8 +8,9 @@ wall time if it lived in tests/):
 
     python tools/probe_cross_sf.py [sf_dir]
 
-Round-5 result: 182/182 green at sf0.001 (and the standard suite holds
-170+ green at sf0.01, spot checks at sf0.1).
+Round-5 result: 182/182 green at sf0.001. Round-6 result: 188/188 green
+at sf0.001 (and tests/test_oracle.py holds all 188 green at sf0.01,
+spot checks at sf0.1).
 """
 
 import math
