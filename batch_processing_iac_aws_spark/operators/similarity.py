@@ -416,36 +416,88 @@ def _ivf_search(
     )
 
 
+def _ivf_commit(index_dir: str, gen: str) -> None:
+    """Atomically flip the index's CURRENT pointer to generation ``gen``
+    — the single-commit trick table formats use (Delta _last_checkpoint,
+    Iceberg version-hint): every multi-file index state is built
+    invisibly under its own generation dir and becomes visible in ONE
+    atomic file rename, so no crash point can expose half an index or
+    pair new assignments with old centroids. os.replace is atomic on
+    POSIX; on an object store use a conditional put of the pointer
+    object."""
+    import os
+
+    tmp = f"{index_dir}/CURRENT.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+    os.replace(tmp, f"{index_dir}/CURRENT")
+
+
+def _ivf_current(index_dir: str) -> str:
+    """Resolve the committed generation dir. Loud when the index was
+    never committed — readers must not guess at half-written state."""
+    try:
+        with open(f"{index_dir}/CURRENT") as fh:
+            gen = fh.read().strip()
+    except FileNotFoundError as exc:
+        raise FileNotFoundError(
+            f"no committed IVF index at {index_dir} (CURRENT pointer "
+            "missing — build_ivf_index never completed here)"
+        ) from exc
+    return f"{index_dir}/{gen}"
+
+
+def _ivf_prune_generations(index_dir: str) -> None:
+    """Best-effort removal of non-current generation dirs (a crash
+    between commit and prune leaves garbage, never corruption)."""
+    import os
+    import shutil
+
+    keep = os.path.basename(_ivf_current(index_dir))
+    for name in os.listdir(index_dir):
+        if name.startswith("gen-") and name != keep:
+            shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
+
+
 def _write_ivf_centroids(
-    spark, centroids: list[tuple[int, list[float]]], index_dir: str
+    spark, centroids: list[tuple[int, list[float]]], gen_dir: str
 ) -> None:
     from ..session import local_frame
 
     # centroid_id is the POSITION (what assign_ivf_clusters emits); the
-    # source row id is bookkeeping only. Arrow path (local_frame): the
-    # pickled-parallelize form cost ~4s of Python-worker spin-up per
-    # index build at local[32] for 16 rows.
+    # source row id is bookkeeping only — stored as STRING so non-integer
+    # id columns (uuids etc.) don't crash the build. Arrow path
+    # (local_frame): the pickled-parallelize form cost ~4s of
+    # Python-worker spin-up per index build at local[32] for 16 rows.
     df = local_frame(
         spark,
         [
-            (i, int(sid), [float(x) for x in v])
+            (i, str(sid), [float(x) for x in v])
             for i, (sid, v) in enumerate(centroids)
         ],
-        "centroid_id int, source_id long, centroid array<double>",
+        "centroid_id int, source_id string, centroid array<double>",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/centroids")
 
 
 def read_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
-    """Load the persisted centroid table back into the broadcastable
-    in-memory form every assignment/search call takes. Model-sized collect
-    (n_centroids x dim doubles) — the same bytes a broadcast would ship."""
+    """Load the committed generation's centroid table back into the
+    broadcastable in-memory form every assignment/search call takes.
+    Model-sized collect (n_centroids x dim doubles) — the same bytes a
+    broadcast would ship."""
     rows = (
-        spark.read.parquet(f"{index_dir}/centroids")
+        spark.read.parquet(f"{_ivf_current(index_dir)}/centroids")
         .orderBy("centroid_id")
         .collect()
     )
     return [(r["source_id"], list(r["centroid"])) for r in rows]
+
+
+def ivf_assignments(spark, index_dir: str) -> DataFrame:
+    """The committed generation's assignment table
+    (id, vec, norm, batch_seq, ivf_cluster) — the supported way to read
+    the index contents (generation dirs are an implementation detail)."""
+    return spark.read.parquet(f"{_ivf_current(index_dir)}/assignments")
 
 
 def build_ivf_index(
@@ -462,13 +514,21 @@ def build_ivf_index(
     round-5 incremental-dedup signature indexes; incrementality pattern ~
     reference batch_processing_IaC.py:300-304 Glue bookmarks).
 
-    Layout under ``index_dir``:
+    Layout under ``index_dir``: generation dirs ``gen-<batch_id>/``
+    each holding
       * ``centroids/``   — (centroid_id, source_id, centroid) — one tiny file;
       * ``assignments/`` — (id, embedding, norm) partitioned by
         (batch_seq, ivf_cluster): cell-partitioned so probes prune to
         n_probe/n_centroids of the data at the SCAN, and batch-keyed so a
         replayed ingest overwrites exactly its own partitions
-        (the streaming/pipeline.py idempotency contract).
+        (the streaming/pipeline.py idempotency contract);
+    plus a ``CURRENT`` pointer file naming the committed generation.
+    Builds and retrains assemble a COMPLETE generation invisibly, then
+    commit it with one atomic pointer rename (:func:`_ivf_commit`) —
+    there is no crash point at which readers can see half an index or a
+    centroids/assignments mismatch, and a replayed build (same
+    replay-stable batch_id) overwrites its own generation and re-commits,
+    a fixpoint.
 
     Centroid init is the deterministic smallest-``n_centroids`` ids (the
     random-subset IVF bootstrap — swap for k-means|| on clustered data).
@@ -482,17 +542,20 @@ def build_ivf_index(
     if not cent_rows:
         raise ValueError("cannot build an IVF index from an empty corpus")
     centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
-    _write_ivf_centroids(corpus.sparkSession, centroids, index_dir)
+    gen_dir = f"{index_dir}/gen-{batch_id}"
+    _write_ivf_centroids(corpus.sparkSession, centroids, gen_dir)
     _write_ivf_assignments(
-        corpus, centroids, index_dir,
+        corpus, centroids, gen_dir,
         id_col=id_col, vec_col=vec_col, batch_id=batch_id,
     )
+    _ivf_commit(index_dir, f"gen-{batch_id}")
+    _ivf_prune_generations(index_dir)
 
 
 def _write_ivf_assignments(
     batch: DataFrame,
     centroids: list[tuple[int, list[float]]],
-    index_dir: str,
+    gen_dir: str,
     *,
     id_col: str,
     vec_col: str,
@@ -524,7 +587,7 @@ def _write_ivf_assignments(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_seq", "ivf_cluster")
-        .parquet(f"{index_dir}/assignments")
+        .parquet(f"{gen_dir}/assignments")
     )
 
 
@@ -554,6 +617,7 @@ def append_to_ivf_index(
     retrain happened. The drift probe is one small aggregate (two longs),
     not a collect of vectors."""
     spark = batch.sparkSession
+    gen_dir = _ivf_current(index_dir)
     centroids = read_ivf_centroids(spark, index_dir)
     scored = batch.select(
         F.col(id_col).alias("id"),
@@ -579,7 +643,7 @@ def append_to_ivf_index(
         )
         return True
     _write_ivf_assignments(
-        batch, centroids, index_dir,
+        batch, centroids, gen_dir,
         id_col=id_col, vec_col=vec_col, batch_id=batch_id,
     )
     return False
@@ -596,22 +660,41 @@ def _retrain_ivf_index(
 ) -> None:
     """Drift path: retrain the coarse quantizer over old + new and reassign
     EVERYTHING — old vectors re-read from the index itself (the caller
-    never replays history). Each stored row KEEPS its original batch_seq
-    and the new batch gets ``batch_id``, so a crash-and-replay of this
-    batch after the retrain goes down the normal append path (no drift
-    against the new centroids) and dynamic-overwrites exactly its own
-    partitions — replay idempotency survives the retrain.
+    never replays history), EXCLUDING the triggering batch's own
+    partitions: a crash after a partial normal-path append (or between
+    the new generation's writes and its commit) replays under the same
+    batch_id, and reading our own half-written rows back would store
+    every batch vector twice (the ingest_dedup_batch crash-window rule).
+    Each stored row KEEPS its original batch_seq and the new batch gets
+    ``batch_id``; combined with the single-pointer commit this makes
+    EVERY crash point a fixpoint: pre-commit, CURRENT still names the old
+    complete generation and the replay redoes the retrain into the same
+    gen dir; post-commit, the replay sees the new centroids, takes the
+    no-drift append path, and dynamic-overwrites exactly its own
+    (batch_seq, cell) partitions inside the new generation — which the
+    retrain already filled with identical content.
 
-    The rebuild writes to a STAGING dir and swaps it in, because Spark
-    cannot overwrite a path it is reading in the same job; the swap also
-    keeps readers off a half-written index (on an object store / HDFS use
-    the FileSystem rename or a metastore pointer swap the same way)."""
-    import os
-    import shutil
-
+    The new generation is assembled invisibly under its own dir (Spark
+    also cannot overwrite a path it is reading in the same job) and
+    becomes visible only via :func:`_ivf_commit`'s atomic pointer rename
+    — readers can never observe assignments without their matching
+    centroids."""
     spark = batch.sparkSession
-    old = spark.read.parquet(f"{index_dir}/assignments").select(
-        "id", "vec", F.col("batch_seq").cast("long").alias("batch_seq")
+    cur_gen = _ivf_current(index_dir)
+    new_gen_name = f"gen-{batch_id}"
+    new_gen = f"{index_dir}/{new_gen_name}"
+    if new_gen == cur_gen:
+        raise ValueError(
+            f"retrain batch_id {batch_id} collides with the committed "
+            "generation — batch ids must be fresh (replay-stable and "
+            "monotone, as Structured Streaming's are)"
+        )
+    old = (
+        spark.read.parquet(f"{cur_gen}/assignments")
+        .where(F.col("batch_seq") != F.lit(batch_id))
+        .select(
+            "id", "vec", F.col("batch_seq").cast("long").alias("batch_seq")
+        )
     )
     full = old.unionByName(
         batch.select(
@@ -673,17 +756,15 @@ def _retrain_ivf_index(
         "batch_seq",
         "ivf_cluster",
     )
-    staging = f"{index_dir}/assignments__rebuild"
     (
         assigned.repartition(F.col("batch_seq"), F.col("ivf_cluster"))
         .write.mode("overwrite")
         .partitionBy("batch_seq", "ivf_cluster")
-        .parquet(staging)
+        .parquet(f"{new_gen}/assignments")
     )
-    live = f"{index_dir}/assignments"
-    shutil.rmtree(live)
-    os.replace(staging, live)
-    _write_ivf_centroids(spark, centroids, index_dir)
+    _write_ivf_centroids(spark, centroids, new_gen)
+    _ivf_commit(index_dir, new_gen_name)
+    _ivf_prune_generations(index_dir)
 
 
 def ivf_index_topk(
@@ -702,7 +783,7 @@ def ivf_index_topk(
     — the probed-cell equi-join can prune whole partition directories, and
     stored norms make rescoring one dot product per candidate."""
     centroids = read_ivf_centroids(spark, index_dir)
-    c = spark.read.parquet(f"{index_dir}/assignments").select(
+    c = ivf_assignments(spark, index_dir).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("__cv"),
         F.col("norm").alias("__cn"),

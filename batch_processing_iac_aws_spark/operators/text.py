@@ -33,6 +33,14 @@ def tokens(text_col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
 
 
+#: regex shared by the codegen Column path (bpe_ish_tokens) and its
+#: pure-Python twin — ONE definition so the two can never drift. NOTE the
+#: \s class: Java regex \s is ASCII-only, so the Python twin compiles
+#: with re.ASCII to match (NBSP etc. fall into the punctuation class in
+#: BOTH engines).
+_BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
 def bpe_ish_tokens(text_col: Column | str) -> Column:
     """Subword-ish tokenization: split on word boundaries AND punctuation,
     keeping digit runs separate — a regex approximation of BPE pre-tokenizer
@@ -40,20 +48,14 @@ def bpe_ish_tokens(text_col: Column | str) -> Column:
     Pure public-API Column composition (regexp_extract_all + filter), so it
     stays codegen-friendly and Spark-Connect-compatible."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pattern = r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
     return F.filter(
-        F.regexp_extract_all(c, F.lit(pattern), F.lit(0)),
+        F.regexp_extract_all(c, F.lit(_BPE_ISH_PATTERN), F.lit(0)),
         lambda x: x != "",
     )
 
 
 def token_count(text_col: Column | str) -> Column:
     return F.size(tokens(text_col))
-
-
-#: regex shared by the codegen Column path (bpe_ish_tokens) and its
-#: pure-Python twin — ONE definition so the two can never drift
-_BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 
 
 def bpe_ish_tokenize_py(text: str) -> list[str]:
@@ -63,7 +65,14 @@ def bpe_ish_tokenize_py(text: str) -> list[str]:
     tests/test_text_tokens.py."""
     import re
 
-    return [t for t in re.findall(_BPE_ISH_PATTERN, text or "") if t]
+    # re.ASCII pins \s (and friends) to ASCII, matching Java regex
+    # semantics — without it NBSP/ideographic spaces are \s in Python but
+    # punctuation in Spark, silently mixing two token-count definitions
+    return [
+        t
+        for t in re.findall(_BPE_ISH_PATTERN, text or "", flags=re.ASCII)
+        if t
+    ]
 
 
 def auto_tokenizer():

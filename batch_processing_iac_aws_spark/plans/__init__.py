@@ -70,10 +70,10 @@ from . import quality  # noqa: E402,F401
 #     including the two previous never-greens (docs_token_budget after
 #     the BIGINT CAST; embedding_pca on its invariant oracle).
 #   round 6 window (this one) — the pinned r5 plan executed verbatim,
-#     except 2 slots go to the queries NEW this round (the registry
+#     except 6 slots go to the queries NEW this round (the registry
 #     invariant: never-driver-seen queries must be in the window), each
 #     displacing the most shape-redundant r2-cohort member:
-#     new (4): similarity_incremental (rolling-corpus IVF index — the
+#     new (6): similarity_incremental (rolling-corpus IVF index — the
 #       similarity twin of r5's incremental dedup family),
 #       dedup_minhash_capped (the max_bucket production guard, oracled
 #       equal to exhaustive LSH on the clean corpus),

@@ -17,7 +17,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import extract_features, text_as_media
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..operators.text import fingerprint, language_id, quality_features
-from .registry import query
+from .registry import query, scratch_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -693,7 +693,7 @@ def similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     history = e.filter(F.col("vec_id") % 4 != 3)
     batch = e.filter(F.col("vec_id") % 4 == 3)
-    base = tempfile.mkdtemp(prefix="ivfidx_")
+    base = scratch_dir("ivfidx", sf_dir)
     build_ivf_index(history, base, n_centroids=16, batch_id=0)
     append_to_ivf_index(
         batch, base, batch_id=1, drift_floor=-0.5, max_drift_frac=0.5
@@ -728,7 +728,7 @@ def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_index_topk
     from ..streaming.pipeline import run_streaming_ann_ingest
 
-    base = tempfile.mkdtemp(prefix="annstream_")
+    base = scratch_dir("annstream", sf_dir)
     src = f"{base}/src"
     e = _t(spark, sf_dir, "embeddings")
     stamped: set[str] = set()

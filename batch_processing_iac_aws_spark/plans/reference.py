@@ -197,7 +197,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    out = tempfile.mkdtemp(prefix="orc_rt_") + "/nation"
+    out = scratch_dir("orc_rt", sf_dir) + "/nation"
     write_orc(n, out)
     return read_orc(spark, out)
 
@@ -224,7 +224,7 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import write_zorder_parquet
 
     l = load_table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="zorder_rt_") + "/lineitem"
+    out = scratch_dir("zorder_rt", sf_dir) + "/lineitem"
     write_zorder_parquet(
         l, out, zorder_by=["l_partkey", "l_suppkey"], num_files=16
     )
@@ -283,7 +283,7 @@ def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     n = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="schema_merge_")
+    out = scratch_dir("schema_merge", sf_dir)
     n.filter(F.col("n_nationkey") < 13).select("n_nationkey", "n_name").write.mode(
         "overwrite"
     ).parquet(out + "/v1")

@@ -59,3 +59,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch directory under the system
+    temp root, WIPED on every call. Registered plan functions that
+    persist state (index builds, streaming sources/checkpoints) run many
+    times per round — bench alone executes each 1 cold + 3 warm times —
+    and a fresh mkdtemp per call leaks a full parquet tree per run;
+    reusing one deterministic path bounds scratch usage at one tree per
+    (query, sf) regardless of how often the driver/bench/probes call it.
+    The wipe also guarantees streaming queries a FRESH checkpoint, which
+    the mkdtemp form provided implicitly."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{prefix}_{key}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    return base

@@ -217,7 +217,7 @@ def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipeline import run_continuous_rollup
 
-    base = tempfile.mkdtemp(prefix="rollup_")
+    base = scratch_dir("rollup", sf_dir)
     run_continuous_rollup(
         spark,
         f"{sf_dir.rstrip('/')}/events.parquet",
@@ -404,7 +404,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipeline import run_streaming_ingest_dedup
 
-    base = tempfile.mkdtemp(prefix="ingest_")
+    base = scratch_dir("ingest", sf_dir)
     src = f"{base}/src"
     # the synthetic corpus has no exact-content duplicates, so decorate it
     # deterministically (both engines identically): every doc_id ending in

@@ -161,12 +161,23 @@ def local_frame(spark: SparkSession, rows, ddl: str):
     write. The Arrow path converts once on the driver and the data is
     JVM-local afterwards.
 
-    ``ddl`` must be a comma-separated ``name type`` list whose types
-    contain no top-level commas (arrays/structs of simple types are fine;
-    map<k,v> is not — fall back to createDataFrame there)."""
+    ``ddl`` is a comma-separated ``name type`` list; the split is
+    bracket-aware, so parameterized and nested types — decimal(20,0),
+    array<double>, map<string,int>, struct<a:int,b:string> — parse
+    correctly."""
     import pandas as pd
 
-    names = [f.strip().split()[0] for f in ddl.split(",")]
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(ddl[start:i])
+            start = i + 1
+    fields.append(ddl[start:])
+    names = [f.strip().split()[0] for f in fields]
     if not rows:
         return spark.createDataFrame([], ddl)
     return spark.createDataFrame(

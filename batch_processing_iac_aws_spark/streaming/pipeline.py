@@ -386,11 +386,13 @@ def run_streaming_ann_ingest(
     never re-delivers a batch, and assignment writes are dynamic
     overwrites keyed by the replay-stable foreachBatch batch_id, so every
     crash point replays to a fixpoint (same contract as the ingest-dedup
-    pipeline; the first-batch build is replay-safe too — a replay after
-    the centroids write lands in the append path, which rewrites exactly
-    the batch's own partitions). The local os.path existence probe for
-    "is the index born yet" is sandbox-local; on an object store use a
-    listing through the same storage client the writers use."""
+    pipeline; the first-batch build is replay-safe because build commits
+    its whole generation with one atomic CURRENT-pointer rename — a
+    pre-commit replay redoes the build, a post-commit replay lands in
+    the append path and rewrites exactly the batch's own partitions).
+    The local CURRENT-file existence probe for "is the index born yet"
+    is sandbox-local; on an object store probe the pointer object
+    through the same storage client the writers use."""
     import os
 
     from ..operators.similarity import (
@@ -408,7 +410,7 @@ def run_streaming_ann_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not os.path.exists(f"{index_dir}/centroids"):
+        if not os.path.exists(f"{index_dir}/CURRENT"):
             build_ivf_index(
                 batch_df,
                 index_dir,

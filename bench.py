@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from batch_processing_iac_aws_spark.plans import QUERIES
@@ -85,12 +86,6 @@ HEADLINE = [
 WARM_ITERS = 3
 
 
-def _median(xs: list[float]) -> float:
-    ys = sorted(xs)
-    n = len(ys)
-    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -115,7 +110,7 @@ def main() -> None:
             t1 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - t1)
-        warm[name] = round(_median(samples), 3)
+        warm[name] = round(statistics.median(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
         print(
             f"# {name}: {cold[name]}s cold / {warm[name]}s warm median "

@@ -267,13 +267,16 @@ def test_ivf_index_incremental_append_and_replay(spark, emb, tmp_path):
     )
     assert retrained is False
     total = emb.count()
-    stored = spark.read.parquet(f"{idx}/assignments")
-    assert stored.count() == total
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    assert ivf_assignments(spark, idx).count() == total
     # replay the same batch under the same batch_id: a fixpoint
     append_to_ivf_index(
         batch, idx, batch_id=1, drift_floor=-0.5, max_drift_frac=0.5
     )
-    assert spark.read.parquet(f"{idx}/assignments").count() == total
+    assert ivf_assignments(spark, idx).count() == total
     # a batch vector is findable through the persisted index
     some_batch_id = batch.select("vec_id").orderBy("vec_id").first()[0]
     q = emb.filter(F.col("vec_id") == some_batch_id)
@@ -312,6 +315,65 @@ def test_ivf_index_drift_triggers_retrain(spark, emb, tmp_path):
     assert retrained is True
     after = read_ivf_centroids(spark, idx)
     assert [c for _, c in after] != [c for _, c in before]
-    stored = spark.read.parquet(f"{idx}/assignments")
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    stored = ivf_assignments(spark, idx)
     assert stored.count() == emb.count() + 5
     assert stored.filter(F.col("id") >= 10_000).count() == 5
+
+
+def test_ivf_retrain_replay_after_partial_append_no_duplicates(
+    spark, emb, tmp_path
+):
+    """The retrain crash-window rule: a crashed normal-path append can
+    leave the triggering batch's rows half-written in the current
+    generation; the replayed retrain must EXCLUDE its own batch_seq when
+    re-reading history (else every batch vector stores twice). Also pins
+    the single-pointer contract: a reader mid-retrain still resolves the
+    old complete generation."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        _ivf_current,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_assignments,
+    )
+
+    idx = str(tmp_path / "ivf")
+    dim = len(emb.first()["embedding"])
+    build_ivf_index(emb, idx, n_centroids=8, batch_id=0)
+    gen0 = _ivf_current(idx)
+
+    spike = [0.0] * dim
+    spike[0] = 100.0
+    ood_rows = [
+        (10_000 + i, [x * (1 + 0.001 * i) for x in spike]) for i in range(5)
+    ]
+    ood = spark.createDataFrame(
+        ood_rows, "vec_id long, embedding array<double>"
+    )
+    # simulate the crashed first attempt: 2 of the 5 batch rows already
+    # landed in the CURRENT generation under batch_seq=1
+    partial = spark.createDataFrame(
+        [(vid, v, 0.0, 1, 0) for vid, v in ood_rows[:2]],
+        "id long, vec array<double>, norm double, batch_seq long,"
+        " ivf_cluster int",
+    )
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq", "ivf_cluster")
+        .parquet(f"{gen0}/assignments")
+    )
+
+    retrained = append_to_ivf_index(
+        ood, idx, batch_id=1, drift_floor=0.95, max_drift_frac=0.25
+    )
+    assert retrained is True
+    stored = ivf_assignments(spark, idx)
+    assert stored.count() == emb.count() + 5  # no double-stored batch rows
+    assert stored.groupBy("id").count().filter("count > 1").count() == 0
+    assert _ivf_current(idx) != gen0  # committed a fresh generation

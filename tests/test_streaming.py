@@ -353,6 +353,7 @@ def test_streaming_ann_ingest_builds_then_appends_exactly_once(
     import pyspark.sql.functions as F
 
     from batch_processing_iac_aws_spark.operators.similarity import (
+        ivf_assignments,
         read_ivf_centroids,
     )
     from batch_processing_iac_aws_spark.streaming.pipeline import (
@@ -373,12 +374,12 @@ def test_streaming_ann_ingest_builds_then_appends_exactly_once(
             os.utime(f"{src}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
     run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
     n2 = emb.filter(F.col("vec_id") % 3 != 2).count()
-    assert spark.read.parquet(f"{idx}/assignments").count() == n2
+    assert ivf_assignments(spark, idx).count() == n2
     cents_before = read_ivf_centroids(spark, idx)
 
     # drained re-run: no-op
     run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
-    assert spark.read.parquet(f"{idx}/assignments").count() == n2
+    assert ivf_assignments(spark, idx).count() == n2
 
     # third batch arrives: appended map-only, centroids unchanged
     emb.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.mode(
@@ -390,5 +391,5 @@ def test_streaming_ann_ingest_builds_then_appends_exactly_once(
     )
     os.utime(newest, (1_700_000_100, 1_700_000_100))
     run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
-    assert spark.read.parquet(f"{idx}/assignments").count() == emb.count()
+    assert ivf_assignments(spark, idx).count() == emb.count()
     assert read_ivf_centroids(spark, idx) == cents_before
