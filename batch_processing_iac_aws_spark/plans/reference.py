@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.timeseries import expand_intervals, intervals_from_events
-from .registry import money_sum, query
+from .registry import money_sum, query, scratch_dir
 
 
 @query(
@@ -190,7 +190,6 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back, and prove value-identity against the parquet source —
     both are native vectorized columnar formats with the same
     pushdown/pruning guarantees. Unique temp dir per call; idempotent."""
-    import tempfile
 
     from ..io import read_orc, write_orc
 
@@ -219,7 +218,6 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the unclustered source, while the layout lets the scan prune most
     files from footer min/max stats on EITHER column (asserted quantitatively
     in tests/test_zorder.py). Unique temp dir per call; idempotent."""
-    import tempfile
 
     from ..io import write_zorder_parquet
 
@@ -280,7 +278,6 @@ def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     union schema comes from parquet footers only. This is how a 100 TB
     append-only lake absorbs a column add without rewriting history.
     Unique temp dir per call; idempotent."""
-    import tempfile
 
     n = load_table(spark, sf_dir, "nation")
     out = scratch_dir("schema_merge", sf_dir)

@@ -70,7 +70,15 @@ def scratch_dir(prefix: str, sf_dir: str) -> str:
     reusing one deterministic path bounds scratch usage at one tree per
     (query, sf) regardless of how often the driver/bench/probes call it.
     The wipe also guarantees streaming queries a FRESH checkpoint, which
-    the mkdtemp form provided implicitly."""
+    the mkdtemp form provided implicitly.
+
+    The path embeds the OWNING PROCESS's pid: two concurrent runs of the
+    same (query, sf) — bench alongside the driver, or parallel pytest
+    workers — must not rmtree each other's live parquet/checkpoint trees
+    mid-read, and a fully predictable /tmp name would be a symlink/squat
+    hazard on shared hosts; per-pid naming keeps the bounded-reuse
+    property (one tree per (query, sf) per process) while restoring the
+    isolation mkdtemp provided."""
     import hashlib
     import os
     import shutil
@@ -78,7 +86,7 @@ def scratch_dir(prefix: str, sf_dir: str) -> str:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{prefix}_{key}"
+        tempfile.gettempdir(), f"spark_graft_{prefix}_{key}_p{os.getpid()}"
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)

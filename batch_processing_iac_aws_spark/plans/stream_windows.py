@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..streaming.pipeline import drain_to_memory
-from .registry import ORACLES, money_sum, query
+from .registry import ORACLES, money_sum, query, scratch_dir
 
 _HOUR_US = 3_600_000_000
 
@@ -213,7 +213,6 @@ def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the hypertable-rollup pattern). The read-back table must equal the
     batch oracle exactly; idempotent restart covered in
     tests/test_streaming.py."""
-    import tempfile
 
     from ..streaming.pipeline import run_continuous_rollup
 
@@ -400,7 +399,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, not the operator."""
     import glob as _glob
     import os
-    import tempfile
 
     from ..streaming.pipeline import run_streaming_ingest_dedup
 
