@@ -868,7 +868,17 @@ def bloom_prefilter_dedup(
         .join(F.broadcast(positions.withColumn("__hit", F.lit(1))),
               "bloom_pos", "left")
         .groupBy(index_col)
-        .agg(F.count("__hit").alias("__hits"))
+        # count DISTINCT hit positions, not raw hit rows: a hash appearing
+        # c times in the batch contributes c copies of every (hash, i)
+        # probe row, so a plain count gives c*hits — when c*hits exceeds
+        # n_hashes the hash lands in NEITHER branch below and every copy
+        # silently vanishes. Distinct-by-position is c-invariant and stays
+        # in [0, n_hashes].
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col("__i"))
+            ).alias("__hits")
+        )
     )
     definite_new = probed.filter(F.col("__hits") < n_hashes).select(index_col)
     candidates = probed.filter(F.col("__hits") == n_hashes).select(index_col)
@@ -876,6 +886,99 @@ def bloom_prefilter_dedup(
     return nn.join(
         definite_new.unionByName(verified_new), index_col, "left_semi"
     ).unionByName(null_rows)
+
+
+def _check_bloom_family(
+    bloom: DataFrame, *, m_bits: int, n_hashes: int, what: str
+) -> DataFrame:
+    """Verify a Bloom position table's carried family metadata against the
+    probe parameters (mismatch = silent false-negative machine) and strip
+    it down to the positions column."""
+    meta = bloom.agg(
+        F.min("m_bits").alias("m"), F.min("n_hashes").alias("j")
+    ).first()
+    if meta["m"] is not None and (
+        meta["m"] != m_bits or meta["j"] != n_hashes
+    ):
+        raise ValueError(
+            f"{what}: bloom index family mismatch: index built with "
+            f"m_bits={meta['m']}, n_hashes={meta['j']}; probe requested "
+            f"m_bits={m_bits}, n_hashes={n_hashes}"
+        )
+    return bloom.select("bloom_pos")
+
+
+def build_band_bloom_index(
+    banded_index: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom membership summary over a PRE-BANDED MinHash index's
+    (band_idx, band_hash) keys — the fuzzy twin of
+    :func:`build_bloom_index`: a rolling ingest broadcasts this (at most
+    ``m_bits`` rows of one long) and batch band keys that are definitely
+    absent from history skip the banded equi-join entirely. One pass over
+    the stored band keys (map-only position expansion, one distinct
+    bounded by ``m_bits``); maintain it incrementally by unioning new
+    batches' positions (bits only turn on). Same engine-portable md5
+    family as the exact index's bloom, keyed on
+    ``band_idx || ':' || band_hash``."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    key = F.concat(
+        F.col("band_idx").cast("string"),
+        F.lit(":"),
+        F.col("band_hash").cast("string"),
+    )
+    return (
+        banded_index.select(
+            F.explode(
+                _bloom_positions(key, m_bits=m_bits, n_hashes=n_hashes)
+            ).alias("bloom_pos")
+        )
+        .distinct()
+        .select(
+            "bloom_pos",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+        )
+    )
+
+
+def _band_bloom_prefilter(
+    banded_batch: DataFrame,
+    band_bloom: DataFrame,
+    *,
+    m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Keep only batch band-key rows whose key is POSSIBLY present in the
+    history band-key Bloom set. Zero shuffles: one chained broadcast
+    left-semi join per hash function — row survives join ``i`` iff its
+    i-th bit position is set, so surviving all ``n_hashes`` joins ==
+    all bits set (the candidate test), each join a map-only broadcast
+    hash probe. Dropped rows provably have no history partner (Bloom has
+    no false negatives with a shared family), so the downstream banded
+    join result is IDENTICAL — just cheaper for mostly-new batches."""
+    positions = _check_bloom_family(
+        band_bloom, m_bits=m_bits, n_hashes=n_hashes,
+        what="incremental_fuzzy_dedup",
+    )
+    key = F.concat(
+        F.col("band_idx").cast("string"),
+        F.lit(":"),
+        F.col("band_hash").cast("string"),
+    )
+    pos = _bloom_positions(key, m_bits=m_bits, n_hashes=n_hashes)
+    out = banded_batch
+    for i in range(n_hashes):
+        out = out.withColumn("__bp", pos[i]).join(
+            F.broadcast(positions.withColumnRenamed("bloom_pos", "__bp")),
+            "__bp",
+            "left_semi",
+        )
+    return out.drop("__bp")
 
 
 def incremental_fuzzy_dedup(
@@ -890,6 +993,9 @@ def incremental_fuzzy_dedup(
     shingle_k: int = 3,
     seed: int = 42,
     jaccard_threshold: float = 0.9,
+    band_bloom: DataFrame | None = None,
+    bloom_m_bits: int = 1 << 20,
+    bloom_n_hashes: int = 4,
 ) -> DataFrame:
     """Drop batch rows that are NEAR-duplicates of the already-ingested
     corpus — the fuzzy twin of :func:`incremental_dedup` and the missing
@@ -968,6 +1074,10 @@ def incremental_fuzzy_dedup(
     bb = banded_signatures(sig_b, **kw).select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
+    if band_bloom is not None:
+        bb = _band_bloom_prefilter(
+            bb, band_bloom, m_bits=bloom_m_bits, n_hashes=bloom_n_hashes
+        )
     if prebanded:
         # the band hashes of a pre-banded index written under a different
         # (num_perm, bands, seed) family can never collide with ours —

@@ -147,6 +147,113 @@ def count_tokens(
     return df.withColumn(out_col, _count(F.col(text_col)))
 
 
+def train_bpe_merges(
+    texts: "list[str]", *, n_merges: int
+) -> "list[tuple[str, str]]":
+    """Deterministic byte-pair-encoding TRAINING (classic Sennrich
+    algorithm): pre-tokenize with :func:`bpe_ish_tokenize_py`, count word
+    frequencies, then repeatedly merge the most frequent adjacent symbol
+    pair (ties broken lexicographically ascending — same corpus, same
+    merges, on any machine). Pure Python, driver/offline-sized: training
+    runs ONCE over a sample and the merges file ships as data; at 100 TB
+    the sample is a deterministic hash-gated slice (operators.corpus
+    sample_deterministic), never the full corpus."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in bpe_ish_tokenize_py(t):
+            vocab[tuple(w)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += freq
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        merges.append(best)
+        vocab = Counter(
+            {_merge_word(syms, best): f for syms, f in vocab.items()}
+        )
+    return merges
+
+
+def _merge_word(
+    syms: "tuple[str, ...]", pair: "tuple[str, str]"
+) -> "tuple[str, ...]":
+    """Merge every left-to-right non-overlapping occurrence of ``pair``."""
+    x, y = pair
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def load_bpe_merges(path: str) -> "list[tuple[str, str]]":
+    """Read a merges file (one ``x<TAB>y`` per line, rank = line order) —
+    vocabulary as DATA, the explicit-schema discipline applied to the
+    tokenizer (reference: pyspark_skript/pyspark_script.py:57-61 pins
+    schemas instead of inferring; we pin the vocabulary instead of
+    probing)."""
+    merges = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            x, y = line.split("\t")
+            merges.append((x, y))
+    return merges
+
+
+def make_bpe_tokenizer(merges: "list[tuple[str, str]]"):
+    """``str -> list[str]`` REAL merge-loop BPE for the
+    :func:`count_tokens` seam: pre-tokenize (same regex as the fallback),
+    then per word repeatedly merge the LOWEST-RANK adjacent pair present
+    (all left-to-right occurrences per round) until none applies — the
+    canonical GPT-2 ``bpe()`` loop. A per-word memo makes the cost
+    vocabulary-bounded, not corpus-bounded (natural-language word
+    frequency is Zipfian; the memo hit rate is the point). The closure
+    pickles to workers with the ranks dict inside — no driver-side probe,
+    no network."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _bpe_word(word: str) -> "tuple[str, ...]":
+        syms: tuple[str, ...] = tuple(word)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, (syms[i], syms[i + 1]))
+            if best is None:
+                break
+            syms = _merge_word(syms, best[1])
+        return syms
+
+    cache: dict[str, tuple[str, ...]] = {}
+
+    def tokenize(text: str) -> "list[str]":
+        out: list[str] = []
+        for w in bpe_ish_tokenize_py(text):
+            got = cache.get(w)
+            if got is None:
+                got = _bpe_word(w)
+                cache[w] = got
+            out.extend(got)
+        return out
+
+    return tokenize
+
+
 def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Append per-doc quality heuristics: token counts, distinct-token
     ratio, mean token length, and a composite [0,1] quality score. Integer

@@ -121,71 +121,144 @@ from . import quality  # noqa: E402,F401
 #       multimodal_features, docs_prep_pipeline, dedup_edit_distance,
 #       merge_upsert, scd2_history, docs_pack_sequences, text_pii_scrub
 #     r3 backfill (1): json_expand
-#   round 7 plan: the 8 displaced r3 queries (orc_roundtrip,
-#     parquet_schema_merge, table_profile, agg_quantile_bins,
-#     agg_regression, events_retention_cohorts, events_transition_matrix,
-#     events_rolling_distinct_users) + window_ntile + dataset_mixture +
-#     dedup_ngram_jaccard + math_funcs + multimodal_meta +
-#     sample_deterministic +
-#     the 12 r1 donors listed above (last green r6) rotate behind
-#     whatever round 7 adds; oldest-green-first stays the rule.
+#   round 6 greened its whole window except zorder_roundtrip — broken by
+#     a missing scratch_dir import in the final snapshot commit (NameError,
+#     not wrong answers; also hit orc_roundtrip/parquet_schema_merge/
+#     streaming_rollup/streaming_incremental_dedup out-of-window). Fixed
+#     first thing in round 7.
+#   round 7 window (this one) — the r6-pinned plan, executed oldest-first:
+#     new (3): docs_token_budget_bpe (REAL merge-loop BPE through the
+#       count_tokens seam, vocabulary-file-driven, oracle REPLAYS the
+#       merge loop in a DuckDB recursive CTE) and
+#       dedup_incremental_fuzzy_bloom (pre-banded index + broadcast
+#       band-key Bloom prefilter in front of the banded join, oracled
+#       equal to the exhaustive scoring), and similarity_pq_rerank
+#       (product quantization + ADC shortlist + exact rerank — the
+#       16x-compression ANN memory story, recall-floor audited).
+#     r2 cohort (7): zorder_roundtrip (the r6 red row — its green proves
+#       the scratch_dir fix) + the 6 queries displaced by r6's news.
+#     r3 cohort (35): the ENTIRE remainder, incl. orc_roundtrip and
+#       parquet_schema_merge (the other import-regression casualties).
+#     r4 fill (5): interval_expand, csv_expand, streaming_tumbling,
+#       dedup_minhash, dedup_fuzzy_pipeline — the most load-bearing
+#       shapes of the oldest remaining cohort (graph_pagerank, displaced
+#       by similarity_pq_rerank, heads the round-8 queue).
+#     The 12 r1 donors + 31 r2 cohort + json_expand from r6's window are
+#     freshly r6-green and rotate out; after this round no query's last
+#     green is older than r4. Round-8 queue pinned in _ROUND8_QUEUE below
+#     (a REAL list, typo-proofed by tests/test_registry.py).
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
     #    enter the window) --
-    "similarity_incremental",
-    "dedup_minhash_capped",
-    "dedup_bloom_prefilter",
-    "docs_balanced_shards",
-    "streaming_incremental_ann",
-    "dedup_keep_best",
-    # -- r1 slot-donors from rounds 4-5, last driver-green in round 1 --
-    "join_cross",
-    "sort_limit",
-    "union_all",
-    "histogram_prices",
-    "set_except_all",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "distinct_set",
-    "agg_string_concat",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_right",
-    # -- the round-2 cohort (31 after the six displacements above),
-    #    last driver-green in round 2 --
+    "docs_token_budget_bpe",
+    "dedup_incremental_fuzzy_bloom",
+    "similarity_pq_rerank",
+    # -- last driver-green r2: the 6 queries displaced by round 6's news
+    #    + zorder_roundtrip (red in r6 via the scratch_dir NameError,
+    #    fixed this round — its re-green IS the regression proof) --
     "zorder_roundtrip",
-    "join_skew_salted",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q16_supplier_relationship",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "window_rank",
-    "window_running",
-    "window_ntile_scalable",
-    "string_funcs",
-    "date_funcs",
-    "array_hof_funcs",
-    "dedup_exact",
-    "text_decontaminate",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "text_lang_profile",
-    "text_quality",
-    "text_token_topk",
-    "multimodal_features",
-    "docs_prep_pipeline",
-    "dedup_edit_distance",
-    "merge_upsert",
-    "scd2_history",
-    "docs_pack_sequences",
-    "text_pii_scrub",
-    # -- r3 backfill --
-    "json_expand",
+    "window_ntile",
+    "dataset_mixture",
+    "dedup_ngram_jaccard",
+    "math_funcs",
+    "multimodal_meta",
+    "sample_deterministic",
+    # -- the ENTIRE remaining round-3 cohort (35), last driver-green r3;
+    #    includes the two other scratch_dir-broken queries
+    #    (orc_roundtrip, parquet_schema_merge) --
+    "orc_roundtrip",
+    "parquet_schema_merge",
+    "table_profile",
+    "agg_quantile_bins",
+    "agg_regression",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_rolling_distinct_users",
+    "agg_higher_moments",
+    "agg_mode",
+    "array_agg_funcs",
+    "array_funcs",
+    "corpus_quota_cap",
+    "data_quality_audit",
+    "dataset_split",
+    "embedding_centroid_outliers",
+    "embedding_quantize",
+    "join_point_in_time",
+    "map_funcs",
+    "search_bm25",
+    "search_inverted_index",
+    "snapshot_diff",
+    "stat_robust_zscore",
+    "stat_winsorize",
+    "streaming_dedup",
+    "streaming_join_stream",
+    "streaming_session",
+    "streaming_stateful_totals",
+    "text_dedup_sentences",
+    "text_perplexity",
+    "text_pmi_pairs",
+    "text_rolling_hash",
+    "text_tfidf_topk",
+    "udaf_geomean",
+    "udtf_chunk_words",
+    # -- r4-cohort fill (oldest remaining), load-bearing shapes first:
+    #    the flagship, the reference CSV path, core streaming, core LSH,
+    #    the big fuzzy composite, and the iterative-graph representative --
+    "interval_expand",
+    "csv_expand",
+    "streaming_tumbling",
+    "dedup_minhash",
+    "dedup_fuzzy_pipeline",
+]
+
+#: Round-8 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name exists):
+#: the r4 cohort not already in this round's window — after round 7 they
+#: are the oldest driver-greens — rotates in behind whatever round 8 adds;
+#: oldest-green-first stays the rule.
+_ROUND8_QUEUE = [
+    "graph_pagerank",
+    "agg_approx_distinct",
+    "agg_freq_items",
+    "agg_hll_rollup",
+    "agg_skew_salted",
+    "case_null_funcs",
+    "cast_funcs",
+    "corpus_gopher_filter",
+    "dedup_exact_hash",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_first",
+    "dedup_simhash_portable",
+    "dedup_substring_spans",
+    "generator_funcs",
+    "graph_degree_centrality",
+    "interval_funcs",
+    "json_funcs",
+    "multimodal_frames",
+    "multimodal_resize",
+    "sample_per_group",
+    "similarity_ivf",
+    "similarity_lsh",
+    "streaming_join_static",
+    "streaming_rollup",
+    "streaming_sliding",
+    "text_langid",
+    "text_repetition_profile",
+    "text_token_entropy",
+    "topk_per_group",
+    "try_funcs",
+    "ts_time_weighted_avg",
+    "udf_grouped_zscore",
+    "udf_rowwise_python",
+    "variant_funcs",
+    "window_first_last",
+    "window_lag_lead",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
 ]
 
 

@@ -301,6 +301,115 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_tokens", "cum_tokens_before")
 
 
+_BPE_MERGES_PATH = "/root/repo/fixtures/bpe_merges.txt"
+#: regex twin of operators.text._BPE_ISH_PATTERN, quotes doubled for SQL
+_BPE_PAT_SQL = (
+    r"''s|''t|''re|''ve|''m|''ll|''d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+)
+
+
+def _bpe_merges_sql_values() -> str:
+    """The committed merges fixture as a SQL VALUES literal — vocabulary
+    as data on the ORACLE side too, so the two engines can never read
+    different vocabularies."""
+    from ..operators.text import load_bpe_merges
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return ", ".join(
+        f"({i}, '{q(x)}', '{q(y)}')"
+        for i, (x, y) in enumerate(load_bpe_merges(_BPE_MERGES_PATH))
+    )
+
+
+_BPE_VALUES = _bpe_merges_sql_values()
+
+
+@query(
+    "docs_token_budget_bpe",
+    oracle=f"""
+WITH RECURSIVE merges(rank, x, y) AS (
+    SELECT * FROM (VALUES {_BPE_VALUES}) AS m(rank, x, y)
+), words AS (
+    SELECT DISTINCT t.w
+    FROM documents, UNNEST(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS t(w)
+    WHERE text IS NOT NULL
+), bpe(w, s) AS (
+    -- seed: every word as chr(31)-separated characters; each step merges
+    -- ALL left-to-right occurrences of the LOWEST-rank pair present (the
+    -- canonical BPE apply loop; replace() is left-to-right non-overlapping,
+    -- exactly the merge semantics); a word with no applicable merge emits
+    -- no successor, so the recursion terminates at every word's fixpoint
+    SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+    FROM words
+    UNION ALL
+    SELECT b.w,
+           replace(b.s, chr(31)||m.x||chr(31)||m.y||chr(31),
+                   chr(31)||m.x||m.y||chr(31))
+    FROM bpe b, LATERAL (
+        SELECT x, y FROM merges
+        WHERE contains(b.s, chr(31)||x||chr(31)||y||chr(31))
+        ORDER BY rank LIMIT 1) m
+), fixed AS (
+    -- length strictly decreases per merge, so min-length = the fixpoint
+    SELECT w, length(arg_min(s, length(s)))
+             - length(replace(arg_min(s, length(s)), chr(31), '')) - 1 AS n
+    FROM bpe GROUP BY w
+), doc_tokens AS (
+    SELECT d.doc_id, CAST(COALESCE(SUM(f.n), 0) AS BIGINT) AS n_tokens
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, t.w
+        FROM documents, UNNEST(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS t(w)
+        WHERE text IS NOT NULL
+    ) occ ON d.doc_id = occ.doc_id
+    LEFT JOIN fixed f ON occ.w = f.w
+    GROUP BY d.doc_id
+), c AS (
+    SELECT d.source, d.doc_id, t.n_tokens,
+           CAST(COALESCE(SUM(t.n_tokens) OVER (
+               PARTITION BY d.source ORDER BY d.n_chars DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_tokens_before
+    FROM documents d JOIN doc_tokens t ON d.doc_id = t.doc_id
+)
+SELECT source, doc_id, n_tokens, cum_tokens_before
+FROM c WHERE cum_tokens_before < 2000
+""",
+)
+def docs_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_token_budget with a REAL merge-loop BPE through the
+    count_tokens seam (operators/text.py:make_bpe_tokenizer): the
+    committed vocabulary file drives the canonical lowest-rank-pair merge
+    loop inside an Arrow-batched pandas UDF (per-word memo — cost is
+    vocabulary-bounded), and the budget window runs on the resulting
+    counts. The oracle REPLAYS the same merge loop in DuckDB (recursive
+    CTE over distinct words), so the seam's non-fallback tokenizer is
+    value-verified end-to-end, not assumed. Same plan shape as
+    docs_token_budget: one map-only tokenize pass + one partitioned
+    window shuffle."""
+    from ..operators.corpus import token_budget_cap
+    from ..operators.text import (
+        count_tokens,
+        load_bpe_merges,
+        make_bpe_tokenizer,
+    )
+
+    tokenize = make_bpe_tokenizer(load_bpe_merges(_BPE_MERGES_PATH))
+    d = count_tokens(
+        _t(spark, sf_dir, "documents"), tokenize_fn=tokenize
+    )
+    return token_budget_cap(
+        d,
+        group_col="source",
+        quality_col="n_chars",
+        id_col="doc_id",
+        token_col="n_tokens",
+        budget=2000,
+    ).select("source", "doc_id", "n_tokens", "cum_tokens_before")
+
+
 @query(
     "dataset_mixture_epochs",
     oracle="""

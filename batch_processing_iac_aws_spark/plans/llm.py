@@ -704,6 +704,34 @@ def similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(ann, exact, min_recall=0.65)
 
 
+@query("similarity_pq_rerank", oracle=_ANN_SHAPE_ORACLE)
+def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with exact rerank — the compression half of
+    IVF-PQ (Jégou et al., TPAMI 2011) and the missing piece of the 100 TB
+    ANN memory story: vectors compress to 16 one-byte-ish codes (16x over
+    64 floats), the candidate scan reads CODES ONLY via a broadcast
+    lookup-table join (pure JVM relational ADC — no UDF in the scoring
+    path), and just |queries| x 50 shortlisted candidates fetch their
+    true vectors for the exact cosine rerank. Codebooks train with the
+    kmeans_exact discipline (all 16 subspaces share one job per
+    iteration; the only collects are the m*k-row updates — model-sized).
+    In-engine recall audit floor 0.80 (measured 0.92-0.99 across
+    sf0.001/0.01/0.1 with shortlist=50 on near-random embeddings — raw
+    ADC top-5 alone sits at 0.32-0.66, the rerank is what makes the
+    compression usable; ~0.1 measured-minimum margin discipline).
+    operators/similarity.py: pq_train / pq_encode / pq_topk /
+    pq_rerank_topk."""
+    from ..operators.similarity import pq_encode, pq_rerank_topk, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    cbs = pq_train(e, m=16, k=32, iters=3)
+    codes = pq_encode(e, cbs)
+    q = e.filter(F.col("vec_id") < 20)
+    ann = pq_rerank_topk(e, codes, cbs, q, k=5, shortlist=50)
+    exact = brute_force_topk(e, q, k=5)
+    return _ann_recall_summary(ann, exact, min_recall=0.80)
+
+
 @query("streaming_incremental_ann", oracle=_ANN_SHAPE_ORACLE)
 def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rolling-corpus ANN story end-to-end through the REAL streaming
@@ -720,30 +748,39 @@ def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuller corpus samples, so this floor keeps the ~0.1 margin
     discipline of similarity_lsh rather than similarity_ivf's). The
     per-batch single-file writes are TEST SCAFFOLDING building the
-    stream source, not the operator."""
+    stream source, not the operator — and the source is CACHED across
+    invocations within the process (scratch_source_cache): bench's warm
+    iterations measure ingest + search, not corpus prep; the index and
+    checkpoint stay under the per-call wiped scratch_dir so every
+    invocation still exercises the full build/append path."""
     import glob as _glob
     import os
-    import tempfile
 
     from ..operators.similarity import ivf_index_topk
     from ..streaming.pipeline import run_streaming_ann_ingest
 
+    from .registry import scratch_source_cache
+
     base = scratch_dir("annstream", sf_dir)
-    src = f"{base}/src"
+    cache, built = scratch_source_cache("annstream_src", sf_dir)
+    src = f"{cache}/src"
     e = _t(spark, sf_dir, "embeddings")
-    stamped: set[str] = set()
-    for b in range(3):
-        (
-            e.filter(F.col("vec_id") % 3 == b)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        t = 1_700_000_000 + b * 60
-        for f in _glob.glob(f"{src}/*.parquet"):
-            if f not in stamped:
-                os.utime(f, (t, t))
-                stamped.add(f)
+    if not built:
+        stamped: set[str] = set()
+        for b in range(3):
+            (
+                e.filter(F.col("vec_id") % 3 == b)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            t = 1_700_000_000 + b * 60
+            for f in _glob.glob(f"{src}/*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (t, t))
+                    stamped.add(f)
+        with open(f"{cache}/_BUILT", "w") as fh:
+            fh.write("ok")
     run_streaming_ann_ingest(
         spark, src, f"{base}/index", f"{base}/ckpt", n_centroids=16
     )
@@ -1934,6 +1971,73 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 5 != 0)
     return incremental_fuzzy_dedup(
         batch, index, history=history, jaccard_threshold=0.9
+    ).select("doc_id")
+
+
+@query(
+    "dedup_incremental_fuzzy_bloom",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS sh
+    FROM w
+), b AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+   h AS (SELECT * FROM s WHERE doc_id % 5 = 0)
+SELECT b.doc_id FROM b
+WHERE NOT EXISTS (
+    SELECT 1 FROM h
+    WHERE round(len(list_intersect(b.sh, h.sh)) * 1.0
+          / len(list_distinct(list_concat(b.sh, h.sh))), 4) >= 0.9)
+""",
+)
+def dedup_incremental_fuzzy_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_fuzzy with BOTH production index layouts armed:
+    the PRE-BANDED signature index (each run skips history banding; bucket
+    it by band_hash and the join is shuffle-free on the history side) plus
+    a broadcast band-key Bloom summary in front of the banded join —
+    batch band keys that are definitely absent from history drop in a
+    chain of map-only broadcast semi-joins BEFORE the equi-join, so a
+    mostly-new batch pays the join only for its (candidate + fpp) sliver.
+    The oracle is the SAME exhaustive batch x history scoring as the
+    unfiltered query: hash equality proves the Bloom prefilter dropped no
+    true near-duplicate (no false negatives when build and probe share
+    the md5 position family) AND the pre-banded layout reproduces the
+    compact one. operators.dedup.build_band_bloom_index /
+    incremental_fuzzy_dedup(band_bloom=...)."""
+    from ..operators.dedup import (
+        banded_signatures,
+        build_band_bloom_index,
+        incremental_fuzzy_dedup,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_signatures(history, id_col="doc_id", text_col="text")
+    prebanded = banded_signatures(index, id_col="doc_id").select(
+        "doc_id", "band_idx", "band_hash"
+    )
+    bloom = build_band_bloom_index(
+        prebanded, m_bits=1 << 16, n_hashes=4
+    )
+    batch = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_fuzzy_dedup(
+        batch,
+        prebanded,
+        history=history,
+        jaccard_threshold=0.9,
+        band_bloom=bloom,
+        bloom_m_bits=1 << 16,
+        bloom_n_hashes=4,
     ).select("doc_id")
 
 

@@ -91,3 +91,32 @@ def scratch_dir(prefix: str, sf_dir: str) -> str:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     return base
+
+
+def scratch_source_cache(prefix: str, sf_dir: str) -> "tuple[str, bool]":
+    """Scratch dir for DETERMINISTIC test scaffolding (e.g. a streaming
+    query's pre-built source files) that is KEPT across calls within one
+    process, unlike :func:`scratch_dir`: bench runs each registered query
+    1 cold + 3 warm times, and rebuilding a byte-identical source corpus
+    per invocation measures scaffolding, not the operator. Returns
+    ``(path, already_built)``; when ``already_built`` is False any
+    partial previous content has been wiped (a crash between build and
+    the sentinel would otherwise leave half a source that a mode=append
+    rebuild silently doubles) and the caller must create
+    ``<path>/_BUILT`` after finishing the build. Same per-pid isolation
+    as scratch_dir; per-process lifetime keeps reuse bounded."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cache_{prefix}_{key}_p{os.getpid()}",
+    )
+    if os.path.exists(os.path.join(base, "_BUILT")):
+        return base, True
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    return base, False

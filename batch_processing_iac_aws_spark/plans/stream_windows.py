@@ -396,45 +396,55 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip, and the anti-join compose to exactly first-arrival
     semantics. The per-batch single-file writes and the deterministic
     duplicate injection here are TEST SCAFFOLDING building the stream
-    source, not the operator."""
+    source, not the operator — and the source is CACHED across
+    invocations within the process (scratch_source_cache), so bench's
+    warm iterations measure the streaming ingest, not corpus prep; the
+    table/index/checkpoint stay under the per-call wiped scratch_dir so
+    every invocation exercises the full three-batch pipeline."""
     import glob as _glob
     import os
 
     from ..streaming.pipeline import run_streaming_ingest_dedup
+    from .registry import scratch_source_cache
 
     base = scratch_dir("ingest", sf_dir)
-    src = f"{base}/src"
-    # the synthetic corpus has no exact-content duplicates, so decorate it
-    # deterministically (both engines identically): every doc_id ending in
-    # 7 copies the text of doc_id-7, which lands in a DIFFERENT batch
-    # class (7 % 3 != 0) — cross-batch duplicates in both directions
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    donor = docs.select(
-        (F.col("doc_id") + 7).alias("doc_id"),
-        F.col("text").alias("__dup_text"),
-    )
-    d = docs.join(donor, "doc_id", "left").select(
-        "doc_id",
-        F.when(
-            (F.col("doc_id") % 10 == 7) & F.col("__dup_text").isNotNull(),
-            F.col("__dup_text"),
+    cache, built = scratch_source_cache("ingest_src", sf_dir)
+    src = f"{cache}/src"
+    if not built:
+        # the synthetic corpus has no exact-content duplicates, so
+        # decorate it deterministically (both engines identically): every
+        # doc_id ending in 7 copies the text of doc_id-7, which lands in
+        # a DIFFERENT batch class (7 % 3 != 0) — cross-batch duplicates
+        # in both directions
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        donor = docs.select(
+            (F.col("doc_id") + 7).alias("doc_id"),
+            F.col("text").alias("__dup_text"),
         )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    stamped: set[str] = set()
-    for b in range(3):
-        (
-            d.filter(F.col("doc_id") % 3 == b)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        d = docs.join(donor, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 7) & F.col("__dup_text").isNotNull(),
+                F.col("__dup_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
         )
-        t = 1_700_000_000 + b * 60
-        for f in _glob.glob(f"{src}/*.parquet"):
-            if f not in stamped:
-                os.utime(f, (t, t))
-                stamped.add(f)
+        stamped: set[str] = set()
+        for b in range(3):
+            (
+                d.filter(F.col("doc_id") % 3 == b)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            t = 1_700_000_000 + b * 60
+            for f in _glob.glob(f"{src}/*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (t, t))
+                    stamped.add(f)
+        with open(f"{cache}/_BUILT", "w") as fh:
+            fh.write("ok")
     run_streaming_ingest_dedup(
         spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt"
     )

@@ -81,6 +81,12 @@ HEADLINE = [
     "dedup_minhash_capped",
     "dedup_bloom_prefilter",
     "docs_balanced_shards",
+    # round 7: band-key Bloom in front of the banded fuzzy join (compare
+    # against dedup_incremental_fuzzy above), PQ + exact rerank, real-BPE
+    # token budgeting through the count_tokens seam
+    "dedup_incremental_fuzzy_bloom",
+    "similarity_pq_rerank",
+    "docs_token_budget_bpe",
 ]
 
 WARM_ITERS = 3

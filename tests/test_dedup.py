@@ -539,6 +539,123 @@ def test_bloom_prefilter_exact_and_both_paths_fire(spark):
         build_bloom_index(history, m_bits=1000, n_hashes=4)
 
 
+def test_bloom_prefilter_within_batch_duplicates(spark):
+    """A hash repeated c times in the batch must behave exactly as in the
+    plain anti-join: every copy of a repeated NEW text survives, every
+    copy of a repeated KNOWN text is dropped. (Regression: counting raw
+    probe-hit rows instead of distinct hit positions made a c-times
+    repeated hash score c*hits, landing in neither the definitely-new nor
+    the candidate branch — all copies silently vanished.)"""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+        build_bloom_index,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "alpha text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "repeated new text"),
+            (2, "repeated new text"),
+            (3, "repeated new text"),
+            (4, "alpha text"),
+            (5, "alpha text"),
+        ],
+        "doc_id long, text string",
+    )
+    index = history.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    # tiny filter saturated by construction: 2 bits, everything collides,
+    # so the repeated-new hash takes the CANDIDATE path (hits==n_hashes)
+    bloom_sat = build_bloom_index(history, m_bits=1 << 1, n_hashes=4)
+    got = bloom_prefilter_dedup(
+        batch, index, bloom_sat, m_bits=1 << 1, n_hashes=4
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 3]
+
+    # roomy filter: the repeated-new hash takes the definitely-new path
+    bloom = build_bloom_index(history, m_bits=1 << 12, n_hashes=4)
+    got2 = bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 12, n_hashes=4
+    )
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2, 3]
+
+
+def test_band_bloom_prefilter_exact_prunes_and_checks_family(spark):
+    """The band-key Bloom in front of the banded MinHash join: result
+    must EQUAL the unfiltered incremental fuzzy dedup (no false
+    negatives), the prefilter must actually DROP band keys with no
+    history partner (the mostly-new-batch win), and a family mismatch
+    must raise loudly."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        _band_bloom_prefilter,
+        banded_signatures,
+        build_band_bloom_index,
+        incremental_fuzzy_dedup,
+        minhash_signatures,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight looking for food")
+    rows = [(i, f"{base} variant {i} " + "filler words " * i) for i in range(8)]
+    rows.append((100, base))  # near-dup of doc 0's text family
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    history = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 != 0)
+    index = minhash_signatures(history, id_col="doc_id", text_col="text")
+    prebanded = banded_signatures(index, id_col="doc_id").select(
+        "doc_id", "band_idx", "band_hash"
+    )
+    bloom = build_band_bloom_index(prebanded, m_bits=1 << 12, n_hashes=4)
+
+    plain = sorted(
+        r["doc_id"]
+        for r in incremental_fuzzy_dedup(
+            batch, index, history=history, jaccard_threshold=0.5
+        ).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_fuzzy_dedup(
+            batch,
+            prebanded,
+            history=history,
+            jaccard_threshold=0.5,
+            band_bloom=bloom,
+            bloom_m_bits=1 << 12,
+            bloom_n_hashes=4,
+        ).collect()
+    )
+    assert got == plain
+
+    # the prefilter really prunes: batch band keys not in history shrink
+    bb = banded_signatures(
+        minhash_signatures(batch, id_col="doc_id", text_col="text"),
+        id_col="doc_id",
+    ).select("doc_id", "band_idx", "band_hash")
+    kept = _band_bloom_prefilter(
+        bb, bloom, m_bits=1 << 12, n_hashes=4
+    ).count()
+    assert kept < bb.count()
+
+    with _pytest.raises(ValueError, match="family mismatch"):
+        incremental_fuzzy_dedup(
+            batch,
+            prebanded,
+            history=history,
+            band_bloom=bloom,
+            bloom_m_bits=1 << 13,
+            bloom_n_hashes=4,
+        ).collect()
+
+
 def test_keep_best_picks_quality_not_id(spark):
     """keep-best must keep the highest-quality cluster member even when
     it has the HIGHEST id (where keep-one would keep the lowest id), and

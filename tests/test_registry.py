@@ -7,7 +7,12 @@ from __future__ import annotations
 import json
 import pathlib
 
-from batch_processing_iac_aws_spark.plans import ORACLES, QUERIES, _PRIORITY
+from batch_processing_iac_aws_spark.plans import (
+    ORACLES,
+    QUERIES,
+    _PRIORITY,
+    _ROUND8_QUEUE,
+)
 
 # genuinely non-SQL-expressible ops (xxhash64-based SimHash signatures
 # and their banded pairs — DuckDB has no xxhash64): rows-only by design,
@@ -27,8 +32,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 190
-    assert len(ORACLES) == 188
+    assert len(QUERIES) == 192
+    assert len(ORACLES) == 190
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -54,24 +59,20 @@ def _ever_driver_confirmed() -> set[str]:
     return seen
 
 
-def test_first_50_is_the_round6_rotation_window():
-    """Rotation policy: the round-6 window = the six queries new this
-    round (similarity_incremental — the persisted rolling-corpus IVF
-    index; dedup_minhash_capped — the max_bucket production guard oracled
-    equal to exhaustive LSH on the clean corpus; dedup_bloom_prefilter —
-    the broadcast membership-summary prefilter, oracled equal to the
-    plain anti-join; docs_balanced_shards — token-balanced serpentine
-    sharding over the scalable global rank; streaming_incremental_ann —
-    the streaming composition of the persisted IVF index;
-    dedup_keep_best — quality-aware cluster representative, oracled
-    through the recursive-closure + argmax rule) + the
-    staleness-debt cohorts
-    exactly as pinned at the end of round 5: the 12 r1 slot donors (last
-    green r1), 31 of the 37-query r2 cohort (window_ntile,
-    dataset_mixture, dedup_ngram_jaccard, math_funcs, multimodal_meta,
-    and sample_deterministic displaced to r7 by the six new queries —
-    each shape-covered or arithmetic-proven in-window/r5), and the
-    json_expand r3 backfill."""
+def test_first_50_is_the_round7_rotation_window():
+    """Rotation policy: the round-7 window = the two queries new this
+    round (docs_token_budget_bpe — the real merge-loop BPE through the
+    count_tokens seam, oracle-replayed in a DuckDB recursive CTE;
+    dedup_incremental_fuzzy_bloom — pre-banded index + broadcast band-key
+    Bloom prefilter, oracled equal to exhaustive scoring) + the
+    staleness-debt cohorts exactly as pinned at the end of round 6: the
+    7-query r2 remainder (zorder_roundtrip — r6's one red row, its green
+    proves the scratch_dir import fix — plus the 6 queries the r6 news
+    displaced), the ENTIRE 35-query r3 remainder (incl. orc_roundtrip and
+    parquet_schema_merge, the other import-regression casualties), and 6
+    r4 fills (flagship, CSV path, core streaming/LSH/fuzzy-composite, and
+    the iterative-graph representative). After this round no query's last
+    driver-green is older than r4."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -87,3 +88,63 @@ def test_first_50_is_the_round6_rotation_window():
     # at least 44/50 slots must carry a DuckDB oracle
     n_oracled = sum(n in ORACLES for n in _PRIORITY)
     assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"
+
+
+def test_round8_queue_names_are_registered():
+    """The pinned next-round rotation queue must name only real queries —
+    a typo'd entry would silently never rotate in (the r6 lesson applied
+    to the queue itself, not just the window)."""
+    missing = [n for n in _ROUND8_QUEUE if n not in QUERIES]
+    assert not missing, f"queue names not in QUERIES: {missing}"
+    # and the queue is exactly the set that will be oldest after round 7:
+    # no overlap with the current window, no duplicates
+    assert len(set(_ROUND8_QUEUE)) == len(_ROUND8_QUEUE)
+    assert not set(_ROUND8_QUEUE) & set(_PRIORITY)
+
+
+def test_scratch_source_cache_reuse_and_partial_build_wipe(tmp_path, monkeypatch):
+    """scratch_source_cache: second call in the same process reuses the
+    built tree (already_built=True); a partial build (no sentinel) is
+    WIPED on the next call, not appended to."""
+    import os
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile as _tf
+
+    _tf.tempdir = None  # force re-read of TMPDIR
+    try:
+        from batch_processing_iac_aws_spark.plans.registry import (
+            scratch_source_cache,
+        )
+
+        p1, built1 = scratch_source_cache("t", "/some/sf")
+        assert built1 is False
+        with open(f"{p1}/partial.parquet", "w") as f:
+            f.write("half-written")
+        # no sentinel -> next call must wipe the partial content
+        p2, built2 = scratch_source_cache("t", "/some/sf")
+        assert p2 == p1 and built2 is False
+        assert not os.path.exists(f"{p1}/partial.parquet")
+        with open(f"{p1}/data.parquet", "w") as f:
+            f.write("full")
+        with open(f"{p1}/_BUILT", "w") as f:
+            f.write("ok")
+        p3, built3 = scratch_source_cache("t", "/some/sf")
+        assert p3 == p1 and built3 is True
+        assert os.path.exists(f"{p1}/data.parquet")
+        # different (prefix, sf) -> different trees
+        q, _ = scratch_source_cache("t", "/other/sf")
+        assert q != p1
+    finally:
+        _tf.tempdir = None
+
+
+def test_streaming_source_cache_second_call_identical(spark):
+    """Calling a cached-source streaming query twice in one process must
+    produce identical results — the second call takes the reuse path."""
+    from batch_processing_iac_aws_spark.plans import QUERIES
+
+    fn = QUERIES["streaming_incremental_dedup"]
+    a = sorted(map(str, fn(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(str, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b and len(a) > 0

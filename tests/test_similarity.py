@@ -377,3 +377,121 @@ def test_ivf_retrain_replay_after_partial_append_no_duplicates(
     assert stored.count() == emb.count() + 5  # no double-stored batch rows
     assert stored.groupBy("id").count().filter("count > 1").count() == 0
     assert _ivf_current(idx) != gen0  # committed a fresh generation
+
+
+def test_ivf_replayed_committed_retrain_is_idempotent_not_error(
+    spark, emb, tmp_path
+):
+    """A replayed batch whose retrain ALREADY COMMITTED (post-commit
+    crash re-delivers it under the same batch_id) can still trip the
+    drift gate — training only guarantees the batch seeds >=1 cell, not
+    that <=max_drift_frac of it clears drift_floor. That state must take
+    the idempotent append path (dynamic overwrite of the batch's own
+    partitions), NOT raise from _retrain_ivf_index. Forced here with an
+    unsatisfiable floor (cosine <= 1.0 < 1.1), which makes every replay
+    row count as drifted regardless of the retrained centroids."""
+    import os
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        _ivf_current,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_assignments,
+        read_ivf_centroids,
+    )
+
+    idx = str(tmp_path / "ivf")
+    import pyspark.sql.functions as F
+
+    history = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    build_ivf_index(history, idx, n_centroids=8, batch_id=0)
+    # batch 1 retrains (impossible floor trips the gate immediately)
+    retrained = append_to_ivf_index(
+        batch, idx, batch_id=1, drift_floor=1.1, max_drift_frac=0.0
+    )
+    assert retrained is True
+    assert os.path.basename(_ivf_current(idx)) == "gen-1"
+    cents = read_ivf_centroids(spark, idx)
+    total = emb.count()
+    assert ivf_assignments(spark, idx).count() == total
+
+    # the replay: same batch_id, gate fires again, generation already
+    # committed as gen-1 -> idempotent append, no exception, fixpoint
+    retrained2 = append_to_ivf_index(
+        batch, idx, batch_id=1, drift_floor=1.1, max_drift_frac=0.0
+    )
+    assert retrained2 is False
+    assert os.path.basename(_ivf_current(idx)) == "gen-1"
+    assert read_ivf_centroids(spark, idx) == cents
+    stored = ivf_assignments(spark, idx)
+    assert stored.count() == total
+    assert stored.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    """PQ: codebooks are m x k x (dim/m) ints, training twice is
+    bit-identical (first-k-ids init, integer arithmetic), codes cover all
+    subspaces for every vector, and encoding is partition-invariant
+    (repartitioned input -> same codes)."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    dim = len(emb.first()["embedding"])
+    m, k = 8, 16
+    cbs1 = pq_train(emb, m=m, k=k, iters=2)
+    cbs2 = pq_train(emb.repartition(7), m=m, k=k, iters=2)
+    assert cbs1 == cbs2
+    assert len(cbs1) == m and all(len(cb) == k for cb in cbs1)
+    assert all(len(cw) == dim // m for cb in cbs1 for cw in cb)
+    codes = pq_encode(emb, cbs1)
+    n = emb.count()
+    assert codes.count() == n * m
+    per = codes.groupBy("id").count().filter(F.col("count") != m).count()
+    assert per == 0
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, pq_encode(emb.repartition(5), cbs1).collect()))
+    assert a == b
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] <= k - 1
+
+
+def test_pq_rerank_beats_raw_adc_and_holds_floor(spark, emb):
+    """The rerank pipeline must (a) reach the registered floor 0.80 at
+    shortlist=50, and (b) strictly improve on raw ADC top-5 — the
+    documented reason the rerank stage exists."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_rerank_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    cbs = pq_train(emb, m=16, k=32, iters=3)
+    codes = pq_encode(emb, cbs)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_rerank_topk(
+            emb, codes, cbs, q, k=5, shortlist=50
+        ).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(codes, cbs, q, k=5).collect()
+    }
+    rec_rerank = len(rer & exact) / len(exact)
+    rec_raw = len(raw & exact) / len(exact)
+    assert rec_rerank >= 0.80
+    assert rec_rerank > rec_raw

@@ -393,3 +393,86 @@ def test_streaming_ann_ingest_builds_then_appends_exactly_once(
     run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
     assert ivf_assignments(spark, idx).count() == emb.count()
     assert read_ivf_centroids(spark, idx) == cents_before
+
+
+def test_streaming_ann_retrain_replayed_across_checkpoint(spark, tmp_path):
+    """Drift-triggered retrain THROUGH the streaming engine, then a
+    checkpoint replay across the retrain boundary: batch 1 is
+    out-of-distribution (one-dimension spike — cosine-far from every
+    stored centroid at floor 0.95), so its micro-batch retrains and
+    atomically commits generation gen-1; deleting the checkpoint's
+    commits/1 marker simulates a crash AFTER the index commit but BEFORE
+    the checkpoint commit, so the restarted stream re-delivers batch 1
+    under the same batch_id. The replay must reconverge to the identical
+    index — same CURRENT pointer, same centroids, same assignment count —
+    not raise or duplicate (the staging-swap + batch-keyed-overwrite
+    contract)."""
+    import os
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        _ivf_current,
+        ivf_assignments,
+        read_ivf_centroids,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_ann_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    emb.coalesce(1).write.mode("append").parquet(src)
+    for i, f in enumerate(sorted(os.listdir(src))):
+        if f.endswith(".parquet"):
+            os.utime(f"{src}/{f}", (1_700_000_000 + i,) * 2)
+    run_streaming_ann_ingest(
+        spark, src, idx, ckpt, n_centroids=8,
+        drift_floor=0.95, max_drift_frac=0.25,
+    )
+    assert os.path.basename(_ivf_current(idx)) == "gen-0"
+    cents_gen0 = read_ivf_centroids(spark, idx)
+
+    dim = len(emb.first()["embedding"])
+    spike = [0.0] * dim
+    spike[0] = 100.0
+    import pyspark.sql.functions as F
+
+    ood = spark.createDataFrame(
+        [(10_000 + i, [x * (1 + 0.001 * i) for x in spike]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    ).select(
+        # match the source table's physical type — mixed float/double
+        # files under one streaming source fail the vectorized reader
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    ood.coalesce(1).write.mode("append").parquet(src)
+    newest = max(
+        (f"{src}/{f}" for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    os.utime(newest, (1_700_000_100, 1_700_000_100))
+    run_streaming_ann_ingest(
+        spark, src, idx, ckpt, n_centroids=8,
+        drift_floor=0.95, max_drift_frac=0.25,
+    )
+    assert os.path.basename(_ivf_current(idx)) == "gen-1"  # retrained
+    cents_after = read_ivf_centroids(spark, idx)
+    assert cents_after != cents_gen0
+    total = emb.count() + 5
+    assert ivf_assignments(spark, idx).count() == total
+
+    # crash window: index generation committed, checkpoint did not
+    # (the .crc sidecar must go with the commit file — Hadoop's local
+    # ChecksumFileSystem treats an orphaned CRC as concurrent modification)
+    os.remove(f"{ckpt}/commits/1")
+    crc = f"{ckpt}/commits/.1.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_ann_ingest(
+        spark, src, idx, ckpt, n_centroids=8,
+        drift_floor=0.95, max_drift_frac=0.25,
+    )
+    assert os.path.basename(_ivf_current(idx)) == "gen-1"
+    assert read_ivf_centroids(spark, idx) == cents_after
+    assert ivf_assignments(spark, idx).count() == total

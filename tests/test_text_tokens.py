@@ -120,3 +120,59 @@ def test_bpe_ish_python_twin_matches_column(spark):
         expect = bpe_ish_tokenize_py(text)
         got = col[i] if col[i] is not None else []
         assert got == expect, (i, got, expect)
+
+
+def test_bpe_merge_loop_cascades_and_is_deterministic():
+    """Canonical lowest-rank merge loop: merged symbols must feed LATER
+    merges (cascading — 'w'+'indow' only exists after 'in'+'dow'), all
+    left-to-right occurrences of the selected pair merge per round, and
+    training twice on the same corpus yields identical merges."""
+    from batch_processing_iac_aws_spark.operators.text import (
+        make_bpe_tokenizer,
+        train_bpe_merges,
+    )
+
+    merges = [("i", "n"), ("o", "w"), ("d", "ow"), ("in", "dow"),
+              ("w", "indow")]
+    tok = make_bpe_tokenizer(merges)
+    assert tok("window") == ["window"]          # 5-level cascade
+    assert tok("in in") == ["in", "in"]
+    assert tok("iii") == ["i", "i", "i"]        # no (i,i) rule
+    # all-occurrences-per-round: 'inin' -> in,in (rank 0 twice), no
+    # cross-boundary ('n','i') merge exists
+    assert tok("inin") == ["in", "in"]
+    assert tok(None) == []
+    corpus = ["window in dow", "window window in"] * 3
+    assert train_bpe_merges(corpus, n_merges=6) == train_bpe_merges(
+        corpus, n_merges=6
+    )
+
+
+def test_bpe_seam_counts_match_pure_python(spark):
+    """count_tokens with the merge-loop BPE plugged through the seam must
+    equal the pure-Python tokenizer applied row-by-row."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from batch_processing_iac_aws_spark.operators.text import (
+        count_tokens,
+        load_bpe_merges,
+        make_bpe_tokenizer,
+    )
+
+    merges = load_bpe_merges("/root/repo/fixtures/bpe_merges.txt")
+    tok = make_bpe_tokenizer(merges)
+    rows = [
+        (1, "the fast key order sort table scan"),
+        (2, "window column merge part"),
+        (3, None),
+        (4, "zzz unseen word!!"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["n_tokens"]
+        for r in count_tokens(
+            df, text_col="text", tokenize_fn=make_bpe_tokenizer(merges)
+        ).collect()
+    }
+    want = {i: len(tok(t)) for i, t in rows}
+    assert got == want
