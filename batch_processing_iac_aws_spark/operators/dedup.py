@@ -754,12 +754,21 @@ def _bloom_positions(
     a DuckDB twin can reproduce build AND probe bit-exactly. ``m_bits``
     must be a power of two: (x % 2^60) % m == x % m only then, which is
     what keeps the two-step form identical across engines."""
-    def pos(i: int) -> Column:
-        m = F.md5(F.concat(hash_col, F.lit(f":{i}")))
-        le = F.concat(*[F.substring(m, 31 - 2 * j, 2) for j in range(8)])
-        return F.conv(F.substring(le, 2, 15), 16, 10).cast("long") % m_bits
+    return F.array(
+        *[
+            _bloom_position(hash_col, i, m_bits=m_bits)
+            for i in range(n_hashes)
+        ]
+    )
 
-    return F.array(*[pos(i) for i in range(n_hashes)])
+
+def _bloom_position(hash_col: Column, i: int, *, m_bits: int) -> Column:
+    """The i-th Bloom bit position alone — callers probing one position
+    per pass (the chained-semi-join prefilter) must not pay for building
+    and indexing the full n_hashes array per row."""
+    m = F.md5(F.concat(hash_col, F.lit(f":{i}")))
+    le = F.concat(*[F.substring(m, 31 - 2 * j, 2) for j in range(8)])
+    return F.conv(F.substring(le, 2, 15), 16, 10).cast("long") % m_bits
 
 
 def build_bloom_index(
@@ -893,8 +902,16 @@ def _check_bloom_family(
 ) -> DataFrame:
     """Verify a Bloom position table's carried family metadata against the
     probe parameters (mismatch = silent false-negative machine) and strip
-    it down to the positions column."""
-    meta = bloom.agg(
+    it down to the positions column. The table is MATERIALIZED here
+    (eager localCheckpoint, bounded by m_bits rows): every caller probes
+    it several times — the family agg plus one broadcast per hash
+    function — and without pinning, a bloom frame derived from a
+    history-sized build pipeline would re-run that build per consumer
+    (measured 5x the build cost in the registered fuzzy query before
+    this). Production reads the persisted position parquet instead; the
+    checkpoint stands in for it when the frame is built in-plan."""
+    pinned = bloom.localCheckpoint(eager=True)
+    meta = pinned.agg(
         F.min("m_bits").alias("m"), F.min("n_hashes").alias("j")
     ).first()
     if meta["m"] is not None and (
@@ -905,7 +922,7 @@ def _check_bloom_family(
             f"m_bits={meta['m']}, n_hashes={meta['j']}; probe requested "
             f"m_bits={m_bits}, n_hashes={n_hashes}"
         )
-    return bloom.select("bloom_pos")
+    return pinned.select("bloom_pos")
 
 
 def build_band_bloom_index(
@@ -952,15 +969,27 @@ def _band_bloom_prefilter(
     *,
     m_bits: int,
     n_hashes: int,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Keep only batch band-key rows whose key is POSSIBLY present in the
-    history band-key Bloom set. Zero shuffles: one chained broadcast
-    left-semi join per hash function — row survives join ``i`` iff its
-    i-th bit position is set, so surviving all ``n_hashes`` joins ==
-    all bits set (the candidate test), each join a map-only broadcast
-    hash probe. Dropped rows provably have no history partner (Bloom has
-    no false negatives with a shared family), so the downstream banded
-    join result is IDENTICAL — just cheaper for mostly-new batches."""
+    history band-key Bloom set: map-only broadcast left-semi joins, one
+    per PROBED position — a row survives join ``i`` iff its i-th bit is
+    set. Dropped rows provably have no history partner (no false
+    negatives under a shared family), so the downstream banded join
+    result is IDENTICAL — just cheaper for mostly-new batches.
+
+    ``n_probe`` defaults to 1, NOT ``n_hashes``: this is a prefilter in
+    front of an exact join, not a membership oracle. One bit test already
+    drops (1 - load_factor) of the absent keys, every extra probe is a
+    whole broadcast-join barrier, and the surviving false-positive
+    sliver is verified by the banded join anyway — so additional probes
+    buy fpp reduction the pipeline doesn't need. (``n_hashes`` still
+    describes the BUILD family and is verified against the index
+    metadata; probing any prefix of the family is sound.)"""
+    if not 1 <= n_probe <= n_hashes:
+        raise ValueError(
+            f"n_probe must be in [1, n_hashes={n_hashes}], got {n_probe}"
+        )
     positions = _check_bloom_family(
         band_bloom, m_bits=m_bits, n_hashes=n_hashes,
         what="incremental_fuzzy_dedup",
@@ -970,10 +999,11 @@ def _band_bloom_prefilter(
         F.lit(":"),
         F.col("band_hash").cast("string"),
     )
-    pos = _bloom_positions(key, m_bits=m_bits, n_hashes=n_hashes)
     out = banded_batch
-    for i in range(n_hashes):
-        out = out.withColumn("__bp", pos[i]).join(
+    for i in range(n_probe):
+        out = out.withColumn(
+            "__bp", _bloom_position(key, i, m_bits=m_bits)
+        ).join(
             F.broadcast(positions.withColumnRenamed("bloom_pos", "__bp")),
             "__bp",
             "left_semi",
@@ -996,6 +1026,7 @@ def incremental_fuzzy_dedup(
     band_bloom: DataFrame | None = None,
     bloom_m_bits: int = 1 << 20,
     bloom_n_hashes: int = 4,
+    bloom_n_probe: int = 1,
 ) -> DataFrame:
     """Drop batch rows that are NEAR-duplicates of the already-ingested
     corpus — the fuzzy twin of :func:`incremental_dedup` and the missing
@@ -1076,7 +1107,8 @@ def incremental_fuzzy_dedup(
     )
     if band_bloom is not None:
         bb = _band_bloom_prefilter(
-            bb, band_bloom, m_bits=bloom_m_bits, n_hashes=bloom_n_hashes
+            bb, band_bloom, m_bits=bloom_m_bits, n_hashes=bloom_n_hashes,
+            n_probe=bloom_n_probe,
         )
     if prebanded:
         # the band hashes of a pre-banded index written under a different

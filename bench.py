@@ -87,6 +87,11 @@ HEADLINE = [
     "dedup_incremental_fuzzy_bloom",
     "similarity_pq_rerank",
     "docs_token_budget_bpe",
+    # round 7 (cont.): the full streaming ANN composition — its source
+    # scaffold is cached per process (scratch_source_cache), so cold
+    # includes the one-time corpus build (~16s at sf0.1) and warm
+    # measures ingest + search (~5.5s)
+    "streaming_incremental_ann",
 ]
 
 WARM_ITERS = 3
