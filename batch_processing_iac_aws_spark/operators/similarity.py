@@ -1174,10 +1174,19 @@ def _nearest_code_udf(codebooks: list[list[list[int]]], scale: int):
 
 
 def _pq_subvectors(
-    df: DataFrame, *, id_col: str, vec_col: str, m: int, grid: int
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    grid: int,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """(id, sub_idx, subvec array<long>) rows: normalize+quantize once,
-    slice into ``m`` equal subspaces, posexplode — map-only."""
+    """(id, [carry_cols...,] sub_idx, subvec array<long>) rows:
+    normalize+quantize once, slice into ``m`` equal subspaces, posexplode
+    — map-only. ``carry_cols`` ride along unchanged (e.g. an IVF cell id,
+    so encode + cell assignment stay ONE pass with no join-back)."""
+    carry = list(carry_cols or [])
     xq = _pq_normalized_quantized(vec_col, grid)
     slices = F.array(
         *[
@@ -1190,9 +1199,11 @@ def _pq_subvectors(
         ]
     )
     return (
-        df.select(F.col(id_col).alias("id"), xq.alias("__xq"))
+        df.select(F.col(id_col).alias("id"), *carry, xq.alias("__xq"))
         .withColumn("__sd", (F.size("__xq") / m).cast("long"))
-        .select("id", F.posexplode(slices).alias("sub_idx", "subvec"))
+        .select(
+            "id", *carry, F.posexplode(slices).alias("sub_idx", "subvec")
+        )
     )
 
 
@@ -1297,28 +1308,21 @@ def pq_encode(
     )
 
 
-def pq_topk(
+def _pq_query_lut(
     codes: DataFrame,
     codebooks: list[list[list[int]]],
     queries: DataFrame,
     *,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    grid: int = 1000,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    grid: int,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
-    m x k table of exact partial inner products query_subvector ·
-    codeword (driver-side numpy over the BOUNDED query set — the same
-    model-sized-collect budget as brute_force_topk's broadcast), ship it
-    through local_frame + broadcast, join on (sub_idx, code), and sum per
-    (query, neighbor) — the scan reads CODES (m small ints/vector), never
-    the float vectors, and the shuffle carries map-side-combined partial
-    sums, |queries| x |corpus| rows. Scoring is 100% JVM relational (no
-    UDF); ranking ties break on neighbor id. Compose with IVF cell
-    pruning for the full IVF-PQ: filter codes to the probed cells first,
-    same join after."""
+    """The per-query ADC lookup table: (query_id, sub_idx, code, __pdot)
+    rows of exact partial inner products query_subvector · codeword —
+    driver-side numpy over the BOUNDED query set (the same model-sized
+    budget as brute_force_topk's broadcast), shipped via Arrow
+    local_frame. |queries| * m * n_codes rows."""
     from ..session import local_frame
 
     m = len(codebooks)
@@ -1338,19 +1342,16 @@ def pq_topk(
             lut.extend(
                 (r["qid"], j, c, int(pd_j[c])) for c in range(nk)
             )
-    lut_df = local_frame(
+    return local_frame(
         codes.sparkSession,
         lut,
         f"{query_id_col} long, sub_idx int, code long, __pdot long",
     )
-    scored = (
-        codes.join(
-            F.broadcast(lut_df),
-            ["sub_idx", "code"],
-        )
-        .groupBy(query_id_col, "id")
-        .agg(F.sum("__pdot").alias("__score"))
-    )
+
+
+def _pq_rank_scored(
+    scored: DataFrame, *, k: int, query_id_col: str
+) -> DataFrame:
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__score").desc(), F.col("id")
     )
@@ -1364,6 +1365,41 @@ def pq_topk(
             F.col("__score").alias("score"),
         )
     )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    grid: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    m x k table of exact partial inner products (``_pq_query_lut``),
+    broadcast it, join on (sub_idx, code), and sum per (query, neighbor)
+    — the scan reads CODES (m small ints/vector), never the float
+    vectors, and the shuffle carries map-side-combined partial sums,
+    |queries| x |corpus| rows. Scoring is 100% JVM relational (no UDF);
+    ranking ties break on neighbor id. :func:`ivf_pq_topk` is the
+    cell-pruned composition."""
+    lut_df = _pq_query_lut(
+        codes, codebooks, queries,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, grid=grid,
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut_df),
+            ["sub_idx", "code"],
+        )
+        .groupBy(query_id_col, "id")
+        .agg(F.sum("__pdot").alias("__score"))
+    )
+    return _pq_rank_scored(scored, k=k, query_id_col=query_id_col)
 
 
 def pq_rerank_topk(
@@ -1394,6 +1430,25 @@ def pq_rerank_topk(
         k=shortlist, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, grid=grid,
     ).select(query_id_col, "neighbor_id")
+    return _pq_exact_rerank(
+        corpus, sl, queries,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _pq_exact_rerank(
+    corpus: DataFrame,
+    sl: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact cosine rerank of shortlisted (query_id, neighbor_id) pairs:
+    both the pair list and the query vectors broadcast INTO the corpus
+    scan, so only candidate bodies leave the scan stage."""
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
@@ -1404,8 +1459,6 @@ def pq_rerank_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
-    # candidate pairs are |queries| x shortlist — broadcast them INTO the
-    # corpus scan so only candidate bodies leave the scan stage
     pairs = c.join(F.broadcast(sl), "neighbor_id").join(
         F.broadcast(q), query_id_col
     )
@@ -1432,4 +1485,104 @@ def pq_rerank_topk(
             "rank",
             F.round("__score", 4).alias("score"),
         )
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    iters: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    grid: int = 1000,
+) -> DataFrame:
+    """The FULL IVF-PQ composition (Jégou et al., TPAMI 2011): coarse
+    quantizer prunes to ``n_probe``/``n_centroids`` of the corpus, PQ
+    codes stand in for vectors inside the probed cells (ADC via the
+    broadcast lookup-table join), and the top-``shortlist`` candidates
+    rerank exactly. At 100 TB this is the memory AND compute story in
+    one: the candidate scan touches n_probe/n_centroids of the rows and
+    m bytes of each, the floats load only for |queries| x shortlist
+    point lookups.
+
+    One pass over the corpus computes BOTH the cell assignment and the
+    codes (`_pq_subvectors(carry_cols=["ivf_cluster"])` — no join-back);
+    the probe list is driver-side numpy over the bounded query set (the
+    LUT is already collected there) shipped via local_frame. Everything
+    after is broadcast joins + one map-side-combined sum, no UDF in the
+    scoring path."""
+    from ..session import local_frame
+
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
+    assigned = assign_ivf_clusters(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        centroids,
+        vec_col=vec_col,
+    )
+    cbs = pq_train(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
+        iters=iters, grid=grid,
+    )
+    codes_c = _pq_subvectors(
+        assigned, id_col="id", vec_col=vec_col, m=m, grid=grid,
+        carry_cols=["ivf_cluster"],
+    ).select(
+        "id",
+        "ivf_cluster",
+        "sub_idx",
+        _nearest_code_udf(cbs, 100)(
+            F.col("sub_idx"), F.col("subvec")
+        ).alias("code"),
+    )
+    # per-query probe list: n_probe best cells by cosine, driver-side
+    # numpy over the bounded query set (ties to the lowest cell id)
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.inf
+    Cu = (C / cn[:, None]).T
+    probe_rows = []
+    for r in queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    ).collect():
+        qv = np.array(r["__qv"], dtype=np.float64)
+        n = np.linalg.norm(qv) or np.inf
+        s = (qv / n) @ Cu
+        order = np.lexsort((np.arange(len(s)), -s))[:n_probe]
+        probe_rows.extend((r["qid"], int(cell)) for cell in order)
+    probe_df = local_frame(
+        corpus.sparkSession,
+        probe_rows,
+        f"{query_id_col} long, ivf_cluster int",
+    )
+    lut_df = _pq_query_lut(
+        codes_c, cbs, queries,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, grid=grid,
+    )
+    scored = (
+        codes_c.join(F.broadcast(probe_df), "ivf_cluster")
+        .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
+        .groupBy(query_id_col, "id")
+        .agg(F.sum("__pdot").alias("__score"))
+    )
+    sl = _pq_rank_scored(
+        scored, k=shortlist, query_id_col=query_id_col
+    ).select(query_id_col, "neighbor_id")
+    return _pq_exact_rerank(
+        corpus, sl, queries,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )

