@@ -1586,3 +1586,62 @@ def ivf_pq_topk(
         corpus, sl, queries,
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def sparse_cosine_knn(
+    vecs: DataFrame,
+    query_ids: DataFrame,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k between documents represented as SPARSE hash
+    vectors (operators/text.py:hashed_doc_vectors rows: id, idx, c,
+    norm2_sum) — the inverted-index formulation of sparse similarity:
+    the dot product of two docs is the sum of c_a*c_b over SHARED hash
+    slots, so candidate pairs come from an equi-join on ``idx`` (docs
+    sharing no slot score 0 and are never paired — the whole point: the
+    corpus is never crossed with itself, pair volume is sum-of-squared
+    posting lengths, and document-frequency pruning caps the hot slots
+    upstream). ``query_ids`` (a bounded (id) frame, broadcast) selects
+    the probe side; self-matches excluded; ties break on neighbor id.
+
+    100% relational: one broadcast semi-restricted join on idx, one
+    map-side-combined (query, neighbor) sum, one per-query window — the
+    same skeleton as BM25 retrieval, generalized to doc-vs-doc KNN.
+    Exactly SQL-replayable (md5 hash family), so unlike the ANN family
+    this one hash-oracles end-to-end."""
+    q = vecs.join(F.broadcast(query_ids), "id").select(
+        F.col("id").alias("query_id"),
+        "idx",
+        F.col("c").alias("__qc"),
+        F.col("norm2_sum").alias("__qn2"),
+    )
+    pairs = (
+        vecs.select(
+            F.col("id").alias("neighbor_id"),
+            "idx",
+            F.col("c").alias("__nc"),
+            F.col("norm2_sum").alias("__nn2"),
+        )
+        .join(F.broadcast(q), "idx")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = pairs.groupBy("query_id", "neighbor_id").agg(
+        (
+            F.sum(F.col("__qc") * F.col("__nc"))
+            / F.sqrt(F.first("__qn2") * F.first("__nn2"))
+        ).alias("__score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("__score", 4).alias("score"),
+        )
+    )

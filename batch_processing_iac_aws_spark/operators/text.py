@@ -7,7 +7,7 @@ the whole surface runs in whole-stage codegen at fact-table scale.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
 #: Public common-word lists; intentionally minimal — the operator's value is
@@ -786,3 +786,61 @@ def normalize_text(
     return df.withColumn(out_col, norm).withColumn(
         "n_chars_raw", F.length(c).cast("long")
     ).withColumn("n_chars_norm", F.length(F.col(out_col)).cast("long"))
+
+
+def _md5_bucket(col: Column, mod: int) -> Column:
+    """Engine-portable hash bucket: lower-60-bit md5 mod ``mod`` — the
+    same arithmetic family as the Bloom positions and the md5 sampling
+    gates, so a DuckDB oracle reproduces bucket assignment bit-exactly.
+    (xxhash64 is the faster JVM-only alternative once differentially
+    proven, as dedup_simhash does.)"""
+    m = F.md5(col)
+    le = F.concat(*[F.substring(m, 31 - 2 * j, 2) for j in range(8)])
+    return F.conv(F.substring(le, 2, 15), 16, 10).cast("long") % mod
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Hashing-trick bag-of-words as SPARSE ROWS: (id, idx, c) term
+    counts bucketed into ``dim`` hash slots, plus a ``norm2_sum``
+    column (the doc's squared L2 norm, repeated per row) — the inverted-
+    index layout sparse similarity joins on. Everything relational: one
+    token explode, one (id, idx) hash-agg, one id-keyed window for the
+    norm; no vocabulary table, no model, no UDF.
+
+    ``max_posting`` drops hash slots whose posting list exceeds the cap
+    BEFORE any pairing (classic document-frequency pruning, the
+    stopword-slot skew guard — the LSH max_bucket discipline applied to
+    the inverted index). NOTE: unlike the Bloom/LSH guards this changes
+    scores (capped slots stop contributing); the registered query runs
+    uncapped so the oracle is exact, and the cap's zero-collateral case
+    is asserted in tests."""
+    if dim & (dim - 1):
+        raise ValueError(
+            f"dim must be a power of two for the engine-portable "
+            f"two-step mod, got {dim}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    counts = (
+        toks.select("id", _md5_bucket(F.col("__tok"), dim).alias("idx"))
+        .groupBy("id", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_posting is not None:
+        w_df = Window.partitionBy("idx")
+        counts = counts.withColumn(
+            "__df", F.count(F.lit(1)).over(w_df)
+        ).filter(F.col("__df") <= max_posting).drop("__df")
+    w = Window.partitionBy("id")
+    return counts.withColumn(
+        "norm2_sum", F.sum(F.col("c") * F.col("c")).over(w)
+    )

@@ -127,7 +127,7 @@ from . import quality  # noqa: E402,F401
 #     streaming_rollup/streaming_incremental_dedup out-of-window). Fixed
 #     first thing in round 7.
 #   round 7 window (this one) — the r6-pinned plan, executed oldest-first:
-#     new (4): docs_token_budget_bpe (REAL merge-loop BPE through the
+#     new (5): docs_token_budget_bpe (REAL merge-loop BPE through the
 #       count_tokens seam, vocabulary-file-driven, oracle REPLAYS the
 #       merge loop in a DuckDB recursive CTE) and
 #       dedup_incremental_fuzzy_bloom (pre-banded index + broadcast
@@ -135,17 +135,22 @@ from . import quality  # noqa: E402,F401
 #       equal to the exhaustive scoring), similarity_pq_rerank
 #       (product quantization + ADC shortlist + exact rerank — the
 #       16x-compression ANN memory story, recall-floor audited), and
-#       similarity_ivf_pq (the full cell-pruned composition).
+#       similarity_ivf_pq (the full cell-pruned composition), and
+#       docs_sparse_knn (exact sparse-vector document KNN over the
+#       inverted index — hashing-trick BoW, integer dot products,
+#       hash-oracled end-to-end).
 #     r2 cohort (7): zorder_roundtrip (the r6 red row — its green proves
 #       the scratch_dir fix) + the 6 queries displaced by r6's news.
 #     r3 cohort (35): the ENTIRE remainder, incl. orc_roundtrip and
 #       parquet_schema_merge (the other import-regression casualties).
-#     r4 fill (4): interval_expand, csv_expand, streaming_tumbling,
-#       dedup_fuzzy_pipeline — the most load-bearing shapes of the
-#       oldest remaining cohort (graph_pagerank and dedup_minhash,
-#       displaced by the two PQ queries, head the round-8 queue;
+#     r4 fill (3): interval_expand, csv_expand, dedup_fuzzy_pipeline —
+#       the most load-bearing shapes of the oldest remaining cohort
+#       (graph_pagerank, dedup_minhash, and streaming_tumbling,
+#       displaced by round-7 news, head the round-8 queue;
 #       dedup_minhash's LSH shape stays in-window via
-#       dedup_fuzzy_pipeline's shared preamble).
+#       dedup_fuzzy_pipeline's shared preamble, and streaming coverage
+#       stays in-window via the four r3 streaming queries +
+#       streaming_rollup/streaming_incremental_dedup).
 #     The 12 r1 donors + 31 r2 cohort + json_expand from r6's window are
 #     freshly r6-green and rotate out; after this round no query's last
 #     green is older than r4. Round-8 queue pinned in _ROUND8_QUEUE below
@@ -157,6 +162,7 @@ _PRIORITY = [
     "dedup_incremental_fuzzy_bloom",
     "similarity_pq_rerank",
     "similarity_ivf_pq",
+    "docs_sparse_knn",
     # -- last driver-green r2: the 6 queries displaced by round 6's news
     #    + zorder_roundtrip (red in r6 via the scratch_dir NameError,
     #    fixed this round — its re-green IS the regression proof) --
@@ -210,7 +216,6 @@ _PRIORITY = [
     #    the big fuzzy composite, and the iterative-graph representative --
     "interval_expand",
     "csv_expand",
-    "streaming_tumbling",
     "dedup_fuzzy_pipeline",
 ]
 
@@ -222,6 +227,7 @@ _PRIORITY = [
 _ROUND8_QUEUE = [
     "graph_pagerank",
     "dedup_minhash",
+    "streaming_tumbling",
     "agg_approx_distinct",
     "agg_freq_items",
     "agg_hll_rollup",

@@ -732,6 +732,65 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(ann, exact, min_recall=0.80)
 
 
+@query(
+    "docs_sparse_knn",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id AS id, t.tok
+    FROM documents,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS t(tok)
+), counts AS (
+    SELECT id, CAST(md5_number_lower(tok) % 4096 AS BIGINT) AS idx,
+           CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY id, idx
+), norms AS (
+    SELECT id, SUM(c * c) AS n2 FROM counts GROUP BY id
+), pairs AS (
+    SELECT q.id AS query_id, n.id AS neighbor_id, SUM(q.c * n.c) AS dp
+    FROM counts q JOIN counts n USING (idx)
+    WHERE q.id < 10 AND n.id <> q.id
+    GROUP BY q.id, n.id
+), scored AS (
+    SELECT p.query_id, p.neighbor_id,
+           p.dp / sqrt(nq.n2 * nn.n2) AS s,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY p.dp / sqrt(nq.n2 * nn.n2) DESC, p.neighbor_id
+           ) AS rank
+    FROM pairs p
+    JOIN norms nq ON nq.id = p.query_id
+    JOIN norms nn ON nn.id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(s, 4) AS score
+FROM scored WHERE rank <= 3
+""",
+)
+def docs_sparse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse-vector document KNN over the inverted index — the
+    lexical complement of the embedding ANN family: documents become
+    hashing-trick bag-of-words SPARSE rows (no vocabulary table, no
+    model; operators/text.py:hashed_doc_vectors), candidate pairs come
+    from the equi-join on shared hash slots (docs sharing no slot score
+    0 and never pair — the corpus is never self-crossed; pair volume is
+    sum of squared posting lengths, with document-frequency pruning as
+    the skew guard), and the dot product is an exact INTEGER sum, so the
+    cosine ranking is bit-identical in any engine — this one
+    hash-oracles end-to-end where the float-vector ANN family needs
+    recall floors. Top-3 neighbors for the first 10 docs.
+    operators/similarity.py:sparse_cosine_knn."""
+    from ..operators.similarity import sparse_cosine_knn
+    from ..operators.text import hashed_doc_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(d, dim=4096)
+    qids = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("id")
+    )
+    return sparse_cosine_knn(vecs, qids, k=3)
+
+
 @query("similarity_ivf_pq", oracle=_ANN_SHAPE_ORACLE)
 def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL IVF-PQ pipeline (coarse cells x compressed codes x exact

@@ -93,6 +93,7 @@ HEADLINE = [
     # measures ingest + search (~5.5s)
     "streaming_incremental_ann",
     "similarity_ivf_pq",
+    "docs_sparse_knn",
 ]
 
 WARM_ITERS = 3

@@ -409,3 +409,37 @@ def test_balanced_shards_final_plan_is_map_only(spark):
     assert "rangepartitioning" not in tree.lower()
     assert "SortMergeJoin" not in tree
     assert "BroadcastHashJoin" in tree  # the offsets table
+
+
+def test_pq_scoring_plan_is_relational_broadcast(spark):
+    """similarity_pq_rerank: the ADC lookup table and the rerank's
+    candidate pairs must BROADCAST (the codes scan and the corpus scan
+    never shuffle for them), the scoring path must contain no Python
+    eval at all (the LUT join + sum replaces any UDF), and no cartesian
+    products beyond the recall summary's single-row-aggregate crossJoin
+    — the one Arrow stage allowed is pq encoding itself."""
+    tree = plan_tree_of(QUERIES["similarity_pq_rerank"](spark, SF))
+    assert "BroadcastExchange" in tree
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree  # row-wise Python: never
+
+
+def test_ivf_pq_plan_prunes_cells_via_broadcast(spark):
+    """similarity_ivf_pq: probe list, LUT, and rerank pairs all ride
+    broadcasts; no cartesian products beyond the recall summary's
+    single-row-aggregate crossJoin; no row-wise Python."""
+    tree = plan_tree_of(QUERIES["similarity_ivf_pq"](spark, SF))
+    assert "BroadcastExchange" in tree
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_band_bloom_prefilter_plan_shape(spark):
+    """dedup_incremental_fuzzy_bloom: the position table must broadcast
+    into a left-semi join (the map-only prefilter — the batch's band
+    keys never shuffle for it), with no cartesian products."""
+    tree = plan_tree_of(QUERIES["dedup_incremental_fuzzy_bloom"](spark, SF))
+    assert "BroadcastExchange" in tree
+    assert "LeftSemi" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

@@ -530,3 +530,87 @@ def test_ivf_pq_composition_recall_and_pruning(spark, emb):
     }
     rec_full = len(full & exact) / len(exact)
     assert rec_full >= rec - 0.05  # probing everything never loses much
+
+
+def test_sparse_knn_matches_numpy_and_df_pruning(spark):
+    """sparse_cosine_knn vs a dense numpy cosine ground truth on the
+    hashed BoW vectors, plus the document-frequency cap: with the cap
+    above every posting length the result is unchanged (zero
+    collateral), and a planted stopword slot exceeding the cap stops
+    contributing (the skew guard visibly engages)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        sparse_cosine_knn,
+    )
+    from batch_processing_iac_aws_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    rows = [
+        (0, "spark query engine runs fast"),
+        (1, "spark query engine runs slow"),
+        (2, "completely different words entirely here"),
+        (3, "spark engine fast query runs"),  # permutation of 0
+        (4, "different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 1 << 10
+    vecs = hashed_doc_vectors(df, dim=dim)
+    qids = df.select(F.col("doc_id").alias("id"))
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sparse_cosine_knn(vecs, qids, k=2).collect()
+    }
+    # numpy ground truth over the same hash buckets
+    import hashlib
+
+    def bucket(tok):
+        h = hashlib.md5(tok.encode()).digest()
+        return (int.from_bytes(h[8:16], "little") % (1 << 60)) % dim
+
+    V = np.zeros((5, dim))
+    for i, t in rows:
+        for tok in t.lower().split():
+            V[i, bucket(tok)] += 1
+    S = V @ V.T / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :])
+    np.fill_diagonal(S, -1)
+    for qid in range(5):
+        order = sorted(range(5), key=lambda j: (-S[qid, j], j))[:2]
+        assert got[(qid, 1)] == order[0], (qid, got, order)
+        if (qid, 2) in got:
+            assert got[(qid, 2)] == order[1], (qid, got, order)
+        else:
+            # docs sharing no hash slot are never paired (score would be
+            # 0) — the rank-2 numpy candidate must indeed score 0
+            assert S[qid, order[1]] <= 0
+    # doc 3 is a word-permutation of doc 0: exact cosine 1.0, rank 1
+    assert got[(0, 1)] == 3 and got[(3, 1)] == 0
+
+    # df-pruning: cap above all posting lengths -> identical result
+    vecs_capped = hashed_doc_vectors(df, dim=dim, max_posting=10)
+    same = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sparse_cosine_knn(vecs_capped, qids, k=2).collect()
+    }
+    assert same == got
+    # 'spark' appears in 3 docs — cap at 2 prunes its slot: the
+    # shared-slot signal through 'spark' disappears for those pairs
+    vecs_tight = hashed_doc_vectors(df, dim=dim, max_posting=2)
+    n_spark_slot = vecs_tight.filter(
+        F.col("idx") == bucket("spark")
+    ).count()
+    assert n_spark_slot == 0  # the hot slot was pruned
+
+
+def test_hashed_doc_vectors_requires_power_of_two_dim(spark):
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="power of two"):
+        hashed_doc_vectors(df, dim=1000)
