@@ -1379,3 +1379,83 @@ def semantic_dedup(
     ).applyInPandas(
         _keep_cell, schema=f"{id_col} {id_type}, cluster long"
     )
+
+
+def incremental_sparse_dedup(
+    batch: DataFrame,
+    sparse_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Drop batch docs whose hashed-BoW COSINE to any already-ingested
+    doc reaches ``threshold`` — the LEXICAL-cosine member of the
+    incremental dedup family (exact/MinHash/SimHash/embedding are the
+    other four): word-permuted or lightly-reordered re-crawls that
+    shingle-based MinHash scores low land at cosine 1.0 here, and unlike
+    the embedding member it needs no model — the index is the corpus
+    itself, hashed.
+
+    ``sparse_index`` is the persisted inverted-index layout
+    (operators/text.py:hashed_doc_vectors rows: id, idx, c, norm2_sum —
+    write it partitioned/bucketed by ``idx`` and the candidate join is
+    co-located on the history side). Flow: batch docs vectorize in one
+    map-only pass + one batch-sized hash-agg; candidates = the equi-join
+    on shared hash slots (batch docs sharing NO slot with history cannot
+    reach any positive cosine and never pair — the inverted index IS the
+    prefilter, no Bloom needed); scores are exact integer dot products,
+    so the drop decision is bit-identical in any engine and the
+    registered query hash-oracles end-to-end. Survivors' rows (their
+    hashed vectors) append to the index for the next run — the same
+    bookmark pattern as every other index in this family.
+
+    Scale shape: history ships only its MATCHED slots' rows through the
+    join (slot-pruned by the batch's distinct slots — broadcast them as
+    a semi-filter when the batch is small); the per-pair work is one
+    integer multiply per shared slot; ``max_posting`` caps stopword
+    slots (NOTE: unlike the Bloom guards this can lower scores of pairs
+    that shared only hot slots — a recall trade documented at the call
+    site, off by default)."""
+    from .text import hashed_doc_vectors  # local: avoid module cycle
+
+    bv = hashed_doc_vectors(
+        batch, id_col=id_col, text_col=text_col, dim=dim,
+        max_posting=max_posting,
+    ).select(
+        F.col("id").alias("__bid"),
+        "idx",
+        F.col("c").alias("__bc"),
+        F.col("norm2_sum").alias("__bn2"),
+    )
+    # slot-prune the history side BEFORE the candidate join: only slots
+    # the batch touches can produce a pair (left_semi on the batch's
+    # distinct slots — broadcast-sized for a bounded batch)
+    hv = sparse_index.join(
+        F.broadcast(bv.select("idx").distinct()), "idx", "left_semi"
+    ).select(
+        F.col("id").alias("__hid"),
+        "idx",
+        F.col("c").alias("__hc"),
+        F.col("norm2_sum").alias("__hn2"),
+    )
+    scored = (
+        bv.join(hv, "idx")
+        .groupBy("__bid", "__hid")
+        .agg(
+            F.sum(F.col("__bc") * F.col("__hc")).alias("__dp"),
+            F.first("__bn2").alias("__bn2"),
+            F.first("__hn2").alias("__hn2"),
+        )
+    )
+    dup_ids = (
+        scored.filter(
+            F.col("__dp")
+            >= F.lit(threshold) * F.sqrt(F.col("__bn2") * F.col("__hn2"))
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")

@@ -127,7 +127,7 @@ from . import quality  # noqa: E402,F401
 #     streaming_rollup/streaming_incremental_dedup out-of-window). Fixed
 #     first thing in round 7.
 #   round 7 window (this one) — the r6-pinned plan, executed oldest-first:
-#     new (5): docs_token_budget_bpe (REAL merge-loop BPE through the
+#     new (6): docs_token_budget_bpe (REAL merge-loop BPE through the
 #       count_tokens seam, vocabulary-file-driven, oracle REPLAYS the
 #       merge loop in a DuckDB recursive CTE) and
 #       dedup_incremental_fuzzy_bloom (pre-banded index + broadcast
@@ -138,19 +138,25 @@ from . import quality  # noqa: E402,F401
 #       similarity_ivf_pq (the full cell-pruned composition), and
 #       docs_sparse_knn (exact sparse-vector document KNN over the
 #       inverted index — hashing-trick BoW, integer dot products,
-#       hash-oracled end-to-end).
+#       hash-oracled end-to-end), and dedup_incremental_sparse (the
+#       FIFTH rolling-corpus dedup modality: lexical-cosine vs a
+#       persisted inverted index — catches word-permuted re-crawls that
+#       MinHash shingles score near zero; exhaustively hash-oracled).
 #     r2 cohort (7): zorder_roundtrip (the r6 red row — its green proves
 #       the scratch_dir fix) + the 6 queries displaced by r6's news.
 #     r3 cohort (35): the ENTIRE remainder, incl. orc_roundtrip and
 #       parquet_schema_merge (the other import-regression casualties).
-#     r4 fill (3): interval_expand, csv_expand, dedup_fuzzy_pipeline —
-#       the most load-bearing shapes of the oldest remaining cohort
-#       (graph_pagerank, dedup_minhash, and streaming_tumbling,
-#       displaced by round-7 news, head the round-8 queue;
-#       dedup_minhash's LSH shape stays in-window via
-#       dedup_fuzzy_pipeline's shared preamble, and streaming coverage
-#       stays in-window via the four r3 streaming queries +
-#       streaming_rollup/streaming_incremental_dedup).
+#     r4 fill (2): interval_expand (the flagship) and
+#       dedup_fuzzy_pipeline — the most load-bearing shapes of the
+#       oldest remaining cohort (graph_pagerank, dedup_minhash,
+#       streaming_tumbling, and csv_expand, displaced by round-7 news,
+#       head the round-8 queue; dedup_minhash's LSH shape stays
+#       in-window via dedup_fuzzy_pipeline's shared preamble, streaming
+#       coverage via the four r3 streaming queries, and csv_expand's
+#       explicit-schema source-discovery plan shape via in-window
+#       json_expand... json_expand is r6-green and OUT of window — via
+#       interval_expand's identical expansion plan plus the r3
+#       latest-partition machinery exercised in tests).
 #     The 12 r1 donors + 31 r2 cohort + json_expand from r6's window are
 #     freshly r6-green and rotate out; after this round no query's last
 #     green is older than r4. Round-8 queue pinned in _ROUND8_QUEUE below
@@ -163,6 +169,7 @@ _PRIORITY = [
     "similarity_pq_rerank",
     "similarity_ivf_pq",
     "docs_sparse_knn",
+    "dedup_incremental_sparse",
     # -- last driver-green r2: the 6 queries displaced by round 6's news
     #    + zorder_roundtrip (red in r6 via the scratch_dir NameError,
     #    fixed this round — its re-green IS the regression proof) --
@@ -215,7 +222,6 @@ _PRIORITY = [
     #    the flagship, the reference CSV path, core streaming, core LSH,
     #    the big fuzzy composite, and the iterative-graph representative --
     "interval_expand",
-    "csv_expand",
     "dedup_fuzzy_pipeline",
 ]
 
@@ -228,6 +234,7 @@ _ROUND8_QUEUE = [
     "graph_pagerank",
     "dedup_minhash",
     "streaming_tumbling",
+    "csv_expand",
     "agg_approx_distinct",
     "agg_freq_items",
     "agg_hll_rollup",

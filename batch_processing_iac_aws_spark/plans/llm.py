@@ -733,6 +733,87 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_sparse",
+    oracle="""
+WITH deco AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+                THEN array_to_string(
+                         list_reverse(string_split(d7.text, ' ')), ' ')
+                ELSE d.text END AS text
+    FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+), toks AS (
+    SELECT doc_id AS id, t.tok
+    FROM deco,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS t(tok)
+), counts AS (
+    SELECT id, CAST(md5_number_lower(tok) % 4096 AS BIGINT) AS idx,
+           CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY id, idx
+), norms AS (
+    SELECT id, SUM(c * c) AS n2 FROM counts GROUP BY id
+), pairs AS (
+    SELECT b.id AS bid, h.id AS hid, SUM(b.c * h.c) AS dp
+    FROM counts b JOIN counts h USING (idx)
+    WHERE b.id % 5 <> 0 AND h.id % 5 = 0
+    GROUP BY b.id, h.id
+), dups AS (
+    SELECT DISTINCT p.bid
+    FROM pairs p
+    JOIN norms nb ON nb.id = p.bid
+    JOIN norms nh ON nh.id = p.hid
+    WHERE p.dp >= 0.95 * sqrt(nb.n2 * nh.n2)
+)
+SELECT doc_id FROM deco
+WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT bid FROM dups)
+""",
+)
+def dedup_incremental_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEXICAL-COSINE member of the rolling-corpus dedup family —
+    fifth modality after exact/MinHash/SimHash/embedding: batch docs
+    whose hashed-BoW cosine against the persisted inverted index reaches
+    0.95 drop (the corpus shares a 31-word vocabulary, so random docs
+    already sit at high BoW cosine — the threshold is per-corpus tuning,
+    and 0.95 isolates true re-orderings/near-copies here). Its reason to exist is decorated into the fixture: every
+    batch doc_id ending in 7 is a WORD-REVERSED copy of history doc
+    id-7 — shingle-based MinHash scores such a permutation near zero
+    (almost no shared 3-shingles), but bag-of-words cosine is exactly
+    1.0, so the re-ordered re-crawl drops here and only here. The
+    inverted index IS the prefilter (batch docs sharing no hash slot
+    with history never pair), scores are exact integer dot products
+    (hash-oracled end-to-end — no recall floor needed), and the index
+    rows are exactly what survivors append for the next run.
+    operators/dedup.py:incremental_sparse_dedup;
+    operators/text.py:hashed_doc_vectors."""
+    from ..operators.dedup import incremental_sparse_dedup
+    from ..operators.text import hashed_doc_vectors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = d.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.col("text"), " "))
+        ).alias("__rev_text"),
+    )
+    deco = d.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("__rev_text").isNotNull(),
+            F.col("__rev_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    history = deco.filter(F.col("doc_id") % 5 == 0)
+    batch = deco.filter(F.col("doc_id") % 5 != 0)
+    index = hashed_doc_vectors(history, dim=4096)
+    return incremental_sparse_dedup(
+        batch, index, dim=4096, threshold=0.95
+    ).select("doc_id")
+
+
+@query(
     "docs_sparse_knn",
     oracle="""
 WITH toks AS (

@@ -94,6 +94,7 @@ HEADLINE = [
     "streaming_incremental_ann",
     "similarity_ivf_pq",
     "docs_sparse_knn",
+    "dedup_incremental_sparse",
 ]
 
 WARM_ITERS = 3

@@ -727,3 +727,53 @@ def test_bloom_prefilter_null_text_and_family_mismatch(spark):
         bloom_prefilter_dedup(
             batch, index, bloom, m_bits=1 << 12, n_hashes=3
         )
+
+
+def test_incremental_sparse_catches_permutations_minhash_misses(spark):
+    """The fifth incremental modality's reason to exist: a word-reversed
+    re-crawl shares almost no 3-shingles (MinHash keeps it) but has
+    bag-of-words cosine exactly 1.0 (sparse dedup drops it). Also: a
+    genuinely different doc survives, NULL-text batch rows survive, and
+    batch docs sharing NO hash slot with history never pair."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        incremental_fuzzy_dedup,
+        incremental_sparse_dedup,
+        minhash_signatures,
+    )
+    from batch_processing_iac_aws_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    hist_text = ("the quick brown fox jumps over the lazy dog and runs "
+                 "far away into the deep dark forest tonight")
+    rev_text = " ".join(reversed(hist_text.split()))
+    history = spark.createDataFrame(
+        [(0, hist_text)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, rev_text),                     # permuted re-crawl
+            (2, "zebra xylophone quasar nebula umbra"),  # disjoint words
+            (3, None),                         # null text
+        ],
+        "doc_id long, text string",
+    )
+    index = hashed_doc_vectors(history, dim=1 << 12)
+    sparse_out = sorted(
+        r["doc_id"]
+        for r in incremental_sparse_dedup(
+            batch, index, dim=1 << 12, threshold=0.95
+        ).collect()
+    )
+    assert sparse_out == [2, 3]  # the permutation dropped, others kept
+
+    sig_index = minhash_signatures(history, id_col="doc_id")
+    fuzzy_out = sorted(
+        r["doc_id"]
+        for r in incremental_fuzzy_dedup(
+            batch, sig_index, history=history, jaccard_threshold=0.9
+        ).collect()
+    )
+    assert 1 in fuzzy_out  # MinHash keeps the permutation — the gap

@@ -32,8 +32,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 195
-    assert len(ORACLES) == 193
+    assert len(QUERIES) == 196
+    assert len(ORACLES) == 194
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -60,7 +60,7 @@ def _ever_driver_confirmed() -> set[str]:
 
 
 def test_first_50_is_the_round7_rotation_window():
-    """Rotation policy: the round-7 window = the five queries new this
+    """Rotation policy: the round-7 window = the six queries new this
     round (docs_token_budget_bpe — the real merge-loop BPE through the
     count_tokens seam, oracle-replayed in a DuckDB recursive CTE;
     dedup_incremental_fuzzy_bloom — pre-banded index + broadcast band-key
@@ -68,7 +68,9 @@ def test_first_50_is_the_round7_rotation_window():
     similarity_pq_rerank — PQ compression + ADC shortlist + exact rerank,
     recall-floor audited; similarity_ivf_pq — the full cell-pruned
     composition; docs_sparse_knn — exact inverted-index sparse KNN,
-    hash-oracled) + the
+    hash-oracled; dedup_incremental_sparse — the fifth rolling-corpus
+    dedup modality, lexical-cosine vs the persisted inverted index) +
+    the
     staleness-debt cohorts exactly as pinned at the end of round 6: the
     7-query r2 remainder (zorder_roundtrip — r6's one red row, its green
     proves the scratch_dir import fix — plus the 6 queries the r6 news
