@@ -1421,14 +1421,21 @@ def incremental_sparse_dedup(
     site, off by default)."""
     from .text import hashed_doc_vectors  # local: avoid module cycle
 
-    bv = hashed_doc_vectors(
-        batch, id_col=id_col, text_col=text_col, dim=dim,
-        max_posting=max_posting,
-    ).select(
-        F.col("id").alias("__bid"),
-        "idx",
-        F.col("c").alias("__bc"),
-        F.col("norm2_sum").alias("__bn2"),
+    bv = (
+        hashed_doc_vectors(
+            batch, id_col=id_col, text_col=text_col, dim=dim,
+            max_posting=max_posting,
+        )
+        .select(
+            F.col("id").alias("__bid"),
+            "idx",
+            F.col("c").alias("__bc"),
+            F.col("norm2_sum").alias("__bn2"),
+        )
+        # consumed twice (slot semi-filter + candidate join); the frame
+        # is batch-sized by contract — pin it instead of re-running the
+        # explode+agg+window pipeline per consumer
+        .localCheckpoint(eager=True)
     )
     # slot-prune the history side BEFORE the candidate join: only slots
     # the batch touches can produce a pair (left_semi on the batch's

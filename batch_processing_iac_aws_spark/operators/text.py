@@ -246,6 +246,12 @@ def make_bpe_tokenizer(merges: "list[tuple[str, str]]"):
         for w in bpe_ish_tokenize_py(text):
             got = cache.get(w)
             if got is None:
+                if len(cache) >= 1_000_000:
+                    # natural-language vocabulary is Zipf-bounded, but an
+                    # adversarial corpus (random strings) is not — bound
+                    # worker memory; a full reset keeps the hot head
+                    # re-warming instantly
+                    cache.clear()
                 got = _bpe_word(w)
                 cache[w] = got
             out.extend(got)

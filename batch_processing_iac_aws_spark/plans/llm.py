@@ -742,6 +742,7 @@ WITH deco AS (
                          list_reverse(string_split(d7.text, ' ')), ' ')
                 ELSE d.text END AS text
     FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+    WHERE d.doc_id < 1000
 ), toks AS (
     SELECT doc_id AS id, t.tok
     FROM deco,
@@ -789,7 +790,17 @@ def dedup_incremental_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import incremental_sparse_dedup
     from ..operators.text import hashed_doc_vectors
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture bounded to doc_id < 1000: the synthetic corpus draws from a
+    # ~31-word vocabulary, so EVERY hash slot is a stopword slot and pair
+    # volume degenerates to |batch| x |history| x n_slots (124M rows at
+    # sf0.1 unbounded — an adversarial-vocabulary case real crawls do not
+    # have; document-frequency pruning is the production guard, kept off
+    # here so the oracle stays exact)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
     donor = d.select(
         (F.col("doc_id") + 7).alias("doc_id"),
         F.concat_ws(
