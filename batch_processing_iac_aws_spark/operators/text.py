@@ -221,41 +221,69 @@ def make_bpe_tokenizer(merges: "list[tuple[str, str]]"):
     (all left-to-right occurrences per round) until none applies — the
     canonical GPT-2 ``bpe()`` loop. A per-word memo makes the cost
     vocabulary-bounded, not corpus-bounded (natural-language word
-    frequency is Zipfian; the memo hit rate is the point). The closure
-    pickles to workers with the ranks dict inside — no driver-side probe,
-    no network."""
+    frequency is Zipfian; the memo hit rate is the point).
+
+    SELF-CONTAINED BY VALUE: everything the closure touches is a local
+    (the ranks dict, the pre-tokenizer regex string, the nested merge
+    helper) — cloudpickle ships it whole, so the worker needs neither
+    this package on its sys.path nor the driver's cwd. Module-level
+    helpers pickle by REFERENCE and die with ModuleNotFoundError the
+    moment the driver runs outside the repo root (found driving a
+    vanilla session from /tmp)."""
+    import re
+
     ranks = {pair: i for i, pair in enumerate(merges)}
-
-    def _bpe_word(word: str) -> "tuple[str, ...]":
-        syms: tuple[str, ...] = tuple(word)
-        while len(syms) > 1:
-            best = None
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best is None or r < best[0]):
-                    best = (r, (syms[i], syms[i + 1]))
-            if best is None:
-                break
-            syms = _merge_word(syms, best[1])
-        return syms
-
-    cache: dict[str, tuple[str, ...]] = {}
+    # compiled ONCE; regex pattern objects pickle by value (the pattern
+    # string), so the worker re-compiles on unpickle, not per call
+    rx = re.compile(_BPE_ISH_PATTERN, flags=re.ASCII)
 
     def tokenize(text: str) -> "list[str]":
+        def merge(syms, x, y):
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        def bpe_word(word):
+            syms = tuple(word)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, syms[i], syms[i + 1])
+                if best is None:
+                    break
+                syms = merge(syms, best[1], best[2])
+            return syms
+
         out: list[str] = []
-        for w in bpe_ish_tokenize_py(text):
-            got = cache.get(w)
+        for w in rx.findall(text or ""):
+            if not w:
+                continue
+            got = _BPE_CACHE.get(w)
             if got is None:
-                if len(cache) >= 1_000_000:
+                if len(_BPE_CACHE) >= 1_000_000:
                     # natural-language vocabulary is Zipf-bounded, but an
                     # adversarial corpus (random strings) is not — bound
                     # worker memory; a full reset keeps the hot head
                     # re-warming instantly
-                    cache.clear()
-                got = _bpe_word(w)
-                cache[w] = got
+                    _BPE_CACHE.clear()
+                got = bpe_word(w)
+                _BPE_CACHE[w] = got
             out.extend(got)
         return out
+
+    # the memo is a closure-local dict: it pickles EMPTY by value (the
+    # driver-side copy never ships its contents) and warms per worker
+    # task, which is where the repeated words are anyway
+    _BPE_CACHE: dict = {}
 
     return tokenize
 

@@ -53,10 +53,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # ship the package to executor Python workers once per
+            # session: UDF closures referencing module helpers pickle by
+            # reference, and a driver launched outside the repo root has
+            # no other way to satisfy the worker-side import
+            # (session.ensure_worker_imports)
+            from ..session import ensure_worker_imports
+
+            ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -183,3 +183,48 @@ def local_frame(spark: SparkSession, rows, ddl: str):
     return spark.createDataFrame(
         pd.DataFrame(list(rows), columns=names), schema=ddl
     )
+
+
+_PYFILES_SHIPPED: "set[int]" = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on EXECUTOR Python workers regardless
+    of where the driver process was launched: cloudpickled UDF closures
+    that reference module-level helpers pickle those helpers BY
+    REFERENCE, so the worker must import the package — which only works
+    by accident when the driver's cwd is the repo root (found driving a
+    vanilla session from /tmp: ModuleNotFoundError inside mapInPandas).
+    Zip the package once per session and ship it via ``addPyFile`` —
+    workers prepend fetched files to sys.path, fixing every current and
+    future by-reference closure in one place. No-op when the zip cannot
+    be built (read-only tmp); per-SparkContext memo keeps it one-shot."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pkg_p{os.getpid()}.zip"
+    )
+    try:
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for dirpath, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if not f.endswith(".py"):
+                            continue
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        sc.addPyFile(zpath)
+        _PYFILES_SHIPPED.add(key)
+    except Exception:
+        # best-effort: a driver launched from the repo root never needs
+        # this, and failing a query over a packaging nicety is worse
+        _PYFILES_SHIPPED.add(key)
