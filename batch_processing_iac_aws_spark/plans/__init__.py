@@ -225,6 +225,15 @@ _PRIORITY = [
     "dedup_fuzzy_pipeline",
 ]
 
+# round 8 candidates (beyond the queue below): streaming composition of
+# the sparse inverted index (the 5th modality's run_streaming_ingest twin
+# — maintain hashed_doc_vectors rows under checkpointed batch-keyed
+# overwrites); a weights-as-data quality classifier through the
+# quality_features columns (logit stays engine-exact); IVF-PQ behind the
+# persisted IVF index (ivf_index_topk x pq codes). Window economy note:
+# the only displaceable r4 fills left are interval_expand and
+# dedup_fuzzy_pipeline — round 8 should displace from the 35-query r3
+# cohort instead (all will be freshly r7-green).
 #: Round-8 rotation queue, pinned now so a typo cannot silently drop a
 #: query from rotation (tests/test_registry.py asserts every name exists):
 #: the r4 cohort not already in this round's window — after round 7 they
