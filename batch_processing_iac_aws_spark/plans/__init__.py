@@ -226,9 +226,10 @@ _PRIORITY = [
 ]
 
 # round 8 candidates (beyond the queue below): streaming composition of
-# the sparse inverted index (the 5th modality's run_streaming_ingest twin
-# — maintain hashed_doc_vectors rows under checkpointed batch-keyed
-# overwrites); a weights-as-data quality classifier through the
+# the sparse inverted index — ALREADY BUILT and crash-window tested
+# (streaming/pipeline.py:run_streaming_sparse_ingest,
+# tests/test_streaming.py) — needs only its registered query + window
+# slot; a weights-as-data quality classifier through the
 # quality_features columns (logit stays engine-exact); IVF-PQ behind the
 # persisted IVF index (ivf_index_topk x pq codes). Window economy note:
 # the only displaceable r4 fills left are interval_expand and

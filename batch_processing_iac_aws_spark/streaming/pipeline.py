@@ -437,3 +437,134 @@ def run_streaming_ann_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_sparse_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    threshold: float = 0.95,
+) -> None:
+    """Rolling-corpus ingestion with LEXICAL-COSINE dedup as a REAL
+    streaming job — the fifth-modality twin of
+    :func:`run_streaming_ingest_dedup`: each micro-batch drops docs whose
+    hashed-BoW cosine against the PERSISTED inverted index reaches
+    ``threshold`` (word-permuted re-crawls that exact hashing and
+    MinHash shingles both miss), appends survivors to the corpus table
+    and their sparse vectors to the index. Same exactly-once contract:
+    checkpointed sequencing + batch-keyed dynamic overwrites on BOTH
+    writes + the crash-window rule (a replayed batch never reads its own
+    partial index partition)."""
+    schema = spark.read.format("parquet").load(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_sparse_batch(
+            batch_df,
+            batch_id,
+            table_dir=table_dir,
+            index_dir=index_dir,
+            id_col=id_col,
+            text_col=text_col,
+            dim=dim,
+            threshold=threshold,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_sparse_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    table_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    threshold: float = 0.95,
+) -> None:
+    """One micro-batch of the sparse rolling-ingest — module-level so the
+    crash/replay contract is directly testable outside the streaming
+    engine (the ingest_dedup_batch pattern).
+
+    Within-batch the pipeline keeps the lowest id per EXACT content hash
+    (byte-identical repeats are the overwhelming within-batch case and
+    the cheap one); near-duplicate detection across batches is the
+    inverted index's job — a batch-internal near-dup pair lands both
+    members this batch, and the next batch's copies dedup against both.
+    Idempotent at every crash point: both writes dynamic-overwrite their
+    own batch_seq partition, and the index read EXCLUDES the batch's own
+    partition (a replayed batch anti-scoring against its own partial
+    vectors would drop every surviving doc as a self-duplicate —
+    cosine 1.0 with itself — and permanently lose the whole batch)."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    from ..operators.dedup import incremental_sparse_dedup
+    from ..operators.text import hashed_doc_vectors
+
+    spark = batch_df.sparkSession
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    firsts = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch_seq") != F.lit(batch_id))
+            .select("id", "idx", "c", "norm2_sum")
+        )
+    except AnalysisException as e:
+        # only a missing dir means first batch (the ingest_dedup_batch
+        # rule: any other failure must raise, or every duplicate ingests)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        index = None
+    survivors = (
+        firsts
+        if index is None
+        else incremental_sparse_dedup(
+            firsts, index,
+            id_col=id_col, text_col=text_col, dim=dim,
+            threshold=threshold,
+        )
+    )
+    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(table_dir)
+    )
+    (
+        hashed_doc_vectors(
+            survivors, id_col=id_col, text_col=text_col, dim=dim
+        )
+        .withColumn("batch_seq", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(index_dir)
+    )

@@ -476,3 +476,96 @@ def test_streaming_ann_retrain_replayed_across_checkpoint(spark, tmp_path):
     assert os.path.basename(_ivf_current(idx)) == "gen-1"
     assert read_ivf_centroids(spark, idx) == cents_after
     assert ivf_assignments(spark, idx).count() == total
+
+
+def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
+    """The fifth-modality streaming composition: three ordered batch
+    files; a word-REVERSED re-crawl in a later batch must drop against
+    the persisted inverted index (the case exact hashing misses), new
+    docs survive, a drained re-run is a checkpoint no-op, and a replayed
+    batch (crash between index write and checkpoint commit, simulated by
+    the module-level function with a partial own-partition write) is a
+    fixpoint."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_sparse_batch,
+        run_streaming_sparse_ingest,
+    )
+
+    base_text = ("the quick brown fox jumps over the lazy dog and runs "
+                 "far into the deep dark forest tonight")
+    rev_text = " ".join(reversed(base_text.split()))
+    rows = {
+        0: [(0, base_text), (1, "spark shuffles partition data fast")],
+        1: [(10, rev_text),              # permuted re-crawl of doc 0
+            (11, "completely fresh words about parquet pruning")],
+        2: [(20, base_text),             # exact re-crawl of doc 0
+            (21, "another brand new document entirely different")],
+    }
+    src = str(tmp_path / "src")
+    table, idx = str(tmp_path / "table"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    stamped: set = set()
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        t = 1_700_000_000 + b * 60
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(f"{src}/{f}", (t, t))
+                stamped.add(f)
+    run_streaming_sparse_ingest(
+        spark, src, table, idx, ckpt, dim=1 << 12, threshold=0.95
+    )
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    )
+    # 10 (permuted) and 20 (exact) both dedup against doc 0's vectors
+    assert got == [0, 1, 11, 21]
+
+    # drained re-run: checkpoint no-op
+    run_streaming_sparse_ingest(
+        spark, src, table, idx, ckpt, dim=1 << 12, threshold=0.95
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+
+    # crash-window replay: batch 1's index partition already holds doc
+    # 11's vectors (partial write), then the full batch replays under
+    # the same batch_id — doc 11 must SURVIVE (its own partial entry
+    # must not kill it at cosine 1.0) and doc 10 still drops vs batch 0
+    from batch_processing_iac_aws_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    partial = hashed_doc_vectors(
+        spark.createDataFrame(
+            [(11, "completely fresh words about parquet pruning")],
+            "doc_id long, text string",
+        ),
+        dim=1 << 12,
+    ).withColumn("batch_seq", F.lit(1))
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_seq").parquet(idx)
+    b1 = spark.createDataFrame(rows[1], "doc_id long, text string")
+    ingest_sparse_batch(
+        b1, 1, table_dir=table, index_dir=idx, dim=1 << 12,
+        threshold=0.95,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+    # and a second full replay is still a fixpoint
+    ingest_sparse_batch(
+        b1, 1, table_dir=table, index_dir=idx, dim=1 << 12,
+        threshold=0.95,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
