@@ -88,3 +88,56 @@ def orphan_count(
     return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
         F.lit(name).alias("check"), "n_violations"
     )
+
+
+def load_quality_weights(path: str) -> "dict[str, float]":
+    """Read a quality-model weights file (one ``feature<TAB>weight`` per
+    line; ``bias`` is a feature name like any other) — the model ships
+    as DATA, the tokenizer-vocabulary discipline applied to quality
+    scoring: retraining the classifier is a file swap, never a code
+    change, and both engines read the same numbers."""
+    weights: dict[str, float] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, w = line.split("\t")
+            weights[name] = float(w)
+    return weights
+
+
+def quality_logit_score(
+    df: "DataFrame",
+    weights: "dict[str, float]",
+    *,
+    out_col: str = "quality_logit",
+) -> "DataFrame":
+    """Linear quality-classifier score over ALREADY-COMPUTED feature
+    columns (operators.text.quality_features et al.): logit = bias +
+    sum(w_i * x_i), one map-only projection folded into the scan — the
+    fasttext-style quality-gate shape with the model as a weights file.
+    The LOGIT (not a sigmoid) is the output on purpose: a fixed
+    expression tree of IEEE doubles evaluates bit-identically in any
+    engine, so thresholds like ``logit >= 0`` are engine-exact and the
+    registered twin can hash-oracle; monotone transforms preserve every
+    ranking/gating decision, so the sigmoid adds nothing but exp()'s
+    cross-engine last-ulp risk. Unknown weight names raise (a silently
+    dropped feature is a silently different model); NULL features
+    propagate NULL — an unscorable doc must fail a >= gate, the
+    empty-document rule."""
+    missing = [
+        name for name in weights
+        if name != "bias" and name not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"quality_logit_score: weight(s) {missing} have no matching "
+            "feature column — a dropped feature is a different model"
+        )
+    expr = F.lit(float(weights.get("bias", 0.0)))
+    for name, w in sorted(weights.items()):
+        if name == "bias":
+            continue
+        expr = expr + F.lit(float(w)) * F.col(name).cast("double")
+    return df.withColumn(out_col, expr)

@@ -91,3 +91,58 @@ def test_orphan_count_exempts_null_foreign_keys(spark):
         child, parent, child_key="fk", parent_key="pk", name="fk.resolves"
     ).collect()[0]
     assert row["n_violations"] == 1  # only 99; the NULL FK is exempt
+
+
+def test_quality_logit_weights_as_data(spark):
+    """The weights-file linear classifier: score must equal the pure-
+    Python dot product on the same features (engine-exact — fixed
+    expression tree of IEEE doubles), be partition-invariant, propagate
+    NULL for unscorable docs, and REFUSE weights naming absent features
+    (a silently dropped feature is a different model)."""
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.quality import (
+        load_quality_weights,
+        quality_logit_score,
+    )
+    from batch_processing_iac_aws_spark.operators.text import (
+        quality_features,
+    )
+
+    w = load_quality_weights("/root/repo/fixtures/quality_weights.tsv")
+    assert w["bias"] == -1.5 and set(w) == {
+        "bias", "n_tokens", "uniq_ratio", "avg_token_len"
+    }
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "spark spark spark spark spark"),
+        (3, ""),  # zero tokens -> NULL ratios -> NULL logit
+    ]
+    df = quality_features(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: r["quality_logit"]
+        for r in quality_logit_score(df, w).collect()
+    }
+    feats = {
+        r["doc_id"]: r.asDict() for r in df.collect()
+    }
+    for i in (1, 2):
+        expect = w["bias"]
+        for name in sorted(w):
+            if name == "bias":
+                continue
+            expect = expect + w[name] * float(feats[i][name])
+        assert got[i] == expect, (i, got[i], expect)
+    assert got[3] is None
+    # diverse doc 1 must outscore the repetition bomb doc 2
+    assert got[1] > got[2]
+    # partition invariance
+    again = {
+        r["doc_id"]: r["quality_logit"]
+        for r in quality_logit_score(df.repartition(7), w).collect()
+    }
+    assert again == got
+    with _pytest.raises(ValueError, match="no matching feature"):
+        quality_logit_score(df, {"bias": 0.0, "nonexistent_feature": 1.0})
