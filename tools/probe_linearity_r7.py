@@ -56,8 +56,15 @@ from batch_processing_iac_aws_spark.operators.similarity import (  # noqa: E402
 )
 from batch_processing_iac_aws_spark.operators.text import (  # noqa: E402
     count_tokens,
+    hashed_doc_vectors,
     load_bpe_merges,
     make_bpe_tokenizer,
+)
+from batch_processing_iac_aws_spark.operators.similarity import (  # noqa: E402
+    sparse_cosine_knn,
+)
+from batch_processing_iac_aws_spark.operators.dedup import (  # noqa: E402
+    incremental_sparse_dedup,
 )
 
 
@@ -98,8 +105,29 @@ def t_bpe(d):
     )
 
 
+def t_sparse_knn(d):
+    # bounded probe set over the full corpus — the registered shape
+    vecs = hashed_doc_vectors(d, dim=4096)
+    qids = d.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("id"))
+    return sparse_cosine_knn(vecs, qids, k=3).count()
+
+
+def t_sparse_incr(d):
+    # bounded fixture (the registered query's doc_id cap) replicated 5x
+    # via modulo so the 5x corpus contributes 5x batches of the same size
+    dd = d.filter(F.col("doc_id") % 100000 < 1000)
+    history = dd.filter(F.col("doc_id") % 5 == 0)
+    batch = dd.filter(F.col("doc_id") % 5 != 0)
+    idx = hashed_doc_vectors(history, dim=4096)
+    return incremental_sparse_dedup(
+        batch, idx, dim=4096, threshold=0.95
+    ).count()
+
+
 for name, fn, one, five in [
     ("fuzzy_bloom", t_fuzzy_bloom, docs1, docs5),
+    ("sparse_knn", t_sparse_knn, docs1, docs5),
+    ("sparse_incremental", t_sparse_incr, docs1, docs5),
     ("pq_rerank", t_pq, emb1, emb5),
     ("pq_exact_baseline", t_pq_exact_baseline, emb1, emb5),
     ("bpe_count", t_bpe, docs1, docs5),
