@@ -1645,3 +1645,160 @@ def sparse_cosine_knn(
             F.round("__score", 4).alias("score"),
         )
     )
+
+
+def attach_pq_codes(
+    spark,
+    index_dir: str,
+    *,
+    m: int = 16,
+    n_codes: int = 32,
+    iters: int = 3,
+    grid: int = 1000,
+) -> list[list[list[int]]]:
+    """Attach PQ codes to the COMMITTED generation of a persisted IVF
+    index: train codebooks over the stored vectors, write
+    (id, sub_idx, code) partitioned by ivf_cluster under
+    ``<gen>/pq_codes`` and the codebooks (with their family parameters)
+    under ``<gen>/pq_codebooks`` — strictly ADDITIVE: assignments and
+    centroids are untouched, re-running overwrites idempotently, and a
+    retrain that commits a new generation simply lacks codes until the
+    next attach (``ivf_pq_index_topk`` fails loudly, never silently
+    searches stale codes against new cells). This is IVF-PQ's storage
+    story: searches read m small ints per vector partition-pruned to the
+    probed cells; the float vectors stay cold until the rerank's point
+    lookups."""
+    gen = _ivf_current(index_dir)
+    assigned = spark.read.parquet(f"{gen}/assignments")
+    cbs = pq_train(
+        assigned, id_col="id", vec_col="vec",
+        m=m, k=n_codes, iters=iters, grid=grid,
+    )
+    codes = _pq_subvectors(
+        assigned, id_col="id", vec_col="vec", m=m, grid=grid,
+        carry_cols=["ivf_cluster"],
+    ).select(
+        "id",
+        "ivf_cluster",
+        "sub_idx",
+        _nearest_code_udf(cbs, 100)(
+            F.col("sub_idx"), F.col("subvec")
+        ).alias("code"),
+    )
+    (
+        codes.repartition(F.col("ivf_cluster"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(f"{gen}/pq_codes")
+    )
+    from ..session import local_frame
+
+    cb_rows = [
+        (j, c, list(map(int, cw)))
+        for j, cb in enumerate(cbs)
+        for c, cw in enumerate(cb)
+    ]
+    cb_df = local_frame(
+        spark, cb_rows, "sub_idx int, code int, codeword array<long>"
+    ).select(
+        "sub_idx", "code", "codeword",
+        F.lit(grid).alias("grid"),
+        F.lit(100).alias("code_scale"),
+    )
+    cb_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{gen}/pq_codebooks"
+    )
+    return cbs
+
+
+def read_pq_codebooks(
+    spark, index_dir: str
+) -> "tuple[list[list[list[int]]], int]":
+    """Load the committed generation's PQ codebooks: (codebooks, grid).
+    Raises if the generation has no attached codes (post-retrain gap —
+    the caller must re-attach, not search stale codes)."""
+    gen = _ivf_current(index_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{gen}/pq_codebooks").collect()
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"no PQ codes attached to the committed generation {gen} — "
+            "run attach_pq_codes (a retrain commits a fresh generation "
+            "without codes on purpose: stale codes against new cells "
+            "would silently corrupt every search)"
+        ) from exc
+    m = max(r["sub_idx"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    cbs: list = [[None] * k for _ in range(m)]
+    grid = rows[0]["grid"]
+    for r in rows:
+        cbs[r["sub_idx"]][r["code"]] = [int(x) for x in r["codeword"]]
+    return cbs, grid
+
+
+def ivf_pq_index_topk(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ search against the PERSISTED index: centroids and
+    codebooks load once (model-sized), the probed cells' CODES stream
+    off parquet already cell-partitioned (the broadcast probe join
+    prunes whole partition directories — same pruning contract as
+    ivf_index_topk), ADC scores relationally via the broadcast lookup
+    table, and the shortlist reranks exactly against the stored vectors
+    (broadcast candidate semi-probe into the assignments scan). The
+    amortized production search path: build once, attach codes once,
+    every query reads m ints per candidate vector."""
+    from ..session import local_frame
+
+    gen = _ivf_current(index_dir)
+    centroids = read_ivf_centroids(spark, index_dir)
+    cbs, grid = read_pq_codebooks(spark, index_dir)
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.inf
+    Cu = (C / cn[:, None]).T
+    probe_rows = []
+    for r in queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    ).collect():
+        qv = np.array(r["__qv"], dtype=np.float64)
+        n = np.linalg.norm(qv) or np.inf
+        s = (qv / n) @ Cu
+        order = np.lexsort((np.arange(len(s)), -s))[:n_probe]
+        probe_rows.extend((r["qid"], int(cell)) for cell in order)
+    probe_df = local_frame(
+        spark, probe_rows, f"{query_id_col} long, ivf_cluster int"
+    )
+    codes = spark.read.parquet(f"{gen}/pq_codes")
+    lut_df = _pq_query_lut(
+        codes, cbs, queries,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, grid=grid,
+    )
+    scored = (
+        codes.join(F.broadcast(probe_df), "ivf_cluster")
+        .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
+        .groupBy(query_id_col, "id")
+        .agg(F.sum("__pdot").alias("__score"))
+    )
+    sl = _pq_rank_scored(
+        scored, k=shortlist, query_id_col=query_id_col
+    ).select(query_id_col, "neighbor_id")
+    stored = spark.read.parquet(f"{gen}/assignments").select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    return _pq_exact_rerank(
+        stored, sl, queries,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

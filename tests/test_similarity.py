@@ -614,3 +614,57 @@ def test_hashed_doc_vectors_requires_power_of_two_dim(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="power of two"):
         hashed_doc_vectors(df, dim=1000)
+
+
+def test_persisted_ivf_pq_attach_search_and_guards(spark, emb, tmp_path):
+    """The persisted IVF-PQ composition: attach codes to a committed
+    index, search with recall >= 0.70 vs brute force, re-attach is
+    idempotent, codebooks round-trip exactly, and searching an index
+    WITHOUT attached codes (the post-retrain gap) raises loudly instead
+    of silently scoring stale codes."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        attach_pq_codes,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_pq_index_topk,
+        read_pq_codebooks,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=16, batch_id=0)
+    with _pytest.raises(FileNotFoundError, match="no PQ codes"):
+        read_pq_codebooks(spark, idx)
+    q = emb.filter(F.col("vec_id") < 20)
+    with _pytest.raises(FileNotFoundError, match="no PQ codes"):
+        ivf_pq_index_topk(spark, q, idx, k=5).collect()
+
+    cbs = attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3)
+    got_cbs, grid = read_pq_codebooks(spark, idx)
+    assert got_cbs == cbs and grid == 1000
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_index_topk(
+            spark, q, idx, k=5, n_probe=4, shortlist=50
+        ).collect()
+    }
+    rec = len(ann & exact) / len(exact)
+    assert rec >= 0.70, f"persisted ivf_pq recall {rec:.2f}"
+
+    # idempotent re-attach: identical codebooks, identical search result
+    cbs2 = attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3)
+    assert cbs2 == cbs
+    ann2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_index_topk(
+            spark, q, idx, k=5, n_probe=4, shortlist=50
+        ).collect()
+    }
+    assert ann2 == ann

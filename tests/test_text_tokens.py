@@ -176,3 +176,46 @@ def test_bpe_seam_counts_match_pure_python(spark):
     }
     want = {i: len(tok(t)) for i, t in rows}
     assert got == want
+
+
+def test_bpe_property_lossless_and_memo_consistent():
+    """Property (Hypothesis): for ANY text and ANY trained merge list,
+    (a) concatenating the BPE tokens of a word reproduces the word
+    (merging never loses or invents characters), (b) every token is
+    non-empty, (c) tokenizing twice (memo-warm) equals tokenizing with a
+    fresh tokenizer (the memo can never change answers), and (d) token
+    count is <= the character count of the pre-tokens (merges only
+    shrink)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from batch_processing_iac_aws_spark.operators.text import (
+        bpe_ish_tokenize_py,
+        make_bpe_tokenizer,
+        train_bpe_merges,
+    )
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdef '!.-0123 "), max_size=40
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(corpus=texts, probe=st.text(
+        alphabet=st.sampled_from("abcdef '!.-0123 "), max_size=60
+    ), n_merges=st.integers(min_value=0, max_value=12))
+    def check(corpus, probe, n_merges):
+        merges = train_bpe_merges(corpus, n_merges=n_merges)
+        tok = make_bpe_tokenizer(merges)
+        words = bpe_ish_tokenize_py(probe)
+        out1 = tok(probe)
+        out2 = make_bpe_tokenizer(merges)(probe)
+        assert out1 == out2  # memo-warm == fresh
+        assert all(t for t in out1)
+        assert "".join(out1) == "".join(words)  # lossless
+        assert len(out1) <= sum(len(w) for w in words)
+
+    check()
