@@ -846,18 +846,12 @@ def bloom_prefilter_dedup(
     # a SILENT false-negative machine (every duplicate sails through the
     # definitely-new shortcut) — verify the family metadata the index
     # carries before using a single bit, as the signature indexes do
-    meta = bloom.agg(
-        F.min("m_bits").alias("m"), F.min("n_hashes").alias("j")
-    ).first()
-    if meta["m"] is not None and (
-        meta["m"] != m_bits or meta["j"] != n_hashes
-    ):
-        raise ValueError(
-            f"bloom index family mismatch: index built with "
-            f"m_bits={meta['m']}, n_hashes={meta['j']}; probe requested "
-            f"m_bits={m_bits}, n_hashes={n_hashes}"
-        )
-    positions = bloom.select("bloom_pos")
+    # (shared check: also rejects a position table unioned from two
+    # families, and pins the frame so the in-plan build runs once, not
+    # once per consumer)
+    positions = _check_bloom_family(
+        bloom, m_bits=m_bits, n_hashes=n_hashes, what="bloom_prefilter_dedup"
+    )
     hashed = batch.withColumn(index_col, F.sha2(F.col(text_col), 256))
     # NULL-text rows hash to NULL: under anti-join semantics NULL never
     # equals anything, so the plain form KEEPS them — carry them past the
@@ -912,8 +906,22 @@ def _check_bloom_family(
     checkpoint stands in for it when the frame is built in-plan."""
     pinned = bloom.localCheckpoint(eager=True)
     meta = pinned.agg(
-        F.min("m_bits").alias("m"), F.min("n_hashes").alias("j")
+        F.min("m_bits").alias("m"), F.max("m_bits").alias("m_hi"),
+        F.min("n_hashes").alias("j"), F.max("n_hashes").alias("j_hi"),
     ).first()
+    # min==max first: a position table accidentally unioned from TWO
+    # families would pass a min-only probe whenever the probe matches the
+    # smaller family while half the bits are wrong — exactly the silent
+    # false negatives this check exists to prevent
+    if meta["m"] is not None and (
+        meta["m"] != meta["m_hi"] or meta["j"] != meta["j_hi"]
+    ):
+        raise ValueError(
+            f"{what}: bloom index mixes families: m_bits "
+            f"{meta['m']}..{meta['m_hi']}, n_hashes "
+            f"{meta['j']}..{meta['j_hi']} — positions from different "
+            "(m_bits, n_hashes) builds can never be probed together"
+        )
     if meta["m"] is not None and (
         meta["m"] != m_bits or meta["j"] != n_hashes
     ):

@@ -307,6 +307,79 @@ def assign_ivf_clusters(
     ).drop("__scores")
 
 
+def ivf_refined_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    grid: int = 1000,
+    centroid_scale: int = 100,
+) -> "list[tuple[int, list[float]]]":
+    """Coarse-quantizer init for the IVF family: a deterministic seed (the
+    ``n_centroids`` smallest ids — reproducible anywhere, no RNG state to
+    ship) refined by ``iters - 1`` EXACT-INTEGER Lloyd rounds over the
+    FULL corpus — the k-means||-style upgrade over raw first-n-ids init,
+    built from :func:`kmeans_exact`'s primitives (``_quantized_vec`` +
+    ``_nearest_centroid_udf`` + the d-partial-sums update agg) so the
+    refinement is deterministic and partition-invariant like everything
+    else in this family. Raw subset init is fine on near-random vectors,
+    but on CLUSTERED data (every real embedding corpus) a seed drawn from
+    one dense region leaves giant cells — probe cost and cell skew both
+    follow the worst cell, the classic IVF failure; one or two Lloyd
+    rounds spread the centroids to the data's actual modes
+    (cell-balance improvement asserted in tests/test_similarity.py).
+
+    Scale shape per round: assignment is a map-only Arrow matmul against
+    the broadcast k x dim centroid matrix; the update is ONE hash-agg
+    with d map-side partial sums whose k-row result is the only collect
+    (k x dim ints, model-sized). Returns ``[(seed_source_id, centroid)]``
+    with centroids as exact lattice-point floats."""
+    dfq = corpus.select(
+        F.col(id_col), _quantized_vec(vec_col, grid).alias("__xq")
+    )
+    init_rows = dfq.orderBy(id_col).limit(n_centroids).collect()
+    if not init_rows:
+        raise ValueError("cannot init IVF centroids from an empty corpus")
+    dim = len(init_rows[0]["__xq"])
+    ids = [r[id_col] for r in init_rows]
+    cents = [
+        [int(x) * centroid_scale for x in r["__xq"]] for r in init_rows
+    ]
+    if iters > 1:
+        # each refinement round re-reads the quantized corpus: pin it
+        # (eager localCheckpoint — blocks released on GC, the
+        # kmeans_exact rationale)
+        dfq = dfq.localCheckpoint(eager=True)
+    for _ in range(max(0, iters - 1)):
+        assigned = dfq.withColumn(
+            "cluster",
+            _nearest_centroid_udf(cents, centroid_scale)(F.col("__xq")),
+        )
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("__xq")[i]).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # k rows of dim ints — model-sized, documented
+        )
+        for r in upd:
+            cents[r["cluster"]] = [
+                (int(r[f"__s{i}"]) * centroid_scale) // r["__n"]
+                for i in range(dim)
+            ]
+    scale = float(grid * centroid_scale)
+    return [
+        (ids[j], [c / scale for c in cents[j]])
+        for j in range(len(cents))
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -322,19 +395,18 @@ def ivf_topk(
     ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
     exact cosine re-scoring inside the probed cells only.
 
-    Index build: centroids are a deterministic sample (the ``n_centroids``
-    smallest ids — for random embeddings a random-subset init, the standard
-    IVF bootstrap). The ONE driver-side collect is the centroid set itself
-    (n_centroids * dim floats, bounded and tiny); everything after is
-    map-only assignment + an equi-join on the cell id. Scale shape: candidate
-    volume per query is ~ n_probe/n_centroids of the corpus; cell-size skew
-    is AQE-split. Recall vs brute force is measured in
-    tests/test_similarity.py.
+    Index build: deterministic seed refined by exact-integer Lloyd rounds
+    over the corpus (:func:`ivf_refined_centroids` — the k-means||-style
+    init that keeps cells balanced on clustered data). Driver-side
+    traffic is model-sized only (the k x dim centroid matrix per round);
+    everything after is map-only assignment + an equi-join on the cell
+    id. Scale shape: candidate volume per query is ~ n_probe/n_centroids
+    of the corpus; cell-size skew is AQE-split. Recall vs brute force is
+    measured in tests/test_similarity.py.
     """
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    centroids = ivf_refined_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
-    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
 
     c = assign_ivf_clusters(
         corpus.select(
@@ -530,18 +602,13 @@ def build_ivf_index(
     replay-stable batch_id) overwrites its own generation and re-commits,
     a fixpoint.
 
-    Centroid init is the deterministic smallest-``n_centroids`` ids (the
-    random-subset IVF bootstrap — swap for k-means|| on clustered data).
-    The only driver traffic is the centroid matrix itself."""
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
+    Centroid init: deterministic seed + exact-integer Lloyd refinement
+    over the build corpus (:func:`ivf_refined_centroids` — cells stay
+    balanced on clustered data). The only driver traffic is the centroid
+    matrix itself (per refinement round)."""
+    centroids = ivf_refined_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
-    if not cent_rows:
-        raise ValueError("cannot build an IVF index from an empty corpus")
-    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
     gen_dir = f"{index_dir}/gen-{batch_id}"
     _write_ivf_centroids(corpus.sparkSession, centroids, gen_dir)
     _write_ivf_assignments(
@@ -1235,7 +1302,23 @@ def pq_train(
     the kmeans_exact discipline applied m times in parallel."""
     sub = _pq_subvectors(
         df, id_col=id_col, vec_col=vec_col, m=m, grid=grid
-    ).localCheckpoint(eager=True)  # every iteration re-reads this scan
+    )
+    return _pq_train_sub(sub, m=m, k=k, iters=iters, code_scale=code_scale)
+
+
+def _pq_train_sub(
+    sub: DataFrame,
+    *,
+    m: int,
+    k: int,
+    iters: int,
+    code_scale: int,
+) -> list[list[list[int]]]:
+    """The PQ Lloyd loop over an (id, sub_idx, subvec) frame — split out
+    of :func:`pq_train` so residual-encoded variants (IVFADC: subvectors
+    of ``xq - cell_centroid_q``) train through the identical
+    deterministic machinery."""
+    sub = sub.localCheckpoint(eager=True)  # every iteration re-reads this
     first = (
         sub.filter(F.col("sub_idx") == 0)
         .orderBy("id")
@@ -1255,15 +1338,18 @@ def pq_train(
             [int(x) * code_scale for x in r["subvec"]]
         )
     sd = len(init[0]["subvec"])
-    for t in range(iters):
+    # iters counts ASSIGNMENT rounds; the final assignment is implicit in
+    # whatever the caller encodes with the returned codebooks, so exactly
+    # iters-1 centroid updates run here (the old `if t == iters-1: break`
+    # form built a dead lazy frame on the last pass and overstated the
+    # Lloyd steps by one)
+    for _ in range(max(0, iters - 1)):
         assigned = sub.withColumn(
             "code",
             _nearest_code_udf(cbs, code_scale)(
                 F.col("sub_idx"), F.col("subvec")
             ),
         )
-        if t == iters - 1:
-            break
         upd = (
             assigned.groupBy("sub_idx", "code")
             .agg(
@@ -1521,13 +1607,9 @@ def ivf_pq_topk(
     scoring path."""
     from ..session import local_frame
 
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
+    centroids = ivf_refined_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
-    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
     assigned = assign_ivf_clusters(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
         centroids,
@@ -1578,6 +1660,160 @@ def ivf_pq_topk(
         .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
         .groupBy(query_id_col, "id")
         .agg(F.sum("__pdot").alias("__score"))
+    )
+    sl = _pq_rank_scored(
+        scored, k=shortlist, query_id_col=query_id_col
+    ).select(query_id_col, "neighbor_id")
+    return _pq_exact_rerank(
+        corpus, sl, queries,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _half_away(x: "np.ndarray") -> "np.ndarray":
+    """Round-half-away-from-zero on float arrays — numpy's np.round is
+    banker's (half-to-even), but Spark's F.round is HALF_UP, and the
+    residual pipeline quantizes on BOTH sides (engine for vectors,
+    driver numpy for centroids/queries); one rule everywhere keeps the
+    integer lattice self-consistent."""
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    iters: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    grid: int = 1000,
+    code_scale: int = 100,
+) -> DataFrame:
+    """IVFADC proper (Jégou et al., TPAMI 2011 §IV): PQ codebooks train
+    on RESIDUALS ``r = x̂ - ĉ(cell)`` instead of raw vectors — residuals
+    concentrate near zero once the coarse quantizer explains the cell
+    mean, so the same (m, k) code budget spends its resolution on the
+    part of the vector the cell doesn't already encode, and the ADC
+    estimate tightens at identical storage cost (the measured shortlist
+    gain over raw-vector codes is asserted in tests/test_similarity.py).
+    Decomposition: dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, r), so scoring is the
+    residual ADC sum (the broadcast LUT join, unchanged machinery) plus
+    one per-(query, probed-cell) scalar — |queries| x n_probe rows,
+    broadcast. Everything stays on the integer lattice: residuals are
+    exact differences of two lattice vectors (engine-quantized x̂ minus
+    the driver-quantized ĉ shipped as literals — same half-away rounding
+    rule on both sides), training reuses the _pq_train_sub Lloyd loop,
+    and the coarse term is an int64 dot scaled by ``code_scale`` to
+    match the LUT's units.
+
+    100 TB shape identical to :func:`ivf_pq_topk`: one corpus pass
+    computes cells AND residual codes; the candidate scan reads
+    n_probe/n_centroids of the rows x m small ints; floats load only for
+    the |queries| x shortlist exact rerank."""
+    from ..session import local_frame
+
+    spark = corpus.sparkSession
+    centroids = ivf_refined_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.inf
+    CQ = _half_away(C / cn[:, None] * grid)  # n_cells x dim lattice ints
+    assigned = assign_ivf_clusters(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        centroids,
+        vec_col=vec_col,
+    )
+    cq_df = local_frame(
+        spark,
+        [(i, [int(x) for x in CQ[i]]) for i in range(len(CQ))],
+        "ivf_cluster int, __cq array<long>",
+    )
+    resid = (
+        assigned.select(
+            "id",
+            "ivf_cluster",
+            _pq_normalized_quantized(vec_col, grid).alias("__xq"),
+        )
+        .join(F.broadcast(cq_df), "ivf_cluster")
+        .withColumn("__rq", F.zip_with("__xq", "__cq", lambda a, b: a - b))
+    )
+    slices = F.array(
+        *[
+            F.slice(
+                F.col("__rq"),
+                (F.lit(j) * F.col("__sd") + 1).cast("int"),
+                F.col("__sd").cast("int"),
+            )
+            for j in range(m)
+        ]
+    )
+    sub = (
+        resid.withColumn("__sd", (F.size("__rq") / m).cast("long"))
+        .select(
+            "id", "ivf_cluster",
+            F.posexplode(slices).alias("sub_idx", "subvec"),
+        )
+    )
+    cbs = _pq_train_sub(
+        sub.select("id", "sub_idx", "subvec"),
+        m=m, k=n_codes, iters=iters, code_scale=code_scale,
+    )
+    codes = sub.select(
+        "id",
+        "ivf_cluster",
+        "sub_idx",
+        _nearest_code_udf(cbs, code_scale)(
+            F.col("sub_idx"), F.col("subvec")
+        ).alias("code"),
+    )
+    # probes + the per-(query, cell) coarse term, driver-side numpy over
+    # the bounded query set (ties to the lowest cell id)
+    Cu = (C / cn[:, None]).T
+    probe_rows: list = []
+    cell_rows: list = []
+    for r in queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    ).collect():
+        qv = np.array(r["__qv"], dtype=np.float64)
+        n = np.linalg.norm(qv) or np.inf
+        s = (qv / n) @ Cu
+        order = np.lexsort((np.arange(len(s)), -s))[:n_probe]
+        qq = _half_away(qv / n * grid)
+        for cell in order:
+            probe_rows.append((r["qid"], int(cell)))
+            cell_rows.append(
+                (r["qid"], int(cell), int(qq @ CQ[cell]) * code_scale)
+            )
+    probe_df = local_frame(
+        spark, probe_rows, f"{query_id_col} long, ivf_cluster int"
+    )
+    cell_df = local_frame(
+        spark,
+        cell_rows,
+        f"{query_id_col} long, ivf_cluster int, __cdot long",
+    )
+    lut_df = _pq_query_lut(
+        codes, cbs, queries,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, grid=grid,
+    )
+    scored = (
+        codes.join(F.broadcast(probe_df), "ivf_cluster")
+        .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
+        .groupBy(query_id_col, "id", "ivf_cluster")
+        .agg(F.sum("__pdot").alias("__rdot"))
+        .join(F.broadcast(cell_df), [query_id_col, "ivf_cluster"])
+        .withColumn("__score", F.col("__rdot") + F.col("__cdot"))
+        .drop("ivf_cluster")
     )
     sl = _pq_rank_scored(
         scored, k=shortlist, query_id_col=query_id_col

@@ -161,86 +161,48 @@ from . import quality  # noqa: E402,F401
 #     freshly r6-green and rotate out; after this round no query's last
 #     green is older than r4. Round-8 queue pinned in _ROUND8_QUEUE below
 #     (a REAL list, typo-proofed by tests/test_registry.py).
+#   round 8 window (this one) — the r7-pinned plan executed, oldest-first,
+#     with one correction to the r7 pin: the true r4 cohort is 45 queries,
+#     not 37 — _ROUND8_QUEUE missed the 8 window/variant r4 greens
+#     (variant_funcs + window_first_last/lag_lead/percent_rank/
+#     range_frame/session/sliding/tumbling), so the window takes the
+#     WHOLE cohort and only 2 r5 fills fit:
+#     new (5): quality_logit_score (the fasttext-style linear quality
+#       GATE with the model as a weights file, logit kept engine-exact so
+#       the >= 0 KEEP decision itself hash-oracles), and
+#       streaming_incremental_sparse (the SIXTH streaming composition:
+#       lexical-cosine rolling ingest through the real engine, oracle
+#       replays the batch-by-batch first-arrival fixpoint — cosine is not
+#       transitive, so the oracle threads each batch against the
+#       SURVIVING index), and similarity_ivf_pq_index (the persisted
+#       IVF-PQ search — train once, attach codes once, per-call cost is
+#       the directory-pruned ADC scan + exact rerank; the amortized
+#       number the per-call-training similarity_ivf_pq cannot show), and
+#       streaming_quality_ingest (the SEVENTH composition: the
+#       weights-as-data quality gate FUSED into the rolling ingest —
+#       gate + exact dedup in one micro-batch pass, oracle composes the
+#       tie-free logit twin with the first-arrival fixpoint over the
+#       GATED set), and similarity_ivf_pq_residual (IVFADC proper:
+#       PQ trained on residuals x - c(cell), scored as residual ADC +
+#       a per-(query,cell) broadcast scalar; equal to raw codes on the
+#       near-random fixture, asserted strictly better on clustered data).
+#     r4 cohort (45): the pinned 37 of _ROUND8_QUEUE (graph_pagerank,
+#       dedup_minhash, streaming_tumbling, csv_expand first) + the 8
+#       missed leftovers above. 5 news leave exactly 50 - 45 = 5 slots,
+#       so no r5 fills fit — the r5 cohort rotates wholesale next round
+#       (_ROUND9_QUEUE, 50 names).
+#     The whole r7 window is freshly green and rotates out. After this
+#     round no query's last driver-green is older than r5.
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
     #    enter the window) --
-    "docs_token_budget_bpe",
-    "dedup_incremental_fuzzy_bloom",
-    "similarity_pq_rerank",
-    "similarity_ivf_pq",
-    "docs_sparse_knn",
-    "dedup_incremental_sparse",
-    # -- last driver-green r2: the 6 queries displaced by round 6's news
-    #    + zorder_roundtrip (red in r6 via the scratch_dir NameError,
-    #    fixed this round — its re-green IS the regression proof) --
-    "zorder_roundtrip",
-    "window_ntile",
-    "dataset_mixture",
-    "dedup_ngram_jaccard",
-    "math_funcs",
-    "multimodal_meta",
-    "sample_deterministic",
-    # -- the ENTIRE remaining round-3 cohort (35), last driver-green r3;
-    #    includes the two other scratch_dir-broken queries
-    #    (orc_roundtrip, parquet_schema_merge) --
-    "orc_roundtrip",
-    "parquet_schema_merge",
-    "table_profile",
-    "agg_quantile_bins",
-    "agg_regression",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_rolling_distinct_users",
-    "agg_higher_moments",
-    "agg_mode",
-    "array_agg_funcs",
-    "array_funcs",
-    "corpus_quota_cap",
-    "data_quality_audit",
-    "dataset_split",
-    "embedding_centroid_outliers",
-    "embedding_quantize",
-    "join_point_in_time",
-    "map_funcs",
-    "search_bm25",
-    "search_inverted_index",
-    "snapshot_diff",
-    "stat_robust_zscore",
-    "stat_winsorize",
-    "streaming_dedup",
-    "streaming_join_stream",
-    "streaming_session",
-    "streaming_stateful_totals",
-    "text_dedup_sentences",
-    "text_perplexity",
-    "text_pmi_pairs",
-    "text_rolling_hash",
-    "text_tfidf_topk",
-    "udaf_geomean",
-    "udtf_chunk_words",
-    # -- r4-cohort fill (oldest remaining), load-bearing shapes first:
-    #    the flagship, the reference CSV path, core streaming, core LSH,
-    #    the big fuzzy composite, and the iterative-graph representative --
-    "interval_expand",
-    "dedup_fuzzy_pipeline",
-]
-
-# round 8 candidates (beyond the queue below): streaming composition of
-# the sparse inverted index — ALREADY BUILT and crash-window tested
-# (streaming/pipeline.py:run_streaming_sparse_ingest,
-# tests/test_streaming.py) — needs only its registered query + window
-# slot; a weights-as-data quality classifier through the
-# quality_features columns (logit stays engine-exact); IVF-PQ behind the
-# persisted IVF index (ivf_index_topk x pq codes). Window economy note:
-# the only displaceable r4 fills left are interval_expand and
-# dedup_fuzzy_pipeline — round 8 should displace from the 35-query r3
-# cohort instead (all will be freshly r7-green).
-#: Round-8 rotation queue, pinned now so a typo cannot silently drop a
-#: query from rotation (tests/test_registry.py asserts every name exists):
-#: the r4 cohort not already in this round's window — after round 7 they
-#: are the oldest driver-greens — rotates in behind whatever round 8 adds;
-#: oldest-green-first stays the rule.
-_ROUND8_QUEUE = [
+    "quality_logit_score",
+    "streaming_incremental_sparse",
+    "similarity_ivf_pq_index",
+    "streaming_quality_ingest",
+    "similarity_ivf_pq_residual",
+    # -- the ENTIRE r4 cohort (45), last driver-green r4: the 37 pinned
+    #    in round 7's _ROUND8_QUEUE... --
     "graph_pagerank",
     "dedup_minhash",
     "streaming_tumbling",
@@ -278,6 +240,7 @@ _ROUND8_QUEUE = [
     "ts_time_weighted_avg",
     "udf_grouped_zscore",
     "udf_rowwise_python",
+    # -- ...plus the 8 r4 greens the r7 pin missed --
     "variant_funcs",
     "window_first_last",
     "window_lag_lead",
@@ -286,6 +249,66 @@ _ROUND8_QUEUE = [
     "window_session",
     "window_sliding",
     "window_tumbling",
+]
+
+#: Round-9 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name
+#: exists): the r5 cohort not already in this round's window — after
+#: round 8 they are the oldest driver-greens — rotates in behind
+#: whatever round 9 adds; oldest-green-first stays the rule. (The FULL
+#: 50-query r5 cohort — round 9's news must displace its most
+#: shape-redundant members, exactly as this round's ledger entry did.)
+_ROUND9_QUEUE = [
+    "q1_pricing_summary",
+    "join_asof",
+    "agg_argminmax",
+    "agg_corr",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "cluster_kmeans",
+    "corpus_line_dedup",
+    "dataset_mixture_epochs",
+    "dedup_incremental_embedding",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_simhash",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
+    "dedup_source_overlap",
+    "docs_token_budget",
+    "embedding_pca",
+    "events_funnel",
+    "in_subquery",
+    "join_anti",
+    "join_full",
+    "join_inner",
+    "join_interval_overlap",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "latest_partition",
+    "pivot_status",
+    "q10_top_customers",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_quality_weighted",
+    "scalar_subquery",
+    "set_except",
+    "set_intersect",
+    "sql_entrypoint",
+    "streaming_incremental_dedup",
+    "text_normalize",
+    "timeseries_gapfill",
+    "union_distinct",
+    "unpivot_measures",
 ]
 
 

@@ -301,7 +301,9 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_tokens", "cum_tokens_before")
 
 
-_BPE_MERGES_PATH = "/root/repo/fixtures/bpe_merges.txt"
+from .registry import fixture_path
+
+_BPE_MERGES_PATH = fixture_path("bpe_merges.txt")
 #: regex twin of operators.text._BPE_ISH_PATTERN, quotes doubled for SQL
 _BPE_PAT_SQL = (
     r"''s|''t|''re|''ve|''m|''ll|''d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
@@ -323,12 +325,21 @@ def _bpe_merges_sql_values() -> str:
     )
 
 
-_BPE_VALUES = _bpe_merges_sql_values()
+try:
+    _BPE_VALUES = _bpe_merges_sql_values()
+except OSError:
+    # executor Python workers import this module from the package zip
+    # ensure_worker_imports ships, where __file__-relative fixture paths
+    # point INSIDE the zip and no fixtures/ exists. The oracle string is
+    # DRIVER-only (DuckDB twin), so registering without it there is
+    # harmless — and a real checkout missing the fixture still fails
+    # loudly via tests/test_registry.py's oracle-count assertion.
+    _BPE_VALUES = None
 
 
 @query(
     "docs_token_budget_bpe",
-    oracle=f"""
+    oracle=None if _BPE_VALUES is None else f"""
 WITH RECURSIVE merges(rank, x, y) AS (
     SELECT * FROM (VALUES {_BPE_VALUES}) AS m(rank, x, y)
 ), words AS (

@@ -12,8 +12,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators.quality import check_counts, orphan_count, uniqueness_violations
-from .registry import money_sum, query
+from ..operators.quality import (
+    check_counts,
+    load_quality_weights,
+    orphan_count,
+    quality_logit_score,
+    uniqueness_violations,
+)
+from .registry import fixture_path, money_sum, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,6 +124,101 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _logit_sql() -> str:
+    """The committed weights fixture as the ORACLE-side logit expression —
+    weights-as-data on both engines, generated from the SAME file Spark
+    reads so the two can never evaluate different models. Fold order
+    matches operators.quality.quality_logit_score exactly (bias first,
+    then features by sorted name, left-associated adds): an identical
+    IEEE expression tree over identical double inputs is bit-identical,
+    which is what lets the >= 0 gate and the hash compare work with no
+    tolerance. Literals are CAST AS DOUBLE because bare SQL decimals
+    parse as DECIMAL in DuckDB and decimal arithmetic would round
+    differently."""
+    w = load_quality_weights(fixture_path("quality_weights.tsv"))
+    expr = f"CAST({w.get('bias', 0.0)!r} AS DOUBLE)"
+    for name in sorted(w):
+        if name == "bias":
+            continue
+        expr = (
+            f"({expr} + CAST({w[name]!r} AS DOUBLE) * "
+            f"CAST({name} AS DOUBLE))"
+        )
+    return expr
+
+
+try:
+    _LOGIT_SQL = _logit_sql()
+except OSError:
+    # executor Python workers import this module from the package zip
+    # ensure_worker_imports ships, where __file__-relative fixture paths
+    # point INSIDE the zip and no fixtures/ exists. The oracle string is
+    # DRIVER-only, so registering without it there is harmless — a real
+    # checkout missing the fixture still fails loudly via
+    # tests/test_registry.py's oracle-count assertion.
+    _LOGIT_SQL = None
+
+
+@query(
+    "quality_logit_score",
+    oracle=None if _LOGIT_SQL is None else f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+           round(list_reduce([CAST(length(x) AS BIGINT) FOR x IN toks],
+                             (a, b) -> a + b) * 1.0 / len(toks), 4)
+               AS avg_token_len
+    FROM t
+), s AS (
+    SELECT doc_id, n_tokens, uniq_ratio, avg_token_len,
+           {_LOGIT_SQL} AS logit
+    FROM f
+)
+SELECT doc_id, n_tokens, uniq_ratio, avg_token_len,
+       -- 6dp, not the usual 4: the exact logit IS a <=6-decimal value
+       -- (weights <=2dp x features <=4dp), so 6dp rounding is TIE-FREE
+       -- (the double sits ~1e-16 from the exact decimal, never near a
+       -- half); 4dp hit genuine .00005 ties where Spark's HALF_UP and
+       -- DuckDB's float rounding disagree (doc 158 at sf0.001: 1.12085)
+       round(logit, 6) AS quality_logit
+FROM s
+WHERE logit >= 0
+""",
+)
+def quality_logit_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fasttext-style quality GATE every pretraining pipeline runs:
+    a linear classifier over the quality_features columns with the model
+    shipped as a weights FILE (fixtures/quality_weights.tsv — retraining
+    is a file swap, the tokenizer-vocabulary discipline applied to
+    quality scoring), folded into the scan as one map-only projection.
+    The output is the LOGIT, not a sigmoid: a fixed IEEE expression tree
+    evaluates bit-identically in any engine, so the ``logit >= 0`` KEEP
+    decision is engine-exact and this query hash-oracles the DECISION,
+    not just the score — the oracle replays the same fold order over the
+    same weights file. 100 TB shape: zero shuffles added to the feature
+    pass; the gate prunes at the scan. operators/quality.py:
+    quality_logit_score; operators/text.py:quality_features."""
+    from ..operators.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    w = load_quality_weights(fixture_path("quality_weights.tsv"))
+    scored = quality_logit_score(quality_features(d), w)
+    return scored.filter(F.col("quality_logit") >= 0).select(
+        "doc_id",
+        "n_tokens",
+        "uniq_ratio",
+        "avg_token_len",
+        # 6dp is tie-free here — see the oracle comment
+        F.round("quality_logit", 6).alias("quality_logit"),
+    )
 
 
 @query(

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.timeseries import expand_intervals, intervals_from_events
-from .registry import money_sum, query, scratch_dir
+from .registry import fixture_path, money_sum, query, scratch_dir
 
 
 @query(
@@ -51,7 +51,7 @@ def interval_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CSV_DIR = "/root/repo/fixtures/csv_land"
+_CSV_DIR = fixture_path("csv_land")
 _CSV_LATEST = f"{_CSV_DIR}/20230703_intervals.csv"
 
 
@@ -118,7 +118,7 @@ def csv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSONL = "/root/repo/fixtures/json_land/readings.jsonl"
+_JSONL = fixture_path("json_land", "readings.jsonl")
 
 
 @query(

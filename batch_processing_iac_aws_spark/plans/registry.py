@@ -44,6 +44,17 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def fixture_path(*parts: str) -> str:
+    """Absolute path of a committed fixture, derived from the PACKAGE
+    location (…/repo/fixtures/<parts>), never from the process cwd or a
+    hardcoded checkout path — importing the plans package from a checkout
+    that is not /root/repo must still find its own fixtures."""
+    import os
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), "fixtures", *parts)
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``name`` with an optional DuckDB oracle twin.
 
@@ -75,6 +86,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _sweep_dead_siblings(base_no_pid: str) -> None:
+    """Remove sibling scratch trees (same ``<name>_p<pid>`` stem, other
+    pids) whose owning process is gone. Per-pid naming isolates CONCURRENT
+    runs, but a dir that outlives its process is just leaked parquet —
+    without this sweep every bench/pytest/driver invocation left one tree
+    per (query, sf) in /tmp forever, losing the bounded-usage property the
+    old deterministic name provided."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(f"{base_no_pid}_p*"):
+        pid_s = d.rsplit("_p", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # 0 = existence probe, no signal sent
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
 def scratch_dir(prefix: str, sf_dir: str) -> str:
     """Deterministic per-(query, sf) scratch directory under the system
     temp root, WIPED on every call. Registered plan functions that
@@ -99,9 +133,9 @@ def scratch_dir(prefix: str, sf_dir: str) -> str:
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{prefix}_{key}_p{os.getpid()}"
-    )
+    stem = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{key}")
+    _sweep_dead_siblings(stem)
+    base = f"{stem}_p{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     return base
@@ -125,10 +159,11 @@ def scratch_source_cache(prefix: str, sf_dir: str) -> "tuple[str, bool]":
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cache_{prefix}_{key}_p{os.getpid()}",
+    stem = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cache_{prefix}_{key}"
     )
+    _sweep_dead_siblings(stem)
+    base = f"{stem}_p{os.getpid()}"
     if os.path.exists(os.path.join(base, "_BUILT")):
         return base, True
     shutil.rmtree(base, ignore_errors=True)

@@ -364,6 +364,270 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
+    """Shared TEST SCAFFOLDING for the exact-hash streaming-ingest
+    queries: the documents corpus decorated with deterministic cross-batch
+    EXACT duplicates (every doc_id ending in 7 copies the text of
+    doc_id-7, which lands in a different doc_id%3 batch class), written as
+    three ordered batch files (mtimes forced so file order IS batch
+    order) and CACHED per process (scratch_source_cache) — bench's warm
+    iterations measure the streaming ingest, not corpus prep. Used by
+    streaming_incremental_dedup and streaming_quality_ingest, whose
+    oracles restate the same decoration."""
+    import glob as _glob
+    import os
+
+    from .registry import scratch_source_cache
+
+    cache, built = scratch_source_cache("ingest_src", sf_dir)
+    src = f"{cache}/src"
+    if built:
+        return src
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = docs.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.col("text").alias("__dup_text"),
+    )
+    d = docs.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("__dup_text").isNotNull(),
+            F.col("__dup_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stamped: set[str] = set()
+    for b in range(3):
+        (
+            d.filter(F.col("doc_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        t = 1_700_000_000 + b * 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t, t))
+                stamped.add(f)
+    with open(f"{cache}/_BUILT", "w") as fh:
+        fh.write("ok")
+    return src
+
+
+from .quality import _LOGIT_SQL  # noqa: E402  (None on worker-zip imports)
+
+_QUALITY_FEATS_SQL = """
+    SELECT doc_id, text,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4)
+               AS uniq_ratio,
+           round(list_reduce([CAST(length(x) AS BIGINT) FOR x IN toks],
+                             (a, b) -> a + b) * 1.0 / len(toks), 4)
+               AS avg_token_len
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM src)
+"""
+
+
+@query(
+    "streaming_quality_ingest",
+    oracle=None if _LOGIT_SQL is None else f"""
+WITH src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+              THEN d7.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+), f AS ({_QUALITY_FEATS_SQL}
+), k AS (
+  SELECT doc_id, text, {_LOGIT_SQL} AS logit FROM f WHERE {_LOGIT_SQL} >= 0
+)
+SELECT d.doc_id, sha256(d.text) AS content_hash,
+       round(d.logit, 6) AS quality_logit
+FROM k d
+WHERE NOT EXISTS (
+  SELECT 1 FROM k h
+  WHERE sha256(h.text) = sha256(d.text)
+    AND (h.doc_id % 3 < d.doc_id % 3
+         OR (h.doc_id % 3 = d.doc_id % 3 AND h.doc_id < d.doc_id)))
+""",
+)
+def streaming_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEVENTH streaming composition — the quality gate FUSED into
+    the rolling ingest (streaming/pipeline.py:run_streaming_quality_
+    ingest), which is the pass a real pretraining pipeline runs: each
+    micro-batch scores quality_features -> the weights-as-data logit at
+    the scan, drops ``logit < 0`` docs map-only BEFORE anything shuffles,
+    exact-dedups the survivors within-batch and against the persisted
+    fingerprint index of earlier GATED survivors, and appends
+    (id, hash, logit) + digests under the exactly-once contract
+    (checkpointed sequencing, replay-stable batch-keyed overwrites,
+    own-partition exclusion). The oracle composes the quality_logit_score
+    twin (same weights file, same fold order, tie-free 6dp) with the
+    first-arrival fixpoint over the GATED set — valid as one fixpoint
+    because identical text implies identical logit, so a dropped-by-gate
+    doc can never have been the index entry that should have caught a
+    later duplicate. Shares the cached three-batch duplicate-decorated
+    source with streaming_incremental_dedup; table/index/checkpoint
+    rebuild per call under the wiped scratch_dir."""
+    from ..operators.quality import load_quality_weights
+    from ..streaming.pipeline import run_streaming_quality_ingest
+    from .registry import fixture_path
+
+    base = scratch_dir("qingest", sf_dir)
+    src = _dup_decorated_ingest_source(spark, sf_dir)
+    w = load_quality_weights(fixture_path("quality_weights.tsv"))
+    run_streaming_quality_ingest(
+        spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt",
+        weights=w,
+    )
+    return spark.read.parquet(f"{base}/table").select(
+        "doc_id", "content_hash", "quality_logit"
+    )
+
+
+@query(
+    "streaming_incremental_sparse",
+    oracle="""
+WITH deco AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+                THEN array_to_string(
+                         list_reverse(string_split(d7.text, ' ')), ' ')
+                ELSE d.text END AS text
+    FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+    WHERE d.doc_id < 1000
+), firsts AS (
+    -- within-batch exact-hash dedup: keep the lowest id per text
+    SELECT doc_id, text, doc_id % 3 AS b
+    FROM deco d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM deco e
+        WHERE e.doc_id % 3 = d.doc_id % 3
+          AND e.text = d.text AND e.doc_id < d.doc_id)
+), counts AS (
+    SELECT doc_id AS id, doc_id % 3 AS b,
+           CAST(md5_number_lower(t.tok) % 4096 AS BIGINT) AS idx,
+           CAST(count(*) AS BIGINT) AS c
+    FROM firsts,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS t(tok)
+    GROUP BY id, b, idx
+), norms AS (
+    SELECT id, SUM(c * c) AS n2 FROM counts GROUP BY id
+), s0 AS (
+    SELECT doc_id FROM firsts WHERE b = 0
+), pairs1 AS (
+    SELECT q.id AS qid, h.id AS hid, SUM(q.c * h.c) AS dp
+    FROM counts q JOIN counts h USING (idx)
+    WHERE q.b = 1 AND h.id IN (SELECT doc_id FROM s0)
+    GROUP BY q.id, h.id
+), dup1 AS (
+    SELECT DISTINCT p.qid FROM pairs1 p
+    JOIN norms nq ON nq.id = p.qid JOIN norms nh ON nh.id = p.hid
+    WHERE p.dp >= 0.95 * sqrt(nq.n2 * nh.n2)
+), s1 AS (
+    SELECT doc_id FROM firsts
+    WHERE b = 1 AND doc_id NOT IN (SELECT qid FROM dup1)
+), pairs2 AS (
+    SELECT q.id AS qid, h.id AS hid, SUM(q.c * h.c) AS dp
+    FROM counts q JOIN counts h USING (idx)
+    WHERE q.b = 2 AND h.id IN (SELECT doc_id FROM s0
+                               UNION ALL SELECT doc_id FROM s1)
+    GROUP BY q.id, h.id
+), dup2 AS (
+    SELECT DISTINCT p.qid FROM pairs2 p
+    JOIN norms nq ON nq.id = p.qid JOIN norms nh ON nh.id = p.hid
+    WHERE p.dp >= 0.95 * sqrt(nq.n2 * nh.n2)
+), s2 AS (
+    SELECT doc_id FROM firsts
+    WHERE b = 2 AND doc_id NOT IN (SELECT qid FROM dup2)
+)
+SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_seq
+FROM (SELECT doc_id FROM s0 UNION ALL
+      SELECT doc_id FROM s1 UNION ALL
+      SELECT doc_id FROM s2)
+""",
+)
+def streaming_incremental_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIXTH streaming composition — rolling-corpus ingestion with
+    LEXICAL-COSINE dedup through the REAL streaming engine
+    (streaming/pipeline.py:run_streaming_sparse_ingest): documents arrive
+    as three ordered batch files (doc_id % 3, mtimes forced so file order
+    IS batch order); each micro-batch keeps the lowest id per exact
+    content hash within itself, drops docs whose hashed-BoW cosine
+    against the PERSISTED inverted index of earlier-batch SURVIVORS
+    reaches 0.95 (word-permuted re-crawls MinHash shingles score near
+    zero — the fixture plants one per id ending in 7, word-reversed from
+    id-7, which lands in a different batch class), and appends survivors
+    + sparse vectors under checkpointed batch-keyed dynamic overwrites.
+    The oracle replays the first-arrival FIXPOINT batch-by-batch (cosine
+    is not transitive, so unlike the sha256 pipeline the oracle must
+    thread each batch against the surviving index, not all earlier docs)
+    — the hash match proves checkpointed sequencing, the index
+    round-trip, the own-partition exclusion, and the integer-exact
+    scoring compose end-to-end. doc_id < 1000 bounds the adversarial
+    31-word-vocabulary pair volume exactly as dedup_incremental_sparse
+    documents. Source files are CACHED per process
+    (scratch_source_cache); table/index/checkpoint rebuild per call under
+    the wiped scratch_dir so every invocation exercises the full
+    three-batch pipeline."""
+    import glob as _glob
+    import os
+
+    from ..streaming.pipeline import run_streaming_sparse_ingest
+    from .registry import scratch_source_cache
+
+    base = scratch_dir("sparsestream", sf_dir)
+    cache, built = scratch_source_cache("sparsestream_src", sf_dir)
+    src = f"{cache}/src"
+    if not built:
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 1000)
+            .select("doc_id", "text")
+        )
+        donor = docs.select(
+            (F.col("doc_id") + 7).alias("doc_id"),
+            F.concat_ws(
+                " ", F.reverse(F.split(F.col("text"), " "))
+            ).alias("__rev_text"),
+        )
+        d = docs.join(donor, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 7) & F.col("__rev_text").isNotNull(),
+                F.col("__rev_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        stamped: set[str] = set()
+        for b in range(3):
+            (
+                d.filter(F.col("doc_id") % 3 == b)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            t = 1_700_000_000 + b * 60
+            for f in _glob.glob(f"{src}/*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (t, t))
+                    stamped.add(f)
+        with open(f"{cache}/_BUILT", "w") as fh:
+            fh.write("ok")
+    run_streaming_sparse_ingest(
+        spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt",
+        dim=4096, threshold=0.95,
+    )
+    return spark.read.parquet(f"{base}/table").select(
+        "doc_id", F.col("batch_seq").cast("int").alias("batch_seq")
+    )
+
+
 @query(
     "streaming_incremental_dedup",
     oracle="""
@@ -401,50 +665,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm iterations measure the streaming ingest, not corpus prep; the
     table/index/checkpoint stay under the per-call wiped scratch_dir so
     every invocation exercises the full three-batch pipeline."""
-    import glob as _glob
-    import os
-
     from ..streaming.pipeline import run_streaming_ingest_dedup
-    from .registry import scratch_source_cache
 
     base = scratch_dir("ingest", sf_dir)
-    cache, built = scratch_source_cache("ingest_src", sf_dir)
-    src = f"{cache}/src"
-    if not built:
-        # the synthetic corpus has no exact-content duplicates, so
-        # decorate it deterministically (both engines identically): every
-        # doc_id ending in 7 copies the text of doc_id-7, which lands in
-        # a DIFFERENT batch class (7 % 3 != 0) — cross-batch duplicates
-        # in both directions
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        donor = docs.select(
-            (F.col("doc_id") + 7).alias("doc_id"),
-            F.col("text").alias("__dup_text"),
-        )
-        d = docs.join(donor, "doc_id", "left").select(
-            "doc_id",
-            F.when(
-                (F.col("doc_id") % 10 == 7) & F.col("__dup_text").isNotNull(),
-                F.col("__dup_text"),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        stamped: set[str] = set()
-        for b in range(3):
-            (
-                d.filter(F.col("doc_id") % 3 == b)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
-            t = 1_700_000_000 + b * 60
-            for f in _glob.glob(f"{src}/*.parquet"):
-                if f not in stamped:
-                    os.utime(f, (t, t))
-                    stamped.add(f)
-        with open(f"{cache}/_BUILT", "w") as fh:
-            fh.write("ok")
+    # deterministic cross-batch duplicate decoration + three ordered batch
+    # files, cached per process — shared with streaming_quality_ingest
+    # (_dup_decorated_ingest_source)
+    src = _dup_decorated_ingest_source(spark, sf_dir)
     run_streaming_ingest_dedup(
         spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt"
     )

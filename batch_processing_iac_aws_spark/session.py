@@ -209,19 +209,26 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    name = os.path.basename(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_pkg_p{os.getpid()}.zip"
-    )
     try:
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as z:
-                for dirpath, _dirs, files in os.walk(pkg_dir):
-                    for f in files:
-                        if not f.endswith(".py"):
-                            continue
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+        # mkstemp, not a predictable /tmp name: a pre-existing file at a
+        # guessable path would be shipped VERBATIM to executor workers and
+        # imported — the /tmp-squat hazard the scratch_dir docstring calls
+        # out, except with code execution on the other end. A fresh random
+        # name per session also means no stale zip from a previous run can
+        # mask edits to the package. atexit reclaims the file (addPyFile
+        # copies it into Spark's own file server immediately).
+        import atexit
+
+        fd, zpath = tempfile.mkstemp(prefix="spark_graft_pkg_", suffix=".zip")
+        os.close(fd)
+        atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
         sc.addPyFile(zpath)
         _PYFILES_SHIPPED.add(key)
     except Exception:

@@ -568,3 +568,132 @@ def ingest_sparse_batch(
         .partitionBy("batch_seq")
         .parquet(index_dir)
     )
+
+
+def run_streaming_quality_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    weights: "dict[str, float]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Rolling-corpus ingestion with the QUALITY GATE fused into the
+    stream — the seventh composition, and the shape a 100 TB pretraining
+    ingest actually runs (gate + dedup in ONE micro-batch pass, never a
+    separate quality job re-reading the corpus): each micro-batch scores
+    quality_features -> quality_logit_score and drops ``logit < 0`` docs
+    AT THE SCAN (map-only, shrinking everything downstream), then
+    exact-dedups survivors within the batch and against the persisted
+    fingerprint index of earlier GATED survivors, and appends
+    (id, content_hash, quality_logit) + digests under the
+    run_streaming_ingest_dedup exactly-once contract (checkpointed
+    sequencing, replay-stable batch-keyed dynamic overwrites, own-
+    partition exclusion). The weights dict is loaded driver-side once
+    (foreachBatch callbacks run on the driver) — the model ships as
+    data, never as a worker-side file read. Gate-before-dedup is
+    result-equivalent to dedup-before-gate here (identical text =>
+    identical features => identical logit), so the oracle can state the
+    fixpoint over the gated set directly."""
+    schema = spark.read.format("parquet").load(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_quality_batch(
+            batch_df,
+            batch_id,
+            table_dir=table_dir,
+            index_dir=index_dir,
+            weights=weights,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_quality_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    table_dir: str,
+    index_dir: str,
+    weights: "dict[str, float]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the quality-gated rolling ingest — module-level
+    so the crash/replay contract is directly testable outside the
+    streaming engine (the ingest_dedup_batch pattern, same idempotency
+    rules: dynamic overwrite on batch_seq for BOTH writes, index read
+    excludes the batch's own partition)."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    from ..operators.quality import quality_logit_score
+    from ..operators.text import quality_features
+
+    spark = batch_df.sparkSession
+    gated = quality_logit_score(
+        quality_features(batch_df, text_col=text_col), weights
+    ).filter(F.col("quality_logit") >= 0)
+    hashed = gated.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        # exact lattice value: logit of a <=6-decimal model is a
+        # <=6-decimal number, so this round is tie-free (plans/quality.py)
+        F.round("quality_logit", 6).alias("quality_logit"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    firsts = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch_seq") != F.lit(batch_id))
+            .select("content_hash")
+        )
+    except AnalysisException as e:
+        # only a missing dir means first batch (the ingest_dedup_batch
+        # rule: any other failure must raise, or every duplicate ingests)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        index = None
+    survivors = (
+        firsts
+        if index is None
+        else firsts.join(index, "content_hash", "left_anti")
+    )
+    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(table_dir)
+    )
+    (
+        survivors.select("content_hash", "batch_seq")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(index_dir)
+    )

@@ -777,3 +777,36 @@ def test_incremental_sparse_catches_permutations_minhash_misses(spark):
         ).collect()
     )
     assert 1 in fuzzy_out  # MinHash keeps the permutation — the gap
+
+
+def test_bloom_family_check_rejects_mixed_union(spark):
+    """A position table accidentally unioned from TWO families must raise
+    even when the probe matches one of them: a min-only metadata check
+    passed whenever the probe equaled the smaller family while half the
+    bits were hashed under the other — exactly the silent false negatives
+    the family check exists to prevent."""
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+        build_bloom_index,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "alpha text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha text")], "doc_id long, text string"
+    )
+    index = history.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).distinct()
+    small = build_bloom_index(history, m_bits=1 << 12, n_hashes=4)
+    big = build_bloom_index(history, m_bits=1 << 13, n_hashes=4)
+    mixed = small.unionByName(big)
+    # probe matches the SMALLER family's parameters — the case a min-only
+    # check waved through
+    with _pytest.raises(ValueError, match="mixes families"):
+        bloom_prefilter_dedup(
+            batch, index, mixed, m_bits=1 << 12, n_hashes=4
+        )

@@ -11,7 +11,7 @@ from batch_processing_iac_aws_spark.plans import (
     ORACLES,
     QUERIES,
     _PRIORITY,
-    _ROUND8_QUEUE,
+    _ROUND9_QUEUE,
 )
 
 # genuinely non-SQL-expressible ops (xxhash64-based SimHash signatures
@@ -32,8 +32,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 196
-    assert len(ORACLES) == 194
+    assert len(QUERIES) == 201
+    assert len(ORACLES) == 199
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -59,26 +59,19 @@ def _ever_driver_confirmed() -> set[str]:
     return seen
 
 
-def test_first_50_is_the_round7_rotation_window():
-    """Rotation policy: the round-7 window = the six queries new this
-    round (docs_token_budget_bpe — the real merge-loop BPE through the
-    count_tokens seam, oracle-replayed in a DuckDB recursive CTE;
-    dedup_incremental_fuzzy_bloom — pre-banded index + broadcast band-key
-    Bloom prefilter, oracled equal to exhaustive scoring;
-    similarity_pq_rerank — PQ compression + ADC shortlist + exact rerank,
-    recall-floor audited; similarity_ivf_pq — the full cell-pruned
-    composition; docs_sparse_knn — exact inverted-index sparse KNN,
-    hash-oracled; dedup_incremental_sparse — the fifth rolling-corpus
-    dedup modality, lexical-cosine vs the persisted inverted index) +
-    the
-    staleness-debt cohorts exactly as pinned at the end of round 6: the
-    7-query r2 remainder (zorder_roundtrip — r6's one red row, its green
-    proves the scratch_dir import fix — plus the 6 queries the r6 news
-    displaced), the ENTIRE 35-query r3 remainder (incl. orc_roundtrip and
-    parquet_schema_merge, the other import-regression casualties), and 6
-    r4 fills (flagship, CSV path, core streaming/LSH/fuzzy-composite, and
-    the iterative-graph representative). After this round no query's last
-    driver-green is older than r4."""
+def test_first_50_is_the_round8_rotation_window():
+    """Rotation policy: the round-8 window = the five queries new this
+    round (quality_logit_score — the weights-as-data linear quality gate,
+    hash-oracled through the engine-exact logit and its >= 0 decision;
+    streaming_incremental_sparse — the sixth streaming composition,
+    lexical-cosine rolling ingest with a batch-by-batch fixpoint oracle;
+    similarity_ivf_pq_index — the persisted IVF-PQ search, the amortized
+    production path; streaming_quality_ingest — the seventh composition,
+    the quality gate fused into the rolling ingest; and
+    similarity_ivf_pq_residual — IVFADC proper, residual-trained PQ) +
+    the ENTIRE 45-query r4 cohort (the 37 pinned in round 7's
+    _ROUND8_QUEUE plus the 8 window/variant r4 greens that pin missed).
+    After this round no query's last driver-green is older than r5."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -96,16 +89,16 @@ def test_first_50_is_the_round7_rotation_window():
     assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"
 
 
-def test_round8_queue_names_are_registered():
+def test_round9_queue_names_are_registered():
     """The pinned next-round rotation queue must name only real queries —
     a typo'd entry would silently never rotate in (the r6 lesson applied
     to the queue itself, not just the window)."""
-    missing = [n for n in _ROUND8_QUEUE if n not in QUERIES]
+    missing = [n for n in _ROUND9_QUEUE if n not in QUERIES]
     assert not missing, f"queue names not in QUERIES: {missing}"
-    # and the queue is exactly the set that will be oldest after round 7:
+    # and the queue is exactly the set that will be oldest after round 8:
     # no overlap with the current window, no duplicates
-    assert len(set(_ROUND8_QUEUE)) == len(_ROUND8_QUEUE)
-    assert not set(_ROUND8_QUEUE) & set(_PRIORITY)
+    assert len(set(_ROUND9_QUEUE)) == len(_ROUND9_QUEUE)
+    assert not set(_ROUND9_QUEUE) & set(_PRIORITY)
 
 
 def test_scratch_source_cache_reuse_and_partial_build_wipe(tmp_path, monkeypatch):
@@ -154,3 +147,102 @@ def test_streaming_source_cache_second_call_identical(spark):
     a = sorted(map(str, fn(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(str, fn(spark, "/root/testdata/sf0.001").collect()))
     assert a == b and len(a) > 0
+
+
+def test_scratch_sweeps_dead_pid_siblings(tmp_path, monkeypatch):
+    """A scratch tree whose owning process is gone is reclaimed on the
+    next scratch_dir/scratch_source_cache call for the same (prefix, sf):
+    per-pid naming isolates concurrent runs, but without the sweep every
+    past bench/pytest/driver process left its tree in /tmp forever."""
+    import os
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile as _tf
+
+    _tf.tempdir = None
+    try:
+        from batch_processing_iac_aws_spark.plans.registry import (
+            scratch_dir,
+            scratch_source_cache,
+        )
+
+        # a pid that certainly isn't running: take one, prove it dead
+        dead = 2
+        while True:
+            try:
+                os.kill(dead, 0)
+                dead += 1
+            except ProcessLookupError:
+                break
+            except PermissionError:
+                dead += 1
+        live = scratch_dir("sw", "/some/sf")
+        stem = live.rsplit("_p", 1)[0]
+        ghost = f"{stem}_p{dead}"
+        os.makedirs(ghost, exist_ok=True)
+        with open(f"{ghost}/leak.parquet", "w") as f:
+            f.write("x")
+        scratch_dir("sw", "/some/sf")
+        assert not os.path.exists(ghost)
+        # same sweep on the cache variant — and a LIVE sibling (our own
+        # parallel-run stand-in: this very process's tree) must survive
+        c1, _ = scratch_source_cache("sw", "/some/sf")
+        ghost2 = f"{c1.rsplit('_p', 1)[0]}_p{dead}"
+        os.makedirs(ghost2, exist_ok=True)
+        c2, _ = scratch_source_cache("sw", "/some/sf")
+        assert not os.path.exists(ghost2) and c2 == c1
+    finally:
+        _tf.tempdir = None
+
+
+def test_fixture_path_is_package_relative():
+    """Committed fixtures resolve from the package location, not from a
+    hardcoded checkout path or the process cwd — a checkout anywhere on
+    disk must find its own fixtures (and the BPE oracle VALUES literal
+    must therefore build from any cwd)."""
+    import os
+
+    from batch_processing_iac_aws_spark.plans.registry import fixture_path
+
+    p = fixture_path("bpe_merges.txt")
+    assert os.path.isabs(p) and os.path.exists(p)
+    assert os.path.exists(fixture_path("quality_weights.tsv"))
+
+
+def test_package_imports_from_worker_zip(tmp_path):
+    """Executor Python workers import this package from the zip
+    ensure_worker_imports ships — where __file__ points INSIDE the zip,
+    so no fixtures/ directory exists and module-level fixture READS must
+    degrade (oracles are driver-only) instead of crashing every worker
+    import. Round-8 regression: the package-relative _BPE_MERGES_PATH fix
+    initially broke udf_grouped_zscore (and every UDF query) with
+    NotADirectoryError inside the zip; this reproduces the worker's exact
+    import path in a subprocess with the repo absent from sys.path."""
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    import batch_processing_iac_aws_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = str(tmp_path / "pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import batch_processing_iac_aws_spark.plans as p; "
+        "import batch_processing_iac_aws_spark.operators.text; "
+        "print('WORKERZIP_OK', len(p.QUERIES))"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", code, zpath],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+    )
+    assert "WORKERZIP_OK" in out.stdout, out.stderr[-2000:]

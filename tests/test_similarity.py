@@ -668,3 +668,184 @@ def test_persisted_ivf_pq_attach_search_and_guards(spark, emb, tmp_path):
         ).collect()
     }
     assert ann2 == ann
+
+
+def test_pq_train_iters_counts_assignment_rounds(spark):
+    """``iters`` semantics: exactly iters-1 centroid updates. iters=1
+    must return the untouched first-k-ids init (no Lloyd step), and
+    iters=2 must differ from it on data where one update visibly moves
+    the codewords."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        _pq_subvectors,
+        pq_train,
+    )
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0, 0.5]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, k, scale = 2, 4, 100
+    init_rows = (
+        _pq_subvectors(emb, id_col="vec_id", vec_col="embedding", m=m, grid=1000)
+        .filter(F.col("id") < k)
+        .orderBy("sub_idx", "id")
+        .collect()
+    )
+    expected = [[] for _ in range(m)]
+    for r in init_rows:
+        expected[r["sub_idx"]].append([int(x) * scale for x in r["subvec"]])
+    assert pq_train(emb, m=m, k=k, iters=1) == expected
+    assert pq_train(emb, m=m, k=k, iters=2) != expected
+
+
+def test_ivf_refined_centroids_balance_clustered_data(spark):
+    """The reason the k-means||-style init exists: on CLUSTERED data with
+    an adversarial seed (first n ids all drawn from ONE tight blob — the
+    id-ordered crawl case), raw first-n-ids init leaves giant cells
+    because far blobs all land on whichever seed is least-far. The
+    refined init must (a) strictly shrink the max cell, (b) keep the
+    assignment deterministic / partition-invariant, and (c) leave the
+    floor-audited recall queries untouched (they re-prove across SFs in
+    the oracle sweep)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        assign_ivf_clusters,
+        ivf_refined_centroids,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    # 4 tight blobs at distinct corners; ids 0..49 ALL in blob 0 so the
+    # first-8 seed is maximally skewed
+    blobs = [(5, 5), (-5, 5), (5, -5), (-5, -5)]
+    for b, (cx, cy) in enumerate(blobs):
+        for _ in range(50):
+            rows.append(
+                (vid, [cx + rng.gauss(0, 0.1), cy + rng.gauss(0, 0.1),
+                       1.0, 0.0])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def max_cell(centroids):
+        a = assign_ivf_clusters(
+            emb.select("vec_id", F.col("embedding").alias("vec")),
+            centroids, vec_col="vec",
+        )
+        sizes = {
+            r["ivf_cluster"]: r["n"]
+            for r in a.groupBy("ivf_cluster").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        return max(sizes.values()), len(sizes)
+
+    raw = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    refined = ivf_refined_centroids(
+        emb, n_centroids=8, id_col="vec_id", vec_col="embedding", iters=2
+    )
+    raw_max, _ = max_cell(raw)
+    ref_max, ref_cells = max_cell(refined)
+    # raw init: all 8 seeds in blob 0 -> the 150 off-blob vectors pile
+    # into very few cells; refined must spread them
+    assert ref_max < raw_max, (raw_max, ref_max)
+    # determinism / partition invariance
+    refined2 = ivf_refined_centroids(
+        emb.repartition(7), n_centroids=8, id_col="vec_id",
+        vec_col="embedding", iters=2,
+    )
+    assert refined == refined2
+
+
+def test_ivf_pq_residual_beats_raw_codes_on_clustered_data(spark):
+    """IVFADC's reason to exist: once the coarse quantizer explains the
+    cell mean, PQ codewords trained on RESIDUALS spend their resolution
+    on within-cell differences — so at an identical (m, k, shortlist)
+    budget the residual pipeline must recover more true neighbors than
+    raw-vector codes on CLUSTERED data (on near-random vectors cell
+    means are ~0 and the two coincide — measured equal across the
+    synthetic SFs). Fully deterministic: seeded fixture + integer-exact
+    training, so these are exact inequalities, not statistics. Also
+    locks partition invariance of the whole residual pipeline."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    rng = random.Random(11)
+    centers = []
+    for _ in range(8):
+        c = [rng.gauss(0, 1) for _ in range(32)]
+        n = math.sqrt(sum(x * x for x in c))
+        centers.append([x / n for x in c])
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(100):
+            rows.append((vid, [x + rng.gauss(0, 0.08) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 100 < 3)
+    exact = brute_force_topk(emb, q, k=5).localCheckpoint(eager=True)
+    n_exact = exact.count()
+
+    def rec(ann):
+        return (
+            ann.join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            / n_exact
+        )
+
+    gains = []
+    for sl in (10, 20):
+        raw = rec(
+            ivf_pq_topk(
+                emb, q, k=5, n_centroids=8, n_probe=2, m=8,
+                n_codes=16, shortlist=sl,
+            )
+        )
+        res = rec(
+            ivf_pq_residual_topk(
+                emb, q, k=5, n_centroids=8, n_probe=2, m=8,
+                n_codes=16, shortlist=sl,
+            )
+        )
+        assert res >= raw, (sl, raw, res)
+        gains.append(res - raw)
+    assert max(gains) > 0.05, gains  # a real gap, not a tie
+
+    # partition invariance of the full residual pipeline
+    a = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb, q, k=5, n_centroids=8, n_probe=2, m=8,
+                n_codes=16, shortlist=20,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb.repartition(7), q, k=5, n_centroids=8, n_probe=2,
+                m=8, n_codes=16, shortlist=20,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

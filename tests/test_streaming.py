@@ -569,3 +569,67 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [0, 1, 11, 21]
+
+
+def test_ingest_quality_batch_gates_dedups_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The seventh composition's micro-batch contract
+    (ingest_quality_batch, the exact function foreachBatch runs):
+    (a) the quality gate drops logit<0 docs BEFORE dedup and they never
+    enter table or index; (b) survivors exact-dedup within batch and vs
+    the persisted index of earlier GATED survivors; (c) the crash window
+    replays to a fixpoint (own partial index partition excluded). Weights
+    are chosen so the gate is a simple token-count threshold the test can
+    reason about exactly: logit = n_tokens - 3 (>=0 iff >= 3 tokens)."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_quality_batch,
+    )
+
+    w = {"bias": -3.0, "n_tokens": 1.0}
+    table, index = str(tmp_path / "t"), str(tmp_path / "i")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    ingest_quality_batch(b0, 0, table_dir=table, index_dir=index, weights=w)
+    got0 = spark.read.parquet(table).collect()
+    # doc 2 (2 tokens, logit -1) gated out
+    assert sorted(r["doc_id"] for r in got0) == [1]
+    assert all(r["quality_logit"] >= 0 for r in got0)
+
+    # batch 1: 3 = dup of gated-out doc 2 (must INGEST: 2 never entered
+    # the index, and 3 itself still fails the gate -> actually 3 has the
+    # same text so it gates out too), 4 = dup of doc 1 (dedups), 5 = new
+    # passing doc, 6 = within-batch dup of 5 (higher id drops)
+    b1 = spark.createDataFrame(
+        [
+            (3, "too short"),
+            (4, "alpha beta gamma delta"),
+            (5, "one two three four five"),
+            (6, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    # crash window: 5's hash already in batch 1's partial index partition
+    partial = spark.createDataFrame(
+        [(5, "one two three four five")], "doc_id long, text string"
+    ).select(
+        F.sha2("text", 256).alias("content_hash"),
+        F.lit(1).alias("batch_seq"),
+    )
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_seq").parquet(index)
+    ingest_quality_batch(b1, 1, table_dir=table, index_dir=index, weights=w)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 5]
+    # replay is a fixpoint
+    ingest_quality_batch(b1, 1, table_dir=table, index_dir=index, weights=w)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 5]
+    assert spark.read.parquet(index).count() == 2
