@@ -1694,19 +1694,37 @@ def _residual_subvectors(
     of two lattice vectors — the engine-quantized x̂ minus the
     driver-quantized ĉ shipped as broadcast literals, both under the
     same half-away rounding rule."""
+    assigned = assign_ivf_clusters(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        centroids,
+        vec_col=vec_col,
+    )
+    return _residual_subvectors_assigned(
+        assigned, centroids, m=m, vec_col=vec_col, grid=grid
+    )
+
+
+def _residual_subvectors_assigned(
+    assigned: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    *,
+    m: int,
+    vec_col: str,
+    grid: int,
+) -> DataFrame:
+    """The residual-slicing core over a frame that ALREADY carries its
+    cell (``id``, ``vec_col``, ``ivf_cluster``) — the persisted-index
+    attach path reads assignments with cells stored, so re-assigning
+    would be a wasted Arrow pass (and a correctness hazard if centroids
+    ever drifted from the stored assignment)."""
     from ..session import local_frame
 
     C = np.array([cv for _, cv in centroids], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0] = np.inf
     CQ = _half_away(C / cn[:, None] * grid)
-    assigned = assign_ivf_clusters(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
-        centroids,
-        vec_col=vec_col,
-    )
     cq_df = local_frame(
-        corpus.sparkSession,
+        assigned.sparkSession,
         [(i, [int(x) for x in CQ[i]]) for i in range(len(CQ))],
         "ivf_cluster int, __cq array<long>",
     )
@@ -1991,6 +2009,7 @@ def attach_pq_codes(
     n_codes: int = 32,
     iters: int = 3,
     grid: int = 1000,
+    encoding: str = "raw",
 ) -> list[list[list[int]]]:
     """Attach PQ codes to the COMMITTED generation of a persisted IVF
     index: train codebooks over the stored vectors, write
@@ -2003,24 +2022,53 @@ def attach_pq_codes(
     searches stale codes against new cells). This is IVF-PQ's storage
     story: searches read m small ints per vector partition-pruned to the
     probed cells; the float vectors stay cold until the rerank's point
-    lookups."""
+    lookups.
+
+    ``encoding="residual"`` trains and encodes on ``x̂ - ĉ(cell)``
+    against the generation's STORED centroids and assignments (no
+    re-assignment pass) — IVFADC's persisted form, the strictly-better
+    production config on clustered corpora. The encoding travels WITH
+    the codebooks and the search dispatches on it, so raw-scored
+    residual codes (or vice versa — silently wrong rankings both ways)
+    are structurally impossible."""
+    if encoding not in ("raw", "residual"):
+        raise ValueError(f"unknown PQ encoding: {encoding!r}")
     gen = _ivf_current(index_dir)
     assigned = spark.read.parquet(f"{gen}/assignments")
-    cbs = pq_train(
-        assigned, id_col="id", vec_col="vec",
-        m=m, k=n_codes, iters=iters, grid=grid,
-    )
-    codes = _pq_subvectors(
-        assigned, id_col="id", vec_col="vec", m=m, grid=grid,
-        carry_cols=["ivf_cluster"],
-    ).select(
-        "id",
-        "ivf_cluster",
-        "sub_idx",
-        _nearest_code_udf(cbs, 100)(
-            F.col("sub_idx"), F.col("subvec")
-        ).alias("code"),
-    )
+    if encoding == "residual":
+        centroids = read_ivf_centroids(spark, index_dir)
+        sub = _residual_subvectors_assigned(
+            assigned.select("id", "vec", "ivf_cluster"), centroids,
+            m=m, vec_col="vec", grid=grid,
+        )
+        cbs = _pq_train_sub(
+            sub.select("id", "sub_idx", "subvec"),
+            m=m, k=n_codes, iters=iters, code_scale=100,
+        )
+        codes = sub.select(
+            "id",
+            "ivf_cluster",
+            "sub_idx",
+            _nearest_code_udf(cbs, 100)(
+                F.col("sub_idx"), F.col("subvec")
+            ).alias("code"),
+        )
+    else:
+        cbs = pq_train(
+            assigned, id_col="id", vec_col="vec",
+            m=m, k=n_codes, iters=iters, grid=grid,
+        )
+        codes = _pq_subvectors(
+            assigned, id_col="id", vec_col="vec", m=m, grid=grid,
+            carry_cols=["ivf_cluster"],
+        ).select(
+            "id",
+            "ivf_cluster",
+            "sub_idx",
+            _nearest_code_udf(cbs, 100)(
+                F.col("sub_idx"), F.col("subvec")
+            ).alias("code"),
+        )
     (
         codes.repartition(F.col("ivf_cluster"))
         .write.mode("overwrite")
@@ -2040,6 +2088,7 @@ def attach_pq_codes(
         "sub_idx", "code", "codeword",
         F.lit(grid).alias("grid"),
         F.lit(100).alias("code_scale"),
+        F.lit(encoding).alias("encoding"),
     )
     cb_df.coalesce(1).write.mode("overwrite").parquet(
         f"{gen}/pq_codebooks"
@@ -2049,10 +2098,12 @@ def attach_pq_codes(
 
 def read_pq_codebooks(
     spark, index_dir: str
-) -> "tuple[list[list[list[int]]], int]":
-    """Load the committed generation's PQ codebooks: (codebooks, grid).
-    Raises if the generation has no attached codes (post-retrain gap —
-    the caller must re-attach, not search stale codes)."""
+) -> "tuple[list[list[list[int]]], int, str]":
+    """Load the committed generation's PQ codebooks:
+    (codebooks, grid, encoding) where encoding is "raw" | "residual"
+    ("raw" for pre-encoding-column indexes). Raises if the generation
+    has no attached codes (post-retrain gap — the caller must
+    re-attach, not search stale codes)."""
     gen = _ivf_current(index_dir)
     from pyspark.errors import AnalysisException
 
@@ -2069,9 +2120,10 @@ def read_pq_codebooks(
     k = max(r["code"] for r in rows) + 1
     cbs: list = [[None] * k for _ in range(m)]
     grid = rows[0]["grid"]
+    encoding = rows[0].asDict().get("encoding", "raw")
     for r in rows:
         cbs[r["sub_idx"]][r["code"]] = [int(x) for x in r["codeword"]]
-    return cbs, grid
+    return cbs, grid, encoding
 
 
 def ivf_pq_index_topk(
@@ -2094,17 +2146,24 @@ def ivf_pq_index_topk(
     table, and the shortlist reranks exactly against the stored vectors
     (broadcast candidate semi-probe into the assignments scan). The
     amortized production search path: build once, attach codes once,
-    every query reads m ints per candidate vector."""
+    every query reads m ints per candidate vector. Scoring dispatches on
+    the ENCODING stored with the codebooks: "raw" sums the LUT alone;
+    "residual" (persisted IVFADC — attach_pq_codes(encoding="residual"))
+    adds the per-(query, probed-cell) coarse term dot(q̂, ĉ), so
+    raw-scoring residual codes (or vice versa) is structurally
+    impossible."""
     from ..session import local_frame
 
     gen = _ivf_current(index_dir)
     centroids = read_ivf_centroids(spark, index_dir)
-    cbs, grid = read_pq_codebooks(spark, index_dir)
+    cbs, grid, encoding = read_pq_codebooks(spark, index_dir)
     C = np.array([cv for _, cv in centroids], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0] = np.inf
+    CQ = _half_away(C / cn[:, None] * grid)
     Cu = (C / cn[:, None]).T
     probe_rows = []
+    cell_rows = []
     for r in queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
     ).collect():
@@ -2112,7 +2171,12 @@ def ivf_pq_index_topk(
         n = np.linalg.norm(qv) or np.inf
         s = (qv / n) @ Cu
         order = np.lexsort((np.arange(len(s)), -s))[:n_probe]
-        probe_rows.extend((r["qid"], int(cell)) for cell in order)
+        qq = _half_away(qv / n * grid)
+        for cell in order:
+            probe_rows.append((r["qid"], int(cell)))
+            cell_rows.append(
+                (r["qid"], int(cell), int(qq @ CQ[cell]) * 100)
+            )
     probe_df = local_frame(
         spark, probe_rows, f"{query_id_col} long, ivf_cluster int"
     )
@@ -2122,12 +2186,27 @@ def ivf_pq_index_topk(
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, grid=grid,
     )
-    scored = (
-        codes.join(F.broadcast(probe_df), "ivf_cluster")
-        .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
-        .groupBy(query_id_col, "id")
-        .agg(F.sum("__pdot").alias("__score"))
-    )
+    if encoding == "residual":
+        cell_df = local_frame(
+            spark, cell_rows,
+            f"{query_id_col} long, ivf_cluster int, __cdot long",
+        )
+        scored = (
+            codes.join(F.broadcast(probe_df), "ivf_cluster")
+            .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
+            .groupBy(query_id_col, "id", "ivf_cluster")
+            .agg(F.sum("__pdot").alias("__rdot"))
+            .join(F.broadcast(cell_df), [query_id_col, "ivf_cluster"])
+            .withColumn("__score", F.col("__rdot") + F.col("__cdot"))
+            .drop("ivf_cluster")
+        )
+    else:
+        scored = (
+            codes.join(F.broadcast(probe_df), "ivf_cluster")
+            .join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
+            .groupBy(query_id_col, "id")
+            .agg(F.sum("__pdot").alias("__score"))
+        )
     sl = _pq_rank_scored(
         scored, k=shortlist, query_id_col=query_id_col
     ).select(query_id_col, "neighbor_id")

@@ -1005,7 +1005,9 @@ def similarity_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = f"{cache}/index"
     if not built:
         build_ivf_index(e, idx, n_centroids=16, batch_id=0)
-        attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3)
+        attach_pq_codes(
+            spark, idx, m=16, n_codes=32, iters=3, encoding="residual"
+        )
         with open(f"{cache}/_BUILT", "w") as fh:
             fh.write("ok")
     q = e.filter(F.col("vec_id") < 20)

@@ -642,7 +642,8 @@ def test_persisted_ivf_pq_attach_search_and_guards(spark, emb, tmp_path):
         ivf_pq_index_topk(spark, q, idx, k=5).collect()
 
     cbs = attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3)
-    got_cbs, grid = read_pq_codebooks(spark, idx)
+    got_cbs, grid, encoding = read_pq_codebooks(spark, idx)
+    assert encoding == "raw"
     assert got_cbs == cbs and grid == 1000
 
     exact = {
@@ -849,3 +850,49 @@ def test_ivf_pq_residual_beats_raw_codes_on_clustered_data(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_persisted_residual_codes_roundtrip_and_dispatch(spark, emb, tmp_path):
+    """Persisted IVFADC (attach_pq_codes(encoding='residual')): the
+    encoding travels with the codebooks, the search dispatches on it
+    (adding the per-(query,cell) coarse term), recall holds the family
+    floor, re-attach with a DIFFERENT encoding overwrites cleanly, and
+    an unknown encoding is rejected at the attach boundary."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        attach_pq_codes,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_pq_index_topk,
+        read_pq_codebooks,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=16, batch_id=0)
+    with _pytest.raises(ValueError, match="unknown PQ encoding"):
+        attach_pq_codes(spark, idx, encoding="hyperbolic")
+    attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3,
+                    encoding="residual")
+    _, _, encoding = read_pq_codebooks(spark, idx)
+    assert encoding == "residual"
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_index_topk(
+            spark, q, idx, k=5, n_probe=4, shortlist=50
+        ).collect()
+    }
+    rec = len(ann & exact) / len(exact)
+    assert rec >= 0.70, f"persisted residual recall {rec:.2f}"
+
+    # switching encodings is a clean overwrite, not a mixed index
+    attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3, encoding="raw")
+    _, _, encoding = read_pq_codebooks(spark, idx)
+    assert encoding == "raw"
