@@ -705,17 +705,46 @@ def simhash_near_duplicates(
     sh = simhash(
         df, id_col=id_col, text_col=text_col, bits=bits, token_hash=token_hash
     ).cache()
+    return hamming_band_pairs(
+        sh, id_col=id_col, hash_col="simhash", bits=bits,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """All pairs within ``max_hamming`` of any ``bits``-wide hash column
+    via 4-chunk pigeonhole banding (hamming<=3 pairs share >=1 chunk — a
+    STRUCTURAL recall guarantee), bucket-join on chunks, exact
+    bit_count(xor) verify. The shared tail of every hamming-space
+    near-dup family (SimHash text dedup, perceptual-hash media dedup):
+    the equi-join on (chunk_idx, chunk) is the only shuffle, never a
+    self-cross."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk banding only guarantees recall for max_hamming <= 3 "
+            "(pigeonhole); larger distances would be silently missed"
+        )
+    sh = df.select(F.col(id_col), F.col(hash_col).alias("simhash"))
     chunked = chunked_simhash(sh, id_col=id_col, bits=bits)
     a = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk"
+        F.col(id_col).alias(id_a), F.col("simhash").alias("h_a"), "chunk_idx", "chunk"
     )
     b = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk"
+        F.col(id_col).alias(id_b), F.col("simhash").alias("h_b"), "chunk_idx", "chunk"
     )
     return (
         a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .filter(F.col(id_a) < F.col(id_b))
+        .select(id_a, id_b, F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

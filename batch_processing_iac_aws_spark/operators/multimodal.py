@@ -286,3 +286,86 @@ def text_as_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def ahash_pack(
+    df: DataFrame,
+    *,
+    features_col: str = "features",
+    out_col: str = "phash",
+    dim: int = 32,
+) -> DataFrame:
+    """Average-hash (aHash) a feature/intensity vector into one ``dim``-bit
+    long: bit j is set iff ``dim * f_j > sum(f)`` — the classic
+    brighter-than-mean rule, written as an integer-exact cross-multiplied
+    comparison so engines that agree on the (integer-valued) features
+    agree on every bit, no float mean in sight (ties round DOWN, the rule
+    a SQL twin reproduces verbatim). Pure relational zip_with/aggregate —
+    whole-stage codegen, no UDF, no shuffle. dim <= 62 keeps the packed
+    hash inside a signed long.
+
+    The perceptual-hash step of media near-dup: with a real decoder the
+    features are pixel intensities and this is aHash as published; with
+    the deterministic stub family it exercises the identical plan."""
+    if not 1 <= dim <= 62:
+        raise ValueError("ahash_pack: dim must be in [1, 62]")
+    feats = F.col(features_col)
+    total = F.aggregate(
+        feats, F.lit(0.0), lambda acc, x: acc + x
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(dim)])
+    bit_terms = F.zip_with(
+        feats,
+        powers,
+        lambda f, p: F.when(f * dim > total, p).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    phash = F.aggregate(
+        bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return df.withColumn(out_col, phash)
+
+
+def media_phash_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    features_col: str = "features",
+    dim: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: aHash the feature vectors
+    (:func:`ahash_pack`) and find all pairs within ``max_hamming`` via the
+    shared 4-chunk pigeonhole band join
+    (operators/dedup.py:hamming_band_pairs — structural recall for
+    hamming <= 3, exact bit_count(xor) verify). One equi-join shuffle on
+    (chunk_idx, chunk); payloads never shuffle — only ids and one long
+    per media item, the same index-not-data rule as every dedup family.
+
+    Feature source is the caller's decode seam: extract_features /
+    auto_image_decoder for real or stub codecs, or a relational
+    pseudo-intensity family for an engine-portable oracle twin
+    (plans/llm.py:multimodal_phash_pairs)."""
+    # cache: the band join references the hashed frame on both sides, and
+    # recomputing it would re-run the feature source (a Python decode via
+    # mapInPandas on the real seam) twice — the simhash_near_duplicates
+    # convention. Registered portable query uses the exploded relational
+    # twin instead (plans/llm.py) because ITS features are an md5
+    # expression family that projection collapse would re-inline.
+    hashed = ahash_pack(
+        media.select(F.col(id_col), F.col(features_col)),
+        features_col=features_col,
+        dim=dim,
+    ).select(F.col(id_col), "phash").cache()
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        hashed,
+        id_col=id_col,
+        hash_col="phash",
+        bits=dim,
+        max_hamming=max_hamming,
+        id_a=f"{id_col}_a",
+        id_b=f"{id_col}_b",
+    )

@@ -685,6 +685,15 @@ def append_to_ivf_index(
     not a collect of vectors."""
     spark = batch.sparkSession
     gen_dir = _ivf_current(index_dir)
+    watermark = _ivf_compaction_watermark(gen_dir)
+    if watermark is not None and batch_id <= watermark:
+        raise ValueError(
+            f"batch_id {batch_id} is at or below this index's compaction "
+            f"watermark {watermark} — its original partitions were merged "
+            "by compact_ivf_index, so a replayed ingest would double its "
+            "rows instead of overwriting them. Only compact batches whose "
+            "ingest is checkpoint-committed; new batches need fresh ids."
+        )
     centroids = read_ivf_centroids(spark, index_dir)
     scored = batch.select(
         F.col(id_col).alias("id"),
@@ -848,6 +857,14 @@ def _retrain_ivf_index(
         .parquet(f"{new_gen}/assignments")
     )
     _write_ivf_centroids(spark, centroids, new_gen)
+    # The compaction watermark outlives retrains: compacted-away batch
+    # ids stay refused even though the retrain rewrote the layout —
+    # their rows are still in the index, just not under their own
+    # batch_seq partitions.
+    wm = _ivf_compaction_watermark(cur_gen)
+    if wm is not None:
+        with open(f"{new_gen}/COMPACTED_UPTO", "w") as fh:
+            fh.write(str(wm))
     _ivf_commit(index_dir, new_gen_name)
     _ivf_prune_generations(index_dir)
 
@@ -2217,3 +2234,134 @@ def ivf_pq_index_topk(
         stored, sl, queries,
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def _ivf_layout_audit(assignments: DataFrame) -> "tuple[int, int, int]":
+    """(rows, files, batches) of an assignment tree in ONE aggregation
+    job — file count via input_file_name so the audit is engine-side and
+    works on any filesystem the scan does (no driver directory walk)."""
+    r = (
+        assignments.select(
+            "batch_seq", F.input_file_name().alias("__f")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("__f").alias("files"),
+            F.countDistinct("batch_seq").alias("batches"),
+        )
+        .collect()[0]
+    )
+    return int(r["rows"]), int(r["files"]), int(r["batches"])
+
+
+def compact_ivf_index(
+    spark, index_dir: str, *, upto_batch: int
+) -> "dict[str, int | bool]":
+    """Compact the persisted IVF index's ingest history: every assignment
+    partition with ``batch_seq <= upto_batch`` is rewritten under the
+    single partition ``batch_seq = upto_batch`` — one file per cell —
+    while later batches pass through with their batch_seq preserved. The
+    small-files maintenance op of the persisted-index family (the
+    OPTIMIZE/rewrite_data_files of table formats): every map-only ingest
+    (:func:`append_to_ivf_index`) adds one file per touched cell, so a
+    year of batches makes a probe open O(batches x n_probe) files; after
+    compaction it opens O(n_probe + recent batches).
+
+    Invariant: ids, vectors, norms, cells, centroids and any attached PQ
+    codes are all UNCHANGED — only the file layout moves — so search
+    results are bit-identical before and after (asserted in tests and
+    gated in-engine by the registered query). Centroids, ``pq_codes``,
+    ``pq_codebooks`` are carried through to the new generation verbatim.
+
+    Crash/replay story (same contract as build/retrain): the compacted
+    state assembles invisibly under its own generation dir ``gen-c<N>``
+    and becomes visible in :func:`_ivf_commit`'s single atomic pointer
+    rename; a replayed compaction with the same watermark finds CURRENT
+    already naming its target and no-ops (fixpoint). Only compact batches
+    whose ingest is checkpoint-COMMITTED: the watermark is persisted in
+    the generation (``COMPACTED_UPTO``) and :func:`append_to_ivf_index`
+    refuses batch_ids at or below it — a late replay of a compacted-away
+    batch would otherwise double its rows under a now-merged partition.
+
+    Returns the audit counts the caller gates on:
+    ``rows_before/rows_after`` (must match — nothing lost or doubled),
+    ``files_before/files_after``, ``batches_before/batches_after``, and
+    ``pq_codes_carried``."""
+    import os
+    import shutil
+
+    gen = _ivf_current(index_dir)
+    name = f"gen-c{upto_batch}"
+    if os.path.basename(gen.rstrip("/")) == name:
+        # Replay of an already-committed compaction: CURRENT is flipped
+        # last, so if it names our target the generation is complete.
+        rows, files, batches = _ivf_layout_audit(
+            spark.read.parquet(f"{gen}/assignments")
+        )
+        return {
+            "rows_before": rows, "rows_after": rows,
+            "files_before": files, "files_after": files,
+            "batches_before": batches, "batches_after": batches,
+            "pq_codes_carried": os.path.isdir(f"{gen}/pq_codebooks"),
+            "noop_replay": True,
+        }
+    new_gen = f"{index_dir}/{name}"
+    a = spark.read.parquet(f"{gen}/assignments")
+    rows_b, files_b, batches_b = _ivf_layout_audit(a)
+    (
+        a.withColumn(
+            "batch_seq",
+            F.when(
+                F.col("batch_seq") <= upto_batch, F.lit(upto_batch)
+            )
+            .otherwise(F.col("batch_seq"))
+            .cast("long"),
+        )
+        # one shuffle keyed exactly like the layout: one file per
+        # surviving (batch_seq, cell) partition. At real scale add a salt
+        # column here to split giant cells across several target files.
+        .repartition(F.col("batch_seq"), F.col("ivf_cluster"))
+        .write.mode("overwrite")
+        .partitionBy("batch_seq", "ivf_cluster")
+        .parquet(f"{new_gen}/assignments")
+    )
+    spark.read.parquet(f"{gen}/centroids").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{new_gen}/centroids")
+    carried = os.path.isdir(f"{gen}/pq_codebooks")
+    if carried:
+        (
+            spark.read.parquet(f"{gen}/pq_codes")
+            .repartition(F.col("ivf_cluster"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_cluster")
+            .parquet(f"{new_gen}/pq_codes")
+        )
+        shutil.copytree(
+            f"{gen}/pq_codebooks",
+            f"{new_gen}/pq_codebooks",
+            dirs_exist_ok=True,
+        )
+    with open(f"{new_gen}/COMPACTED_UPTO", "w") as fh:
+        fh.write(str(upto_batch))
+    rows_a, files_a, batches_a = _ivf_layout_audit(
+        spark.read.parquet(f"{new_gen}/assignments")
+    )
+    _ivf_commit(index_dir, name)
+    _ivf_prune_generations(index_dir)
+    return {
+        "rows_before": rows_b, "rows_after": rows_a,
+        "files_before": files_b, "files_after": files_a,
+        "batches_before": batches_b, "batches_after": batches_a,
+        "pq_codes_carried": carried,
+        "noop_replay": False,
+    }
+
+
+def _ivf_compaction_watermark(gen_dir: str) -> "int | None":
+    """The generation's persisted compaction watermark, if any."""
+    try:
+        with open(f"{gen_dir}/COMPACTED_UPTO") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None

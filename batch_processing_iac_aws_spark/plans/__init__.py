@@ -185,14 +185,35 @@ from . import quality  # noqa: E402,F401
 #       GATED set), and similarity_ivf_pq_residual (IVFADC proper:
 #       PQ trained on residuals x - c(cell), scored as residual ADC +
 #       a per-(query,cell) broadcast scalar; equal to raw codes on the
-#       near-random fixture, asserted strictly better on clustered data).
-#     r4 cohort (45): the pinned 37 of _ROUND8_QUEUE (graph_pagerank,
-#       dedup_minhash, streaming_tumbling, csv_expand first) + the 8
-#       missed leftovers above. 5 news leave exactly 50 - 45 = 5 slots,
-#       so no r5 fills fit — the r5 cohort rotates wholesale next round
-#       (_ROUND9_QUEUE, 50 names).
+#       near-random fixture, asserted strictly better on clustered data),
+#       and — second wave — similarity_index_compact (small-files
+#       maintenance for the persisted IVF index: 4 ingest-batch
+#       partitions compact to 2 with fewer files and BIT-IDENTICAL
+#       search results, PQ codes and centroids carried through, the
+#       watermark refusing replays of compacted-away batches; the output
+#       row is gated on the full audit), and multimodal_phash_pairs
+#       (perceptual-hash media near-dup: aHash over the binary-payload
+#       convention + the shared 4-chunk pigeonhole hamming band join,
+#       bit-exactly oracled over an engine-portable md5 pseudo-intensity
+#       family with an EXHAUSTIVE all-pairs twin — the
+#       dedup_simhash_portable strategy applied to media; decorated
+#       re-encoded uploads make the match path provably fire).
+#     r4 cohort (43 of 45): 36 of the pinned 37 of _ROUND8_QUEUE
+#       (graph_pagerank, dedup_minhash, streaming_tumbling, csv_expand
+#       first) + 7 of the 8 missed leftovers above. The 6th new query
+#       displaces window_sliding — the most shape-redundant r4 slot: its
+#       sliding frame stays in-window via window_tumbling +
+#       window_range_frame (same groupBy-window plan family) and
+#       streaming_sliding (the same frame through the engine). The 7th
+#       displaces multimodal_resize — its mapInPandas media-stub plan
+#       shape stays in-window via multimodal_frames (same Arrow batch
+#       path, same codec seam). Both re-rotate with the r5 cohort next
+#       round. 7 news + 43 cohort = 50; no r5 fills fit — the r5 cohort
+#       rotates wholesale next round (_ROUND9_QUEUE, 52 names).
 #     The whole r7 window is freshly green and rotates out. After this
-#     round no query's last driver-green is older than r5.
+#     round no query's last driver-green is older than r5 except
+#     window_sliding and multimodal_resize (r4-green, suite-proven every
+#     session, heading the r9 queue).
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
     #    enter the window) --
@@ -201,6 +222,8 @@ _PRIORITY = [
     "similarity_ivf_pq_index",
     "streaming_quality_ingest",
     "similarity_ivf_pq_residual",
+    "similarity_index_compact",
+    "multimodal_phash_pairs",
     # -- the ENTIRE r4 cohort (45), last driver-green r4: the 37 pinned
     #    in round 7's _ROUND8_QUEUE... --
     "graph_pagerank",
@@ -225,7 +248,6 @@ _PRIORITY = [
     "interval_funcs",
     "json_funcs",
     "multimodal_frames",
-    "multimodal_resize",
     "sample_per_group",
     "similarity_ivf",
     "similarity_lsh",
@@ -247,7 +269,6 @@ _PRIORITY = [
     "window_percent_rank",
     "window_range_frame",
     "window_session",
-    "window_sliding",
     "window_tumbling",
 ]
 
@@ -256,9 +277,13 @@ _PRIORITY = [
 #: exists): the r5 cohort not already in this round's window — after
 #: round 8 they are the oldest driver-greens — rotates in behind
 #: whatever round 9 adds; oldest-green-first stays the rule. (The FULL
-#: 50-query r5 cohort — round 9's news must displace its most
+#: 50-query r5 cohort plus window_sliding — the r4 slot this round's
+#: 6th new query displaced, now the single oldest driver-green, so it
+#: heads the queue — round 9's news must displace the most
 #: shape-redundant members, exactly as this round's ledger entry did.)
 _ROUND9_QUEUE = [
+    "window_sliding",
+    "multimodal_resize",
     "q1_pricing_summary",
     "join_asof",
     "agg_argminmax",

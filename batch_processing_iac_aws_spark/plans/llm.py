@@ -1016,6 +1016,119 @@ def similarity_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(ann, exact, min_recall=0.70)
 
 
+_COMPACT_SHAPE_ORACLE = """
+SELECT CAST(t.n AS BIGINT) AS n_vectors,
+       CAST(q.n AS BIGINT) AS n_queries,
+       CAST(4 AS BIGINT) AS batches_before,
+       CAST(2 AS BIGINT) AS batches_after
+FROM (SELECT count(*) AS n FROM embeddings) t,
+     (SELECT count(*) AS n FROM embeddings WHERE vec_id < 20) q
+"""
+
+
+@query("similarity_index_compact", oracle=_COMPACT_SHAPE_ORACLE)
+def similarity_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance for the persisted IVF index — the
+    OPTIMIZE/rewrite_data_files of the rolling-corpus ANN family
+    (operators/similarity.py:compact_ivf_index): a year of map-only
+    ingests leaves one file per (batch, cell), so probes open
+    O(batches x n_probe) files; compaction rewrites history at or below
+    the checkpoint watermark under ONE batch_seq partition (one file per
+    cell), carries centroids and any attached PQ codes through verbatim,
+    commits with the same atomic pointer flip as build/retrain, and
+    persists the watermark so a late replay of a compacted-away batch is
+    refused loudly instead of doubling rows.
+
+    The run is fully audited and the output row is GATED on the audit
+    (the _ann_recall_summary convention — gate in-engine, emit only the
+    SQL-pinnable shape facts): the 4-batch input index (built once per
+    process as an input-by-contract and COPIED per run, since compaction
+    commits a new generation and a mutated cache would make warm runs
+    no-ops) must compact 4 batch partitions down to 2 with strictly
+    fewer files and exactly the same row count, and top-5 search over 20
+    queries must return the BIT-IDENTICAL pair set before and after
+    (tie-deterministic ranking + unchanged vectors/centroids make exact
+    equality the honest bar, stronger than the ANN family's recall
+    floors). Any violation drops the row and the driver goes red."""
+    import shutil
+
+    from ..operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+    )
+    from .registry import scratch_source_cache
+
+    e = _t(spark, sf_dir, "embeddings")
+    cache, built = scratch_source_cache("ivfcompact", sf_dir)
+    src = f"{cache}/index"
+    if not built:
+        build_ivf_index(
+            e.filter(F.col("vec_id") % 4 == 0), src,
+            n_centroids=16, batch_id=0,
+        )
+        for b in (1, 2, 3):
+            append_to_ivf_index(
+                e.filter(F.col("vec_id") % 4 == b), src, batch_id=b
+            )
+        with open(f"{cache}/_BUILT", "w") as fh:
+            fh.write("ok")
+    idx = f"{scratch_dir('ivfcompact_run', sf_dir)}/index"
+    shutil.copytree(src, idx)
+    q = e.filter(F.col("vec_id") < 20)
+    pre = (
+        ivf_index_topk(spark, q, idx, k=5, n_probe=4)
+        .select("query_id", "neighbor_id")
+        # materialize NOW: the plan scans the pre-compaction generation
+        # dir, which commit+prune deletes underneath a lazy reader
+        .localCheckpoint(eager=True)
+    )
+    audit = compact_ivf_index(spark, idx, upto_batch=2)
+    post = ivf_index_topk(spark, q, idx, k=5, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    # exact symmetric-difference gate: every (query, neighbor) pair must
+    # appear on BOTH sides (each side is distinct by construction)
+    mismatches = (
+        pre.unionByName(post)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__sides"))
+        .agg(
+            F.sum((F.col("__sides") != 2).cast("long")).alias("__bad"),
+            F.count(F.lit(1)).alias("__pairs"),
+        )
+    )
+    shape = e.agg(F.count(F.lit(1)).alias("n_vectors")).crossJoin(
+        q.agg(F.countDistinct("vec_id").alias("n_queries"))
+    )
+    audit_ok = (
+        audit["rows_before"] == audit["rows_after"]
+        and audit["files_after"] < audit["files_before"]
+        and audit["batches_before"] == 4
+        and audit["batches_after"] == 2
+        and not audit["noop_replay"]
+    )
+    return (
+        shape.crossJoin(mismatches)
+        .filter(
+            (F.col("__bad") == 0)
+            & (F.col("__pairs") > 0)
+            & F.lit(bool(audit_ok))
+        )
+        .select(
+            "n_vectors",
+            "n_queries",
+            F.lit(audit["batches_before"]).cast("long").alias(
+                "batches_before"
+            ),
+            F.lit(audit["batches_after"]).cast("long").alias(
+                "batches_after"
+            ),
+        )
+    )
+
+
 @query("streaming_incremental_ann", oracle=_ANN_SHAPE_ORACLE)
 def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rolling-corpus ANN story end-to-end through the REAL streaming
@@ -1421,6 +1534,140 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def _phash_portable_oracle(dim: int = 32, max_hamming: int = 2) -> str:
+    """DuckDB twin of the media perceptual-hash dedup: recompute the
+    md5-family pseudo-intensities from the SAME payload text, aHash them
+    with the identical integer cross-multiplied mean rule
+    (dim * v > sum — ties down), pack little-endian, and score ALL pairs
+    exhaustively — so the 4-chunk pigeonhole banding's recall is proven
+    against an unbanded scan, exactly like the simhash-portable twin."""
+    return f"""
+WITH media AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id < 15
+), f AS (
+    SELECT doc_id, j,
+           CAST(md5_number_lower(text || ':' || CAST(j AS VARCHAR))
+                % 1152921504606846976 % 256 AS BIGINT) AS v
+    FROM media, range({dim}) r(j)
+), tot AS (
+    SELECT doc_id, SUM(v) AS s FROM f GROUP BY doc_id
+), sig AS (
+    SELECT f.doc_id,
+           CAST(SUM(CASE WHEN {dim} * f.v > t.s
+                         THEN (CAST(1 AS BIGINT) << CAST(f.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS ph
+    FROM f JOIN tot t USING (doc_id) GROUP BY f.doc_id
+)
+SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+"""
+
+
+@query("multimodal_phash_pairs", oracle=_phash_portable_oracle())
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over MEDIA payloads — the
+    dedup composition of the multimodal family (aHash as published:
+    intensity vector -> brighter-than-mean bits -> packed hash -> hamming
+    match), run end-to-end through the binary-payload convention
+    (text_as_media -> features -> the exploded relational twin of
+    operators/multimodal.py:ahash_pack (bit-for-bit equal, see the
+    in-body note) -> operators/dedup.py:hamming_band_pairs' 4-chunk
+    pigeonhole band join, structural recall at hamming <= 3, exact
+    bit_count(xor) verify).
+
+    Features here are the ENGINE-PORTABLE pseudo-intensity family
+    (md5-derived, 32 values in [0,256) per payload — the
+    dedup_simhash_portable strategy applied to media), so DuckDB replays
+    decode-surrogate, aHash voting, packing, and an EXHAUSTIVE all-pairs
+    hamming scan bit-exactly: the oracle proves the banded plan's recall
+    against an unbanded scan, and the integer cross-multiplied mean rule
+    (dim * v > sum) makes every bit portable with no float mean. The
+    decode seam itself (extract_features / auto_image_decoder over the
+    same ahash_pack + band machinery, media_phash_pairs) is engine-tested
+    against a brute-force scan in tests/test_multimodal.py — with PIL
+    present the identical plan is true image aHash dedup. Identical
+    payloads hash identically (hamming 0); the stub family's avalanche
+    means near-identical TEXT is not near in hamming space — with a real
+    decoder, visually-near media is, which is the point of the seam.
+    Payloads never shuffle: one long per media item crosses the band
+    join, the index-not-data rule.
+
+    The corpus has no byte-identical payloads at the gate SFs, so the
+    input is DECORATED (the dedup_bloom_prefilter convention): docs with
+    doc_id < 15 re-enter as media_id + 1,000,000 — a re-encoded upload of
+    the same content — so the match path provably fires (>= 15 hamming-0
+    pairs) instead of going vacuously green on an empty result; the twin
+    decorates identically."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.multimodal import text_as_media
+
+    base = d.select("doc_id", "text")
+    media = text_as_media(
+        base.unionByName(
+            base.filter(F.col("doc_id") < 15).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    ps = F.col("payload").cast("string")
+    feats = F.array(
+        *[
+            (_md5_lower60(F.concat(ps, F.lit(f":{j}"))) % 256).cast(
+                "double"
+            )
+            for j in range(32)
+        ]
+    )
+    # The EXPLODED relational aHash (posexplode -> per-media window sum
+    # -> conditional bit agg), not ahash_pack's array expression: the
+    # pseudo-intensities are themselves a 32-md5 expression family, and
+    # Catalyst's projection collapse would re-inline that family into
+    # every zip_with/aggregate reference (and into both sides of the
+    # band join) — measured 45x slower. Exploding materializes each
+    # intensity ONCE through the shuffle; bit-for-bit equal to
+    # ahash_pack (asserted in tests/test_multimodal.py), which stays the
+    # right form for already-materialized decoder features.
+    from pyspark.sql import Window as W
+
+    f = media.select("media_id", F.posexplode(feats).alias("j", "v"))
+    sig = (
+        f.withColumn("s", F.sum("v").over(W.partitionBy("media_id")))
+        .groupBy("media_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") * 32 > F.col("s"),
+                    F.pow(F.lit(2.0), F.col("j")).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("phash")
+        )
+        # the band join references sig on both sides — cache one long per
+        # media item instead of hashing the corpus twice (the
+        # simhash_near_duplicates convention)
+        .cache()
+    )
+    from ..operators.dedup import hamming_band_pairs
+
+    return (
+        hamming_band_pairs(
+            sig,
+            id_col="media_id",
+            hash_col="phash",
+            bits=32,
+            max_hamming=2,
+            id_a="media_id_a",
+            id_b="media_id_b",
+        )
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("media_id_a", "media_id_b")
     )
 
 

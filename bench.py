@@ -109,6 +109,14 @@ HEADLINE = [
     # and IVFADC proper (residual-trained PQ at the same code budget)
     "streaming_quality_ingest",
     "similarity_ivf_pq_residual",
+    # round 8 (second wave): persisted-index small-files compaction —
+    # the 4-batch input index is cached per process (input-by-contract)
+    # and COPIED per run, so warm measures copy + compact + the two
+    # audit searches, not the 4-batch build
+    "similarity_index_compact",
+    # round 8 (second wave, cont.): perceptual-hash media near-dup —
+    # relational aHash + the shared pigeonhole hamming band join
+    "multimodal_phash_pairs",
 ]
 
 WARM_ITERS = 3

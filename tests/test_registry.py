@@ -32,8 +32,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 201
-    assert len(ORACLES) == 199
+    assert len(QUERIES) == 203
+    assert len(ORACLES) == 201
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -69,9 +69,16 @@ def test_first_50_is_the_round8_rotation_window():
     production path; streaming_quality_ingest — the seventh composition,
     the quality gate fused into the rolling ingest; and
     similarity_ivf_pq_residual — IVFADC proper, residual-trained PQ) +
-    the ENTIRE 45-query r4 cohort (the 37 pinned in round 7's
-    _ROUND8_QUEUE plus the 8 window/variant r4 greens that pin missed).
-    After this round no query's last driver-green is older than r5."""
+    the second wave (similarity_index_compact — persisted-index
+    small-files compaction, audit-gated; multimodal_phash_pairs —
+    perceptual-hash media near-dup, exhaustively oracled over the
+    portable md5 pseudo-intensity family) + 43 of the 45-query r4 cohort
+    (window_sliding donates a slot — its frame shape stays via
+    window_tumbling, window_range_frame, and streaming_sliding;
+    multimodal_resize donates the other — its mapInPandas stub shape
+    stays via multimodal_frames; both head _ROUND9_QUEUE).
+    After this round no query's last driver-green is older than r5,
+    except those two (r4-green, suite-proven, queued r9)."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the

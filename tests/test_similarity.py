@@ -896,3 +896,154 @@ def test_persisted_residual_codes_roundtrip_and_dispatch(spark, emb, tmp_path):
     attach_pq_codes(spark, idx, m=16, n_codes=32, iters=3, encoding="raw")
     _, _, encoding = read_pq_codebooks(spark, idx)
     assert encoding == "raw"
+
+
+def _topk_pairs(spark, q, idx, **kw):
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        ivf_index_topk,
+    )
+
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_index_topk(spark, q, idx, k=5, n_probe=4, **kw)
+        .collect()
+    )
+
+
+def test_compact_ivf_index_merges_batches_search_identical(
+    spark, emb, tmp_path
+):
+    """compact_ivf_index: 4 ingest-batch partitions merge to 2 with
+    strictly fewer files, the same rows, and BIT-IDENTICAL search results
+    (unchanged vectors + centroids + tie-deterministic ranking); the
+    commit is the same atomic pointer flip as build/retrain and old
+    generations are pruned."""
+    import os
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_assignments,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), idx,
+        n_centroids=16, batch_id=0,
+    )
+    for b in (1, 2, 3):
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 4 == b), idx, batch_id=b
+        )
+    q = emb.filter(F.col("vec_id") < 20)
+    pre = _topk_pairs(spark, q, idx)
+    audit = compact_ivf_index(spark, idx, upto_batch=2)
+    assert audit["rows_before"] == audit["rows_after"] > 0
+    assert audit["batches_before"] == 4
+    assert audit["batches_after"] == 2
+    assert audit["files_after"] < audit["files_before"]
+    assert not audit["noop_replay"]
+    assert _topk_pairs(spark, q, idx) == pre and len(pre) > 0
+    with open(f"{idx}/CURRENT") as fh:
+        assert fh.read().strip() == "gen-c2"
+    gens = [n for n in os.listdir(idx) if n.startswith("gen-")]
+    assert gens == ["gen-c2"]
+    seqs = sorted(
+        r["batch_seq"]
+        for r in ivf_assignments(spark, idx)
+        .select("batch_seq").distinct().collect()
+    )
+    assert seqs == [2, 3]
+
+
+def test_compact_carries_pq_codes_and_watermark_refuses_stale_ingest(
+    spark, emb, tmp_path
+):
+    """Attached PQ codes (residual encoding) survive compaction verbatim
+    — IVF-PQ search is bit-identical before/after — and the persisted
+    watermark makes append_to_ivf_index refuse batch ids at or below it
+    (a replayed compacted-away batch would double its rows) while fresh
+    ids keep ingesting."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        attach_pq_codes,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_pq_index_topk,
+        read_pq_codebooks,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, batch_id=0,
+    )
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id=1
+    )
+    attach_pq_codes(
+        spark, idx, m=16, n_codes=32, iters=3, encoding="residual"
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    pre = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_pq_index_topk(
+            spark, q, idx, k=5, n_probe=4, shortlist=50
+        ).collect()
+    )
+    audit = compact_ivf_index(spark, idx, upto_batch=1)
+    assert audit["pq_codes_carried"]
+    _, _, encoding = read_pq_codebooks(spark, idx)
+    assert encoding == "residual"
+    post = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_pq_index_topk(
+            spark, q, idx, k=5, n_probe=4, shortlist=50
+        ).collect()
+    )
+    assert post == pre and len(pre) > 0
+    with pytest.raises(ValueError, match="compaction watermark"):
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") < 5), idx, batch_id=1
+        )
+    # fresh ids keep ingesting map-only into the compacted generation
+    assert (
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") < 5), idx, batch_id=9
+        )
+        is False
+    )
+
+
+def test_compact_replay_is_noop_fixpoint(spark, emb, tmp_path):
+    """Replaying a committed compaction (same watermark) no-ops: CURRENT
+    already names the target generation, the layout is untouched, and
+    search still answers."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, batch_id=0,
+    )
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id=1
+    )
+    first = compact_ivf_index(spark, idx, upto_batch=1)
+    assert not first["noop_replay"]
+    replay = compact_ivf_index(spark, idx, upto_batch=1)
+    assert replay["noop_replay"]
+    assert replay["files_before"] == replay["files_after"]
+    assert replay["rows_before"] == first["rows_after"]
+    q = emb.filter(F.col("vec_id") < 10)
+    assert len(_topk_pairs(spark, q, idx)) > 0
