@@ -135,6 +135,12 @@ def bench_phash(docs, tag):
     return dt
 
 
+# warmup round: the first build/search/band-join of a session pays JVM +
+# codegen costs that would otherwise be billed to the 1x run (measured
+# 5x ratios BELOW 1 without this)
+bench_compact(emb1, "warmup")
+bench_phash(docs1, "warmup")
+
 c1 = bench_compact(emb1, "1x")
 c5 = bench_compact(emb5, "5x")
 print(
