@@ -633,3 +633,83 @@ def test_ingest_quality_batch_gates_dedups_and_replays_idempotently(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 5]
     assert spark.read.parquet(index).count() == 2
+
+
+def test_streaming_ann_ingest_continues_after_compaction(spark, tmp_path):
+    """Compaction mid-stream: two streamed batches build the index
+    (batch_seq {0,1}), an offline compact_ivf_index(upto_batch=1) merges
+    them under gen-c1 with search results bit-identical, and the RESUMED
+    stream keeps ingesting — the next micro-batch's replay-stable id (2)
+    clears the persisted watermark, appends map-only into the compacted
+    generation, and a simulated crash replay (checkpoint commit marker
+    for batch 2 deleted) reconverges idempotently instead of duplicating
+    or tripping the watermark guard."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        _ivf_current,
+        compact_ivf_index,
+        ivf_assignments,
+        ivf_index_topk,
+        read_ivf_centroids,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_ann_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    for b in range(2):
+        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    for i, f in enumerate(sorted(os.listdir(src))):
+        if f.endswith(".parquet"):
+            os.utime(f"{src}/{f}", (1_700_000_000 + i,) * 2)
+    run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def topk():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_index_topk(spark, q, idx, k=5, n_probe=4).collect()
+        )
+
+    pre = topk()
+    cents = read_ivf_centroids(spark, idx)
+    audit = compact_ivf_index(spark, idx, upto_batch=1)
+    assert audit["batches_before"] == 2 and audit["batches_after"] == 1
+    assert os.path.basename(_ivf_current(idx)) == "gen-c1"
+    assert topk() == pre and len(pre) > 0
+
+    # the stream resumes: batch id 2 clears the watermark and appends
+    # map-only into the compacted generation
+    emb.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    newest = max(
+        (f"{src}/{f}" for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    os.utime(newest, (1_700_000_100,) * 2)
+    run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
+    assert ivf_assignments(spark, idx).count() == emb.count()
+    assert read_ivf_centroids(spark, idx) == cents
+    assert os.path.basename(_ivf_current(idx)) == "gen-c1"
+    seqs = sorted(
+        r["batch_seq"]
+        for r in ivf_assignments(spark, idx)
+        .select("batch_seq").distinct().collect()
+    )
+    assert seqs == [1, 2]
+
+    # crash replay of batch 2 across the compaction boundary
+    os.remove(f"{ckpt}/commits/2")
+    crc = f"{ckpt}/commits/.2.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
+    assert ivf_assignments(spark, idx).count() == emb.count()
