@@ -2291,6 +2291,16 @@ def compact_ivf_index(
     import shutil
 
     gen = _ivf_current(index_dir)
+    prev = _ivf_compaction_watermark(gen)
+    if prev is not None and upto_batch < prev:
+        # A lower watermark would REGRESS the replay guard: batches in
+        # (upto_batch, prev] were already merged away, and rewriting
+        # COMPACTED_UPTO below them would re-admit their replays —
+        # exactly the silent row-doubling the watermark exists to stop.
+        raise ValueError(
+            f"compaction watermark must be monotone: index already "
+            f"compacted up to batch {prev}, got upto_batch={upto_batch}"
+        )
     name = f"gen-c{upto_batch}"
     if os.path.basename(gen.rstrip("/")) == name:
         # Replay of an already-committed compaction: CURRENT is flipped

@@ -1047,3 +1047,44 @@ def test_compact_replay_is_noop_fixpoint(spark, emb, tmp_path):
     assert replay["rows_before"] == first["rows_after"]
     q = emb.filter(F.col("vec_id") < 10)
     assert len(_topk_pairs(spark, q, idx)) > 0
+
+
+def test_compact_watermark_is_monotone(spark, emb, tmp_path):
+    """A second compaction may only RAISE the watermark: lowering it
+    would re-admit replays of batches merged away by the first one (the
+    silent row-doubling the watermark exists to stop). Raising it
+    (incremental re-compaction after more ingests) works."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_assignments,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), idx,
+        n_centroids=16, batch_id=0,
+    )
+    for b in (1, 2):
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 4 == b), idx, batch_id=b
+        )
+    compact_ivf_index(spark, idx, upto_batch=2)
+    with pytest.raises(ValueError, match="monotone"):
+        compact_ivf_index(spark, idx, upto_batch=1)
+    # more ingests, then a HIGHER watermark re-compaction
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 3), idx, batch_id=5
+    )
+    audit = compact_ivf_index(spark, idx, upto_batch=5)
+    assert audit["batches_before"] == 2 and audit["batches_after"] == 1
+    seqs = sorted(
+        r["batch_seq"]
+        for r in ivf_assignments(spark, idx)
+        .select("batch_seq").distinct().collect()
+    )
+    assert seqs == [5]
+    assert ivf_assignments(spark, idx).count() == emb.count()
