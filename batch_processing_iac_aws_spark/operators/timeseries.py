@@ -137,10 +137,40 @@ def intervals_from_events(
     key: str = "user_id",
     ts: str = "ts",
     value: str = "value",
+    value_cents_exact: bool = False,
 ) -> DataFrame:
     """Derive an interval-encoded frame from an event stream: one interval
     per key spanning [min(ts), max(ts)] with count(*) samples and the mean
-    reading — the SURVEY.md §7 stage-0 source frame for the flagship query."""
+    reading — the SURVEY.md §7 stage-0 source frame for the flagship query.
+
+    ``value_cents_exact=True`` computes the mean ROUNDED TO 4dp exactly
+    for values on a 2-decimal grid: sum integer cents, half-up-round the
+    rational (cents*100)/n with integer arithmetic ((2a + n) DIV 2n for
+    a, n >= 0), one final /1e4 landing on a 4dp grid every engine
+    represents identically. The plain double avg is one summation-order
+    ulp from the decimal boundary whenever the exact mean IS a 4dp tie —
+    round(avg, 4) then flips between engines (seen at sf0.1, user 51:
+    exact mean 56.20875). Requires nonnegative grid values and
+    sum(cents)*200 < 2^63 per key."""
+    if value_cents_exact:
+        cents = F.round(F.col(value) * 100).cast("long")
+        return (
+            events.groupBy(key)
+            .agg(
+                F.min(ts).alias("start_time"),
+                F.max(ts).alias("end_time"),
+                F.count(F.lit(1)).alias("samples"),
+                F.sum(cents).alias("__cents"),
+            )
+            .withColumn(
+                "reading",
+                F.expr(
+                    "(2 * __cents * 100 + samples) DIV (2 * samples)"
+                )
+                / F.lit(10000.0),
+            )
+            .drop("__cents")
+        )
     return events.groupBy(key).agg(
         F.min(ts).alias("start_time"),
         F.max(ts).alias("end_time"),

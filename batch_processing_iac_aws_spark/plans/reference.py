@@ -20,7 +20,15 @@ WITH intervals AS (
            epoch_us(min(ts)) AS start_us,
            epoch_us(max(ts)) AS end_us,
            CAST(count(*) AS INT) AS samples,
-           round(avg(value), 4) AS reading
+           -- exact mean at 4dp via integer cents (values live on a 2dp
+           -- grid): round(avg(value), 4) put a true decimal tie
+           -- (3147.69 / 56 = 56.20875 at sf0.1) a double-sum ulp away
+           -- from the boundary, and the engines landed on opposite
+           -- sides. (2a + n) // (2n) is half-up of a/n for a, n >= 0;
+           -- the single final float op lands on a 4dp grid both
+           -- engines represent identically.
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) * 100
+             + count(*)) // (2 * count(*))) / 10000.0 AS reading
     FROM events
     GROUP BY user_id
 )
@@ -36,10 +44,21 @@ FROM intervals i, UNNEST(generate_series(0, CAST(i.samples AS BIGINT) - 1)) AS t
 def interval_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: events -> per-user [min(ts), max(ts), count] intervals ->
     expand to evenly-spaced samples. Exercises scan, agg, generator, HOF-free
-    projection; no shuffle beyond the single groupBy."""
+    projection; no shuffle beyond the single groupBy.
+
+    reading is the per-user mean at 4dp computed EXACTLY: values sit on a
+    2-decimal grid, so summing integer cents and half-up-rounding the
+    rational (cents*100)/n with integer arithmetic is engine-exact where
+    round(avg(double), 4) was one summation-order ulp from a decimal tie
+    (first diverged on user 51 at sf0.1: exact mean 56.20875, Spark's
+    binary-exact HALF_UP said 56.2087, DuckDB 56.2088). Off-tie rows are
+    unchanged (|double avg - exact| << tie distance); the final /1e4 is
+    the family's one-float-op rule. Cents sums need |values| on a 2dp
+    grid and sum(cents)*200 < 2^63 — ~5e16 value-sum per key, far past
+    any fact scale."""
     events = load_table(spark, sf_dir, "events")
-    intervals = intervals_from_events(events).withColumn(
-        "reading", F.round("reading", 4)
+    intervals = (
+        intervals_from_events(events, value_cents_exact=True)
     )
     expanded = expand_intervals(intervals, mode="strict")
     return expanded.select(

@@ -146,12 +146,16 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INT)                          AS dim,
-       round(CAST(embedding[1] AS DOUBLE), 4)               AS first_val,
-       round(CAST(embedding[1] AS DOUBLE), 4)               AS head_1,
-       round(CAST(embedding[2] AS DOUBLE), 4)               AS head_2,
-       round(CAST(embedding[3] AS DOUBLE), 4)               AS head_3,
+       -- "+ 0" drops IEEE negative zero: DuckDB's round keeps the sign
+       -- of a -tiny input (-0.00003 -> -0.0, stringified "-0.0") while
+       -- Spark's BigDecimal HALF_UP round has no signed zero — first
+       -- diverged on vec_id 1753 at sf0.1
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0           AS first_val,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0           AS head_1,
+       round(CAST(embedding[2] AS DOUBLE), 4) + 0           AS head_2,
+       round(CAST(embedding[3] AS DOUBLE), 4) + 0           AS head_3,
        round(list_reduce([CAST(x AS DOUBLE) FOR x IN embedding],
-                         (a, b) -> a + b), 4)               AS vec_sum
+                         (a, b) -> a + b), 4) + 0           AS vec_sum
 FROM embeddings
 """,
 )

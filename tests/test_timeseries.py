@@ -143,3 +143,43 @@ def test_keep_interval_cols_retains_original_bounds(fixture_df):
     assert first["interval_start"] == ts("2023-07-03 00:00:00")
     assert first["interval_end"] == ts("2023-07-03 00:01:00")
     assert first["start_time"] != first["interval_start"]
+
+
+def test_intervals_exact_cents_mean_at_decimal_tie(spark):
+    """value_cents_exact: the 4dp mean is computed with integer cents and
+    half-up rounding, so a TRUE decimal tie (3147.69 / 56 = 56.20875 —
+    the sf0.1 user-51 case that flipped between engines under
+    round(avg(double), 4)) lands deterministically on .5-up, and off-tie
+    means match the double path exactly."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    # 56 values on the 2dp grid summing to exactly 3147.69
+    vals = [56.21] * 55 + [56.14]
+    assert round(sum(int(round(v * 100)) for v in vals)) == 314769
+    rows = [
+        (51, base + datetime.timedelta(minutes=i), v)
+        for i, v in enumerate(vals)
+    ] + [(7, base, 10.01), (7, base + datetime.timedelta(minutes=1), 10.02)]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r["reading"]
+        for r in intervals_from_events(
+            events, value_cents_exact=True
+        ).collect()
+    }
+    assert got[51] == 56.2088  # exact tie 56.20875 -> half-up
+    assert got[7] == 10.015    # off-tie: equals the double-avg path
+    # double path on the tie is summation-order dependent — the reason
+    # the exact form exists
+    assert abs(
+        {
+            r["user_id"]: r["reading"]
+            for r in intervals_from_events(events).collect()
+        }[51]
+        - 56.20875
+    ) < 1e-9
