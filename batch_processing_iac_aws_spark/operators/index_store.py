@@ -1,0 +1,290 @@
+"""Generationed parquet store for persisted incremental indexes.
+
+The atomic-commit + compaction-watermark lifecycle the ANN index proved
+out (operators/similarity.py: build -> map-only append -> compact ->
+replay-guard), factored into ONE contract so the incremental DEDUP index
+family — sha256 fingerprint digests, simhash longs, banded MinHash
+signatures, sparse inverted postings — shares it instead of reading bare
+parquet trees by path. Same incremental-state-maintenance concern the
+reference solves with Glue job bookmarks (reference
+batch_processing_IaC.py:300-304); the commit trick is the table-format
+one (Delta ``_last_checkpoint`` / Iceberg ``version-hint.text``): every
+multi-file index state assembles invisibly under its own generation dir
+and becomes visible in ONE atomic pointer rename, so no crash point can
+expose half an index.
+
+Layout under ``index_dir``::
+
+    CURRENT                     -- pointer file naming the committed gen
+    gen-<batch_id>/             -- created by the first append
+        data/batch_seq=N/...    -- index rows, one partition per batch
+        COMPACTED_UPTO          -- (post-compaction) replay watermark
+    gen-c<N>/                   -- compaction generations
+
+Why compaction needs the watermark: every map-only ingest adds one file
+per batch partition, so a year of daily batches is ~365 files per index;
+:func:`compact_index` rewrites all partitions at or below a
+checkpoint-committed batch id under ONE partition — but a late replay of
+a compacted-away batch would then APPEND a duplicate partition instead
+of overwriting its original one, silently doubling rows. The watermark
+is persisted in the generation and :func:`append_index` refuses batch
+ids at or below it, loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def store_commit(index_dir: str, gen_name: str) -> None:
+    """Atomically flip the store's CURRENT pointer to ``gen_name``.
+    ``os.replace`` is atomic on POSIX; on an object store use a
+    conditional put of the pointer object."""
+    tmp = f"{index_dir}/CURRENT.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(gen_name)
+    os.replace(tmp, f"{index_dir}/CURRENT")
+
+
+def store_current(index_dir: str) -> str:
+    """Resolve the committed generation dir. Loud when the store was
+    never committed — readers must not guess at half-written state.
+    (Callers treating "no index yet" as a normal first-batch case catch
+    FileNotFoundError specifically; any OTHER read failure — storage
+    error, corrupted footer — keeps raising through the parquet scan.)"""
+    try:
+        with open(f"{index_dir}/CURRENT") as fh:
+            gen = fh.read().strip()
+    except FileNotFoundError as exc:
+        raise FileNotFoundError(
+            f"no committed index at {index_dir} (CURRENT pointer missing "
+            "— no append ever completed here)"
+        ) from exc
+    return f"{index_dir}/{gen}"
+
+
+def store_watermark(gen_dir: str) -> "int | None":
+    """The generation's persisted compaction watermark, if any."""
+    try:
+        with open(f"{gen_dir}/COMPACTED_UPTO") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def prune_store_generations(index_dir: str) -> None:
+    """Best-effort removal of non-current generation dirs (a crash
+    between commit and prune leaves garbage, never corruption)."""
+    keep = os.path.basename(store_current(index_dir))
+    for name in os.listdir(index_dir):
+        if name.startswith("gen-") and name != keep:
+            shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
+
+
+def read_index(spark, index_dir: str) -> DataFrame:
+    """The committed generation's index rows (payload columns +
+    ``batch_seq``) — the supported way to read the store; generation
+    dirs are an implementation detail. Raises FileNotFoundError when no
+    generation was ever committed (the first-batch signal)."""
+    return spark.read.parquet(f"{store_current(index_dir)}/data")
+
+
+def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
+    """Ingest one batch of index rows under its own ``batch_seq``
+    partition — dynamic overwrite, so a crashed-and-replayed ingest with
+    the same replay-stable ``batch_id`` rewrites exactly its own
+    partition instead of duplicating it (the streaming/pipeline.py
+    exactly-once contract). ``df`` carries the payload columns only;
+    ``batch_seq`` is stamped here.
+
+    First append (no CURRENT yet) creates generation ``gen-<batch_id>``
+    and commits it; a crash before the commit leaves no CURRENT, so the
+    replay takes the same first-append path — a fixpoint.
+
+    Refuses ``batch_id`` at or below the committed generation's
+    compaction watermark: those batches' original partitions were merged
+    away by :func:`compact_index`, so a replayed ingest would double
+    their rows instead of overwriting them. Only compact batches whose
+    ingest is checkpoint-committed; new batches need fresh ids."""
+    payload = df.withColumn("batch_seq", F.lit(batch_id))
+    try:
+        gen = store_current(index_dir)
+    except FileNotFoundError:
+        gname = f"gen-{batch_id}"
+        (
+            payload.write.mode("overwrite")
+            .partitionBy("batch_seq")
+            .parquet(f"{index_dir}/{gname}/data")
+        )
+        store_commit(index_dir, gname)
+        return
+    watermark = store_watermark(gen)
+    if watermark is not None and batch_id <= watermark:
+        raise ValueError(
+            f"batch_id {batch_id} is at or below this index's compaction "
+            f"watermark {watermark} — its original partition was merged "
+            "by compact_index, so a replayed ingest would double its "
+            "rows instead of overwriting them. Only compact batches "
+            "whose ingest is checkpoint-committed; new batches need "
+            "fresh ids."
+        )
+    (
+        payload.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(f"{gen}/data")
+    )
+
+
+def layout_audit(df: DataFrame) -> "tuple[int, int, int]":
+    """(rows, files, batches) of a batch-partitioned tree in ONE
+    aggregation job — file count via input_file_name so the audit is
+    engine-side and works on any filesystem the scan does (no driver
+    directory walk)."""
+    r = (
+        df.select("batch_seq", F.input_file_name().alias("__f"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("__f").alias("files"),
+            F.countDistinct("batch_seq").alias("batches"),
+        )
+        .collect()[0]
+    )
+    return int(r["rows"]), int(r["files"]), int(r["batches"])
+
+
+def salted_repartition(
+    df: DataFrame,
+    keys: "list[str]",
+    *,
+    split_col: str,
+    max_rows_per_file: "int | None" = None,
+) -> DataFrame:
+    """Repartition on the layout keys, optionally salting GIANT key
+    groups across several shuffle partitions so no target file exceeds
+    ~``max_rows_per_file`` rows — the skew guard for compaction rewrites
+    (one partition per key is a hazard when one key holds a corpus-scale
+    fraction, e.g. a hot IVF cell). The per-key salt fan-out comes from
+    one map-side-combined count aggregate whose result is key-cardinality
+    sized (broadcast back, never collected to the driver); the salt
+    itself is a deterministic hash of ``split_col``, so the rewrite stays
+    partition-invariant."""
+    key_cols = [F.col(k) for k in keys]
+    if max_rows_per_file is None:
+        return df.repartition(*key_cols)
+    fanout = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_rows_per_file))
+            .cast("int")
+            .alias("__nsalt")
+        )
+    )
+    # total target file count — ONE long to the driver (model-sized); the
+    # explicit partition count both sizes the shuffle to the write's
+    # intended layout and keeps AQE from coalescing the salt groups back
+    # into one task (which would undo the split on small inputs)
+    n_files = int(fanout.agg(F.sum("__nsalt")).first()[0])
+    salted = (
+        df.join(F.broadcast(fanout), keys)
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(split_col)), F.col("__nsalt")),
+        )
+        .repartition(max(1, 2 * n_files), *key_cols, F.col("__salt"))
+        .drop("__nsalt", "__salt")
+    )
+    return salted
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    *,
+    upto_batch: int,
+    split_col: "str | None" = None,
+    max_rows_per_file: "int | None" = None,
+) -> "dict[str, int | bool]":
+    """Compact the store's ingest history: every partition with
+    ``batch_seq <= upto_batch`` is rewritten under the single partition
+    ``batch_seq = upto_batch`` while later batches pass through with
+    their batch_seq preserved — the OPTIMIZE/rewrite_data_files of the
+    incremental-index family. Rows are UNCHANGED (only the file layout
+    moves), so index probes are bit-identical before and after — the
+    audit counts returned here let callers gate on exactly that.
+
+    Crash/replay story (same contract as :func:`append_index`): the
+    compacted state assembles invisibly under its own generation dir
+    ``gen-c<N>`` and becomes visible in :func:`store_commit`'s single
+    atomic pointer rename; a replayed compaction with the same watermark
+    finds CURRENT already naming its target and no-ops (fixpoint). The
+    watermark persists in the generation (``COMPACTED_UPTO``) and must be
+    MONOTONE: compacting below a previous watermark would re-admit
+    replays of already-merged batches — the silent row-doubling the
+    guard exists to stop.
+
+    ``max_rows_per_file`` (optional) salts giant merged partitions across
+    several files via :func:`salted_repartition` on ``split_col``
+    (default: the first payload column).
+
+    Returns ``rows_before/rows_after`` (must match — nothing lost or
+    doubled), ``files_before/files_after``, ``batches_before/
+    batches_after``, and ``noop_replay``."""
+    gen = store_current(index_dir)
+    prev = store_watermark(gen)
+    if prev is not None and upto_batch < prev:
+        raise ValueError(
+            f"compaction watermark must be monotone: index already "
+            f"compacted up to batch {prev}, got upto_batch={upto_batch}"
+        )
+    name = f"gen-c{upto_batch}"
+    if os.path.basename(gen.rstrip("/")) == name:
+        # Replay of an already-committed compaction: CURRENT is flipped
+        # last, so if it names our target the generation is complete.
+        rows, files, batches = layout_audit(
+            spark.read.parquet(f"{gen}/data")
+        )
+        return {
+            "rows_before": rows, "rows_after": rows,
+            "files_before": files, "files_after": files,
+            "batches_before": batches, "batches_after": batches,
+            "noop_replay": True,
+        }
+    new_gen = f"{index_dir}/{name}"
+    df = spark.read.parquet(f"{gen}/data")
+    rows_b, files_b, batches_b = layout_audit(df)
+    remapped = df.withColumn(
+        "batch_seq",
+        F.when(F.col("batch_seq") <= upto_batch, F.lit(upto_batch))
+        .otherwise(F.col("batch_seq"))
+        .cast("long"),
+    )
+    if split_col is None:
+        split_col = next(c for c in df.columns if c != "batch_seq")
+    (
+        salted_repartition(
+            remapped,
+            ["batch_seq"],
+            split_col=split_col,
+            max_rows_per_file=max_rows_per_file,
+        )
+        .write.mode("overwrite")
+        .partitionBy("batch_seq")
+        .parquet(f"{new_gen}/data")
+    )
+    with open(f"{new_gen}/COMPACTED_UPTO", "w") as fh:
+        fh.write(str(upto_batch))
+    rows_a, files_a, batches_a = layout_audit(
+        spark.read.parquet(f"{new_gen}/data")
+    )
+    store_commit(index_dir, name)
+    prune_store_generations(index_dir)
+    return {
+        "rows_before": rows_b, "rows_after": rows_a,
+        "files_before": files_b, "files_after": files_a,
+        "batches_before": batches_b, "batches_after": batches_a,
+        "noop_replay": False,
+    }

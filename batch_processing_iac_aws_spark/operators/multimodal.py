@@ -2,12 +2,15 @@
 typed metadata structs, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing here is real and tested — schema contracts,
-partition-sized Arrow batches, deterministic outputs. The actual codec work
-(JPEG decode, audio resample, video frame-sample) is stubbed: the container
-has no image/audio libraries, so ``decode_fn=None`` uses a deterministic
-fake "decoder" (content-hash features), and passing a real decoder is the
-single integration point (see ``decode_image_real`` which raises
-NotImplementedError until PIL/ffmpeg are available).
+partition-sized Arrow batches, deterministic outputs. Codec work: PNG
+decodes FOR REAL with the standard library (``decode_png_stdlib`` — zlib
+inflate + RFC 2083 unfiltering + integer luma), so the real branch of the
+seam executes and is engine-tested even in this library-free container;
+JPEG/audio/video need a real library (PIL/ffmpeg) and their
+``decode_fn=None`` default remains the deterministic fake "decoder"
+(content-hash features), with ``decode_image_real`` as the single
+integration point (PIL when importable, stdlib PNG otherwise, loud
+NotImplementedError for formats it cannot truly decode).
 
 Scale notes: binary payloads ride Parquet natively; keep them OUT of shuffle
 keys and project them away before wide operations. mapInPandas streams Arrow
@@ -63,25 +66,136 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image_real(payload: bytes, *, feature_dim: int = 8) -> list[float]:
     """Real decoder integration point: PIL, imported AT CALL TIME so the
     module stays importable in codec-free environments. Decodes the image,
     converts to grayscale, resamples to ``feature_dim`` pixels, and emits
-    their [0,1) intensities — a minimal real featurization proving the
-    codec seam end-to-end. Raises NotImplementedError when PIL is absent
-    (this container), keeping sandbox behavior identical."""
+    their [0,1] intensities — a minimal real featurization proving the
+    codec seam end-to-end.
+
+    Without PIL (this container), PNG payloads still decode FOR REAL via
+    :func:`decode_png_stdlib` — zlib inflate + scanline unfiltering is
+    the actual PNG codec work and needs only the standard library — so
+    the real branch is executable and engine-tested here on true image
+    bits (tests/test_multimodal.py). Non-PNG formats (JPEG's DCT needs a
+    real library) raise NotImplementedError, keeping the
+    fail-loud-not-fake contract for payloads we cannot truly decode.
+    The two real branches share the decode+grayscale semantics but not
+    the resampling kernel (PIL resamples bicubically, the stdlib path
+    block-means), so pin ONE branch per corpus — mixing families across
+    a heterogeneous cluster is the auto_image_decoder caveat."""
     try:
         from PIL import Image
     except ImportError as exc:
+        if (payload or b"")[:8] == _PNG_MAGIC:
+            return decode_png_stdlib(payload, feature_dim=feature_dim)
         raise NotImplementedError(
-            "image decoding requires PIL/opencv, not present in this "
-            "environment; pass decode_fn=... with a real implementation"
+            "image decoding requires PIL/opencv for non-PNG formats, "
+            "not present in this environment; pass decode_fn=... with a "
+            "real implementation"
         ) from exc
     import io
 
     img = Image.open(io.BytesIO(payload or b"")).convert("L")
     img = img.resize((feature_dim, 1))
     return [p / 255.0 for p in list(img.getdata())[:feature_dim]]
+
+
+def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
+    """REAL PNG decode with the standard library only: chunk walk, IDAT
+    zlib inflate, per-scanline unfiltering (all five PNG filter types:
+    None/Sub/Up/Average/Paeth, RFC 2083 §6), ITU-R 601-2 integer luma
+    for color images, then ``feature_dim`` block-mean intensities in
+    [0, 1]. Supports the non-interlaced 8-bit gray / RGB / RGBA subset —
+    enough to prove the codec seam on true image bits in a library-free
+    sandbox; anything else raises NotImplementedError (fail loud, never
+    fake). Pure Python per pixel: fine as the seam's integration test
+    and for thumbnail-sized payloads; at corpus scale ship PIL to the
+    executors and the identical mapInPandas plan runs unchanged."""
+    import struct
+    import zlib
+
+    data = payload or b""
+    if data[:8] != _PNG_MAGIC:
+        raise NotImplementedError("decode_png_stdlib: not a PNG payload")
+    pos, width, height, depth, color = 8, None, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + body + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "decode_png_stdlib supports non-interlaced 8-bit "
+                    f"gray/RGB/RGBA only (depth={depth}, color={color})"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise NotImplementedError("decode_png_stdlib: missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise NotImplementedError("decode_png_stdlib: truncated scanlines")
+    prev = bytearray(stride)
+    gray: list[int] = []
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(
+                f"decode_png_stdlib: unknown filter type {ftype}"
+            )
+        prev = line
+        if channels == 1:
+            gray.extend(line)
+        else:
+            for x in range(width):
+                o = x * channels
+                gray.append(
+                    (299 * line[o] + 587 * line[o + 1] + 114 * line[o + 2])
+                    // 1000
+                )
+    # feature_dim block means over the row-major intensity sequence —
+    # deterministic integer arithmetic until the single final division
+    n = len(gray)
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        block = gray[lo:hi] or [0]
+        feats.append(sum(block) / (len(block) * 255.0))
+    return feats
 
 
 def auto_image_decoder(feature_dim: int = 8):

@@ -390,6 +390,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
@@ -403,10 +404,16 @@ def ivf_topk(
     id. Scale shape: candidate volume per query is ~ n_probe/n_centroids
     of the corpus; cell-size skew is AQE-split. Recall vs brute force is
     measured in tests/test_similarity.py.
+
+    Pass ``centroids`` (the :func:`ivf_refined_centroids` return shape)
+    to skip training — the coarse quantizer is a model artifact, so
+    callers searching the same corpus repeatedly should train once and
+    reuse it (the inputs-by-contract pattern).
     """
-    centroids = ivf_refined_centroids(
-        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        centroids = ivf_refined_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
 
     c = assign_ivf_clusters(
         corpus.select(
@@ -494,41 +501,34 @@ def _ivf_commit(index_dir: str, gen: str) -> None:
     Iceberg version-hint): every multi-file index state is built
     invisibly under its own generation dir and becomes visible in ONE
     atomic file rename, so no crash point can expose half an index or
-    pair new assignments with old centroids. os.replace is atomic on
-    POSIX; on an object store use a conditional put of the pointer
-    object."""
-    import os
+    pair new assignments with old centroids. Shared lifecycle:
+    operators/index_store.py (the same contract the incremental dedup
+    indexes use)."""
+    from .index_store import store_commit
 
-    tmp = f"{index_dir}/CURRENT.tmp"
-    with open(tmp, "w") as fh:
-        fh.write(gen)
-    os.replace(tmp, f"{index_dir}/CURRENT")
+    store_commit(index_dir, gen)
 
 
 def _ivf_current(index_dir: str) -> str:
     """Resolve the committed generation dir. Loud when the index was
     never committed — readers must not guess at half-written state."""
     try:
-        with open(f"{index_dir}/CURRENT") as fh:
-            gen = fh.read().strip()
+        from .index_store import store_current
+
+        return store_current(index_dir)
     except FileNotFoundError as exc:
         raise FileNotFoundError(
             f"no committed IVF index at {index_dir} (CURRENT pointer "
             "missing — build_ivf_index never completed here)"
         ) from exc
-    return f"{index_dir}/{gen}"
 
 
 def _ivf_prune_generations(index_dir: str) -> None:
     """Best-effort removal of non-current generation dirs (a crash
     between commit and prune leaves garbage, never corruption)."""
-    import os
-    import shutil
+    from .index_store import prune_store_generations
 
-    keep = os.path.basename(_ivf_current(index_dir))
-    for name in os.listdir(index_dir):
-        if name.startswith("gen-") and name != keep:
-            shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
+    prune_store_generations(index_dir)
 
 
 def _write_ivf_centroids(
@@ -2239,23 +2239,19 @@ def ivf_pq_index_topk(
 def _ivf_layout_audit(assignments: DataFrame) -> "tuple[int, int, int]":
     """(rows, files, batches) of an assignment tree in ONE aggregation
     job — file count via input_file_name so the audit is engine-side and
-    works on any filesystem the scan does (no driver directory walk)."""
-    r = (
-        assignments.select(
-            "batch_seq", F.input_file_name().alias("__f")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.countDistinct("__f").alias("files"),
-            F.countDistinct("batch_seq").alias("batches"),
-        )
-        .collect()[0]
-    )
-    return int(r["rows"]), int(r["files"]), int(r["batches"])
+    works on any filesystem the scan does (no driver directory walk).
+    Shared implementation: operators/index_store.py:layout_audit."""
+    from .index_store import layout_audit
+
+    return layout_audit(assignments)
 
 
 def compact_ivf_index(
-    spark, index_dir: str, *, upto_batch: int
+    spark,
+    index_dir: str,
+    *,
+    upto_batch: int,
+    max_rows_per_file: "int | None" = None,
 ) -> "dict[str, int | bool]":
     """Compact the persisted IVF index's ingest history: every assignment
     partition with ``batch_seq <= upto_batch`` is rewritten under the
@@ -2283,12 +2279,18 @@ def compact_ivf_index(
     refuses batch_ids at or below it — a late replay of a compacted-away
     batch would otherwise double its rows under a now-merged partition.
 
+    ``max_rows_per_file`` (optional) salts giant cells across several
+    target files (index_store.salted_repartition) — the skew guard for a
+    hot cell holding a corpus-scale fraction.
+
     Returns the audit counts the caller gates on:
     ``rows_before/rows_after`` (must match — nothing lost or doubled),
     ``files_before/files_after``, ``batches_before/batches_after``, and
     ``pq_codes_carried``."""
     import os
     import shutil
+
+    from .index_store import salted_repartition
 
     gen = _ivf_current(index_dir)
     prev = _ivf_compaction_watermark(gen)
@@ -2327,10 +2329,20 @@ def compact_ivf_index(
             .otherwise(F.col("batch_seq"))
             .cast("long"),
         )
-        # one shuffle keyed exactly like the layout: one file per
-        # surviving (batch_seq, cell) partition. At real scale add a salt
-        # column here to split giant cells across several target files.
-        .repartition(F.col("batch_seq"), F.col("ivf_cluster"))
+        .transform(
+            # one shuffle keyed exactly like the layout: one file per
+            # surviving (batch_seq, cell) partition — unless
+            # max_rows_per_file is set, in which case giant cells salt
+            # across several target files (the skew guard a corpus-scale
+            # hot cell needs; deterministic id-hash salt, so the rewrite
+            # stays partition-invariant). index_store.salted_repartition.
+            lambda d: salted_repartition(
+                d,
+                ["batch_seq", "ivf_cluster"],
+                split_col="id",
+                max_rows_per_file=max_rows_per_file,
+            )
+        )
         .write.mode("overwrite")
         .partitionBy("batch_seq", "ivf_cluster")
         .parquet(f"{new_gen}/assignments")

@@ -214,9 +214,103 @@ from . import quality  # noqa: E402,F401
 #     round no query's last driver-green is older than r5 except
 #     window_sliding and multimodal_resize (r4-green, suite-proven every
 #     session, heading the r9 queue).
+#   round 9 window (this one) — the r8-pinned plan executed verbatim:
+#     new (1): dedup_index_compact (the generation+watermark compaction
+#       lifecycle the ANN index got in round 8, adopted by the
+#       incremental DEDUP index family via the shared store —
+#       operators/index_store.py:compact_index; the registered row is
+#       gated on the full audit: 4 batch partitions to 2, strictly
+#       fewer files, identical row count, BIT-IDENTICAL probe-batch
+#       survivors before/after, and append-refusal below the persisted
+#       watermark — and the survivor rows themselves hash-oracle against
+#       DuckDB's replay of the probe decoration + first-arrival
+#       anti-join. The three streaming ingest compositions now read and
+#       append their indexes THROUGH the store's committed generation
+#       pointer).
+#     rotation (49 of _ROUND9_QUEUE's 52): window_sliding and
+#       multimodal_resize (the two r4 stragglers) head it, then the r5
+#       cohort oldest-first. The 1 new query plus the queue overhang
+#       displace the three most shape-redundant members: join_inner
+#       (every TPC-H plan in-window is an inner-join tree, and
+#       join_semi/anti/full/range/interval/asof all stay), join_left
+#       (join_full subsumes the outer-join plan shape), and
+#       union_distinct (set_except/set_intersect/in_subquery keep the
+#       set-op family). They head _ROUND10_QUEUE and re-rotate with the
+#       r8 window next round.
+#     After this round no query's last driver-green is older than r5
+#     except those three (suite-proven every session).
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
     #    enter the window) --
+    "dedup_index_compact",
+    # -- the two r4 stragglers the r8 pin queued first --
+    "window_sliding",
+    "multimodal_resize",
+    # -- the r5 cohort, oldest-first (49 of _ROUND9_QUEUE's 52; the
+    #    displaced three head _ROUND10_QUEUE) --
+    "q1_pricing_summary",
+    "join_asof",
+    "agg_argminmax",
+    "agg_corr",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "cluster_kmeans",
+    "corpus_line_dedup",
+    "dataset_mixture_epochs",
+    "dedup_incremental_embedding",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_simhash",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
+    "dedup_source_overlap",
+    "docs_token_budget",
+    "embedding_pca",
+    "events_funnel",
+    "in_subquery",
+    "join_anti",
+    "join_full",
+    "join_interval_overlap",
+    "join_range",
+    "join_semi",
+    "latest_partition",
+    "pivot_status",
+    "q10_top_customers",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_quality_weighted",
+    "scalar_subquery",
+    "set_except",
+    "set_intersect",
+    "sql_entrypoint",
+    "streaming_incremental_dedup",
+    "text_normalize",
+    "timeseries_gapfill",
+    "unpivot_measures",
+]
+
+#: Round-10 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name
+#: exists): the three r5-cohort members this round's news + overhang
+#: displaced (suite-proven every session, now the single oldest
+#: driver-greens, so they head the queue) followed by the whole r8
+#: window — after round 9 those are the next-oldest driver-greens.
+#: Oldest-green-first stays the rule; round 10's news must displace the
+#: most shape-redundant members, exactly as this round's ledger entry
+#: did.
+_ROUND10_QUEUE = [
+    "join_inner",
+    "join_left",
+    "union_distinct",
+    # -- the r8 window (news first, then its r4 cohort) --
     "quality_logit_score",
     "streaming_incremental_sparse",
     "similarity_ivf_pq_index",
@@ -224,8 +318,6 @@ _PRIORITY = [
     "similarity_ivf_pq_residual",
     "similarity_index_compact",
     "multimodal_phash_pairs",
-    # -- the ENTIRE r4 cohort (45), last driver-green r4: the 37 pinned
-    #    in round 7's _ROUND8_QUEUE... --
     "graph_pagerank",
     "dedup_minhash",
     "streaming_tumbling",
@@ -262,7 +354,6 @@ _PRIORITY = [
     "ts_time_weighted_avg",
     "udf_grouped_zscore",
     "udf_rowwise_python",
-    # -- ...plus the 8 r4 greens the r7 pin missed --
     "variant_funcs",
     "window_first_last",
     "window_lag_lead",
@@ -270,70 +361,6 @@ _PRIORITY = [
     "window_range_frame",
     "window_session",
     "window_tumbling",
-]
-
-#: Round-9 rotation queue, pinned now so a typo cannot silently drop a
-#: query from rotation (tests/test_registry.py asserts every name
-#: exists): the r5 cohort not already in this round's window — after
-#: round 8 they are the oldest driver-greens — rotates in behind
-#: whatever round 9 adds; oldest-green-first stays the rule. (The FULL
-#: 50-query r5 cohort plus window_sliding — the r4 slot this round's
-#: 6th new query displaced, now the single oldest driver-green, so it
-#: heads the queue — round 9's news must displace the most
-#: shape-redundant members, exactly as this round's ledger entry did.)
-_ROUND9_QUEUE = [
-    "window_sliding",
-    "multimodal_resize",
-    "q1_pricing_summary",
-    "join_asof",
-    "agg_argminmax",
-    "agg_corr",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    "cluster_kmeans",
-    "corpus_line_dedup",
-    "dataset_mixture_epochs",
-    "dedup_incremental_embedding",
-    "dedup_incremental_fuzzy",
-    "dedup_incremental_simhash",
-    "dedup_semantic",
-    "dedup_semantic_kmeans",
-    "dedup_source_overlap",
-    "docs_token_budget",
-    "embedding_pca",
-    "events_funnel",
-    "in_subquery",
-    "join_anti",
-    "join_full",
-    "join_inner",
-    "join_interval_overlap",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "latest_partition",
-    "pivot_status",
-    "q10_top_customers",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_quality_weighted",
-    "scalar_subquery",
-    "set_except",
-    "set_intersect",
-    "sql_entrypoint",
-    "streaming_incremental_dedup",
-    "text_normalize",
-    "timeseries_gapfill",
-    "union_distinct",
-    "unpivot_measures",
 ]
 
 

@@ -285,10 +285,19 @@ def ingest_dedup_batch(
     index write but before checkpoint commit would otherwise leave the
     retry anti-joining against its own partial output, shrinking the
     batch to the complement subset and permanently losing rows from both
-    the table and the index."""
+    the table and the index.
+
+    The index lives in the generationed store
+    (operators/index_store.py): reads resolve through the committed
+    CURRENT pointer, appends stamp their own batch_seq partition, and
+    offline :func:`~..operators.index_store.compact_index` runs can merge
+    old batch partitions without breaking this ingest — the store's
+    watermark makes a replay of a compacted-away batch refuse loudly."""
     if batch_df.isEmpty():
         return
     from pyspark.sql import Window
+
+    from ..operators.index_store import append_index, read_index
 
     spark = batch_df.sparkSession
     hashed = batch_df.withColumn(
@@ -301,22 +310,19 @@ def ingest_dedup_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    from pyspark.errors import AnalysisException
-
     try:
         index = (
-            spark.read.parquet(index_dir)
+            read_index(spark, index_dir)
             .where(F.col("batch_seq") != F.lit(batch_id))
             .select("content_hash")
         )
-    except AnalysisException as e:
-        # ONLY a missing index dir means "first batch". Any other read
-        # failure (storage error, corrupted footer) must raise: treating
-        # it as first-batch would silently skip the anti-join, ingest
-        # every duplicate, AND append their hashes to the index —
-        # permanent corpus duplication with no error surfaced.
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
+    except FileNotFoundError:
+        # ONLY a never-committed store (no CURRENT pointer) means "first
+        # batch". Any other read failure (storage error, corrupted
+        # footer) must raise: treating it as first-batch would silently
+        # skip the anti-join, ingest every duplicate, AND append their
+        # hashes to the index — permanent corpus duplication with no
+        # error surfaced.
         index = None
     survivors = (
         firsts
@@ -330,12 +336,8 @@ def ingest_dedup_batch(
         .partitionBy("batch_seq")
         .parquet(table_dir)
     )
-    (
-        survivors.select("content_hash", "batch_seq")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(index_dir)
+    append_index(
+        survivors.select("content_hash"), index_dir, batch_id=batch_id
     )
 
 
@@ -519,6 +521,7 @@ def ingest_sparse_batch(
     from pyspark.sql import Window
 
     from ..operators.dedup import incremental_sparse_dedup
+    from ..operators.index_store import append_index, read_index
     from ..operators.text import hashed_doc_vectors
 
     spark = batch_df.sparkSession
@@ -528,19 +531,16 @@ def ingest_sparse_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    from pyspark.errors import AnalysisException
-
     try:
         index = (
-            spark.read.parquet(index_dir)
+            read_index(spark, index_dir)
             .where(F.col("batch_seq") != F.lit(batch_id))
             .select("id", "idx", "c", "norm2_sum")
         )
-    except AnalysisException as e:
-        # only a missing dir means first batch (the ingest_dedup_batch
-        # rule: any other failure must raise, or every duplicate ingests)
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
+    except FileNotFoundError:
+        # only a never-committed store means first batch (the
+        # ingest_dedup_batch rule: any other failure must raise, or
+        # every duplicate ingests)
         index = None
     survivors = (
         firsts
@@ -558,15 +558,12 @@ def ingest_sparse_batch(
         .partitionBy("batch_seq")
         .parquet(table_dir)
     )
-    (
+    append_index(
         hashed_doc_vectors(
             survivors, id_col=id_col, text_col=text_col, dim=dim
-        )
-        .withColumn("batch_seq", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(index_dir)
+        ),
+        index_dir,
+        batch_id=batch_id,
     )
 
 
@@ -664,19 +661,18 @@ def ingest_quality_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    from pyspark.errors import AnalysisException
+    from ..operators.index_store import append_index, read_index
 
     try:
         index = (
-            spark.read.parquet(index_dir)
+            read_index(spark, index_dir)
             .where(F.col("batch_seq") != F.lit(batch_id))
             .select("content_hash")
         )
-    except AnalysisException as e:
-        # only a missing dir means first batch (the ingest_dedup_batch
-        # rule: any other failure must raise, or every duplicate ingests)
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
+    except FileNotFoundError:
+        # only a never-committed store means first batch (the
+        # ingest_dedup_batch rule: any other failure must raise, or
+        # every duplicate ingests)
         index = None
     survivors = (
         firsts
@@ -690,10 +686,6 @@ def ingest_quality_batch(
         .partitionBy("batch_seq")
         .parquet(table_dir)
     )
-    (
-        survivors.select("content_hash", "batch_seq")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(index_dir)
+    append_index(
+        survivors.select("content_hash"), index_dir, batch_id=batch_id
     )

@@ -117,6 +117,11 @@ HEADLINE = [
     # round 8 (second wave, cont.): perceptual-hash media near-dup —
     # relational aHash + the shared pigeonhole hamming band join
     "multimodal_phash_pairs",
+    # round 9: dedup-index small-files compaction through the shared
+    # generationed store (4-batch sha index cached per process as an
+    # input-by-contract and COPIED per run, so warm measures copy +
+    # compact + the two audit anti-joins, not the 4-batch build)
+    "dedup_index_compact",
 ]
 
 WARM_ITERS = 3

@@ -1,0 +1,236 @@
+"""The generationed index store (operators/index_store.py): the shared
+commit/watermark lifecycle the incremental DEDUP indexes adopted from the
+ANN index — append/read round-trip, crash-replay fixpoints, compaction
+audits, the monotone watermark, the append-refusal guard, and the
+giant-partition salt split."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from batch_processing_iac_aws_spark.operators.index_store import (
+    append_index,
+    compact_index,
+    layout_audit,
+    read_index,
+    salted_repartition,
+    store_current,
+    store_watermark,
+)
+
+
+def _digests(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).select(F.sha2("text", 256).alias("content_hash"))
+
+
+def test_append_read_roundtrip_and_batch_partitions(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    append_index(_digests(spark, [(1, "a"), (2, "b")]), idx, batch_id=0)
+    append_index(_digests(spark, [(3, "c")]), idx, batch_id=1)
+    got = read_index(spark, idx)
+    assert got.count() == 3
+    assert sorted(
+        r["batch_seq"] for r in got.select("batch_seq").distinct().collect()
+    ) == [0, 1]
+    # dynamic overwrite: replaying batch 1 with different content rewrites
+    # exactly its own partition
+    append_index(_digests(spark, [(4, "d"), (5, "e")]), idx, batch_id=1)
+    got = read_index(spark, idx)
+    assert got.count() == 4
+    assert got.where(F.col("batch_seq") == 1).count() == 2
+
+
+def test_read_before_any_commit_is_loud(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_index(spark, str(tmp_path / "never"))
+
+
+def test_first_append_crash_before_commit_replays_to_fixpoint(
+    spark, tmp_path
+):
+    """A crash between the first data write and the CURRENT commit leaves
+    no pointer; the replay must take the same first-append path and end
+    committed with exactly the batch's rows."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    # simulate the crash window: data written, CURRENT never flipped
+    _digests(spark, [(1, "a")]).withColumn(
+        "batch_seq", F.lit(0)
+    ).write.partitionBy("batch_seq").parquet(f"{idx}/gen-0/data")
+    assert not os.path.exists(f"{idx}/CURRENT")
+    append_index(_digests(spark, [(1, "a"), (2, "b")]), idx, batch_id=0)
+    assert read_index(spark, idx).count() == 2
+    assert store_current(idx).endswith("gen-0")
+
+
+def test_compact_merges_batches_preserves_rows_and_guards_replays(
+    spark, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    for b in range(4):
+        append_index(
+            _digests(spark, [(10 * b + i, f"t{b}-{i}") for i in range(5)]),
+            idx,
+            batch_id=b,
+        )
+    rows_b, files_b, batches_b = layout_audit(read_index(spark, idx))
+    assert batches_b == 4
+    audit = compact_index(spark, idx, upto_batch=2)
+    assert audit["rows_before"] == audit["rows_after"] == rows_b == 20
+    assert audit["files_after"] < audit["files_before"]
+    assert audit["batches_before"] == 4
+    assert audit["batches_after"] == 2  # {<=2 merged}, {3}
+    assert not audit["noop_replay"]
+    # contents unchanged: same distinct hashes
+    assert read_index(spark, idx).select("content_hash").distinct().count() == 20
+    # watermark persisted in the committed generation
+    assert store_watermark(store_current(idx)) == 2
+    # replayed compaction is a no-op fixpoint
+    audit2 = compact_index(spark, idx, upto_batch=2)
+    assert audit2["noop_replay"]
+    assert audit2["rows_after"] == 20
+    # a LOWER watermark must refuse (it would re-admit merged replays)
+    with pytest.raises(ValueError, match="monotone"):
+        compact_index(spark, idx, upto_batch=1)
+    # append at/below the watermark refuses loudly...
+    with pytest.raises(ValueError, match="watermark"):
+        append_index(_digests(spark, [(99, "zz")]), idx, batch_id=2)
+    # ...and a fresh batch above it appends fine
+    append_index(_digests(spark, [(99, "zz")]), idx, batch_id=4)
+    assert read_index(spark, idx).count() == 21
+    # a SECOND compaction (higher watermark) composes
+    audit3 = compact_index(spark, idx, upto_batch=4)
+    assert audit3["rows_after"] == 21
+    assert audit3["batches_after"] == 1
+    assert store_watermark(store_current(idx)) == 4
+
+
+def test_salted_repartition_splits_giant_partition(spark, tmp_path):
+    """A deliberately skewed batch (500 rows vs 5) with
+    max_rows_per_file=100 must emit several files for the giant
+    partition and still exactly one for the small one — and lose no
+    rows."""
+    idx = str(tmp_path / "idx")
+    giant = spark.range(500).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("content_hash")
+    )
+    small = spark.range(5).select(
+        F.sha2((F.col("id") + 1000).cast("string"), 256).alias(
+            "content_hash"
+        )
+    )
+    append_index(giant, idx, batch_id=0)
+    append_index(small, idx, batch_id=1)
+    audit = compact_index(
+        spark, idx, upto_batch=0, max_rows_per_file=100
+    )
+    assert audit["rows_after"] == 505
+    per_batch = (
+        read_index(spark, idx)
+        .select("batch_seq", F.input_file_name().alias("__f"))
+        .groupBy("batch_seq")
+        .agg(F.countDistinct("__f").alias("files"))
+        .collect()
+    )
+    files = {r["batch_seq"]: r["files"] for r in per_batch}
+    assert files[0] > 1, "giant partition must salt-split across files"
+    assert files[1] == 1
+
+
+def test_salted_repartition_rows_invariant(spark):
+    df = spark.range(300).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    )
+    out = salted_repartition(
+        df, ["k"], split_col="v", max_rows_per_file=40
+    )
+    assert out.count() == 300
+    assert sorted(out.columns) == ["k", "v"]
+    assert out.agg(F.sum("v")).first()[0] == sum(range(300))
+
+
+def test_compact_ivf_index_salt_splits_giant_cell(spark, tmp_path):
+    """Item-7 guard on the ANN side: compaction with max_rows_per_file
+    must split a deliberately skewed cell across >1 file while keeping
+    the audit invariants (rows identical, search unchanged is covered by
+    the bit-identity tests — here we pin layout + rows)."""
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_assignments,
+    )
+    from batch_processing_iac_aws_spark.session import local_frame
+
+    # 2 well-separated clusters, one 10x the other: with n_centroids=2
+    # the big cluster lands in ONE cell
+    rows = [(i, [10.0 + (i % 7) * 0.01, 0.0]) for i in range(200)]
+    rows += [(1000 + i, [0.0, 10.0 + i * 0.01]) for i in range(20)]
+    corpus = local_frame(
+        spark, rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=2, batch_id=0,
+    )
+    append_to_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 1), idx, batch_id=1,
+        drift_floor=-1.0,
+    )
+    audit = compact_ivf_index(
+        spark, idx, upto_batch=1, max_rows_per_file=50
+    )
+    assert audit["rows_before"] == audit["rows_after"] == 220
+    per_cell = (
+        ivf_assignments(spark, idx)
+        .select("ivf_cluster", F.input_file_name().alias("__f"))
+        .groupBy("ivf_cluster")
+        .agg(
+            F.countDistinct("__f").alias("files"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    )
+    big = max(per_cell, key=lambda r: r["rows"])
+    assert big["rows"] >= 150
+    assert big["files"] > 1, "giant cell must salt-split across files"
+
+
+def test_streaming_dedup_ingest_continues_after_compaction(spark, tmp_path):
+    """Compaction mid-stream for the DEDUP store (the interplay test the
+    ANN index got in round 8): two ingested batches compact under the
+    watermark, the index still dedups exactly, a FRESH batch above the
+    watermark ingests fine, and a replay of a compacted-away batch
+    refuses loudly instead of doubling rows."""
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_dedup_batch,
+    )
+
+    table, idx = str(tmp_path / "table"), str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "ccc"), (4, "aaa")], "doc_id long, text string"
+    )
+    ingest_dedup_batch(b0, 0, table_dir=table, index_dir=idx)
+    ingest_dedup_batch(b1, 1, table_dir=table, index_dir=idx)
+    audit = compact_index(spark, idx, upto_batch=1)
+    assert audit["rows_after"] == 3  # aaa, bbb, ccc — 4 deduped
+    # post-compaction the index still catches dups and passes new docs
+    b2 = spark.createDataFrame(
+        [(5, "bbb"), (6, "ddd")], "doc_id long, text string"
+    )
+    ingest_dedup_batch(b2, 2, table_dir=table, index_dir=idx)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2, 3, 6]
+    # replay of a compacted-away batch must refuse, not double rows
+    with pytest.raises(ValueError, match="watermark"):
+        ingest_dedup_batch(b1, 1, table_dir=table, index_dir=idx)
+    assert read_index(spark, idx).count() == 4

@@ -300,3 +300,207 @@ def test_registered_relational_ahash_equals_ahash_pack(spark):
         .collect()
     }
     assert packed == relational and len(packed) == 100
+
+
+# ---------------------------------------------------------------------------
+# Real-codec branch on true image bits (round 9): PNG decodes with stdlib
+# zlib + unfiltering, so the REAL seam executes even in this PIL-free
+# container — closing the "real-codec branch never ran" gap with actual
+# decoding, not a surrogate.
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _png_encode(pixels, width, height, color=0, filters=None):
+    """Minimal PNG writer (test scaffolding): 8-bit gray/RGB/RGBA, one
+    IDAT, per-row filter types as requested — lets the tests prove the
+    decoder's unfiltering against independently-constructed bytes."""
+    import binascii
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = bytes(
+                (line[i] - (line[i - channels] if i >= channels else 0))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            enc = bytes(
+                (
+                    line[i]
+                    - (
+                        (
+                            (line[i - channels] if i >= channels else 0)
+                            + prev[i]
+                        )
+                        >> 1
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:
+            enc = bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        raw.extend(enc)
+        prev = line
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", binascii.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_stdlib_gray_exact_roundtrip():
+    """8x4 grayscale, feature_dim == pixel count: every block is one
+    pixel, so the decode must return the exact written intensities."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    pixels = [(x * 7 + y * 31) % 256 for y in range(4) for x in range(8)]
+    png = _png_encode(pixels, 8, 4, color=0)
+    feats = decode_png_stdlib(png, feature_dim=32)
+    assert feats == [p / 255.0 for p in pixels]
+
+
+def test_decode_png_stdlib_all_filter_types_agree():
+    """The same image encoded with filter types 0..4 (and a mixed
+    sequence) must decode identically — proving Sub/Up/Average/Paeth
+    unfiltering against an independent forward-filter implementation,
+    for gray AND RGB."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    for color, channels in ((0, 1), (2, 3)):
+        pixels = [
+            (x * 13 + y * 57 + c * 11) % 256
+            for y in range(5)
+            for x in range(6)
+            for c in range(channels)
+        ]
+        base = decode_png_stdlib(
+            _png_encode(pixels, 6, 5, color=color), feature_dim=10
+        )
+        for filt in (1, 2, 3, 4):
+            got = decode_png_stdlib(
+                _png_encode(pixels, 6, 5, color=color, filters=[filt] * 5),
+                feature_dim=10,
+            )
+            assert got == base, f"filter {filt} color {color}"
+        mixed = decode_png_stdlib(
+            _png_encode(pixels, 6, 5, color=color, filters=[0, 1, 2, 3, 4]),
+            feature_dim=10,
+        )
+        assert mixed == base
+
+
+def test_decode_png_stdlib_luma_and_alpha():
+    """Color converts with the ITU-R 601-2 integer luma; RGBA ignores
+    alpha (same rule PIL's convert('L') applies to the RGB channels)."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    rgb = _png_encode([255, 0, 0], 1, 1, color=2)
+    assert decode_png_stdlib(rgb, feature_dim=1) == [
+        (299 * 255) // 1000 / 255.0
+    ]
+    rgba = _png_encode([10, 20, 30, 255], 1, 1, color=6)
+    expect = (299 * 10 + 587 * 20 + 114 * 30) // 1000 / 255.0
+    assert decode_png_stdlib(rgba, feature_dim=1) == [expect]
+
+
+def test_decode_image_real_executes_png_branch_without_pil():
+    """The REAL decoder branch runs in this PIL-free container on true
+    PNG bits; non-PNG payloads keep the fail-loud contract."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_image_real,
+        decode_png_stdlib,
+    )
+
+    png = _png_encode(list(range(0, 256, 16)), 16, 1, color=0)
+    assert decode_image_real(png, feature_dim=4) == decode_png_stdlib(
+        png, feature_dim=4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff not-a-png")
+
+
+def test_media_phash_pairs_on_real_png_decode(spark):
+    """End-to-end media near-dup over REAL decoded PNGs through the
+    registered plan's machinery (extract_features mapInPandas on
+    executors -> ahash_pack -> pigeonhole band join): a lightly-edited
+    re-encode pairs with its original; an inverted image does not."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_image_real,
+        extract_features,
+        media_phash_pairs,
+    )
+
+    grad = [(x * 4) % 256 for x in range(64)]
+    edited = list(grad)
+    edited[5] = (edited[5] + 2) % 256  # one-pixel touch-up re-encode
+    inverted = [255 - p for p in grad]
+    rows = [
+        (0, bytearray(_png_encode(grad, 64, 1, color=0))),
+        (1, bytearray(_png_encode(edited, 64, 1, color=0))),
+        (2, bytearray(_png_encode(inverted, 64, 1, color=0))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = extract_features(
+        media,
+        decode_fn=lambda p: decode_image_real(p, feature_dim=32),
+        feature_dim=32,
+    ).select(
+        "media_id",
+        F.col("features").cast("array<double>").alias("features"),
+    )
+    pairs = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in media_phash_pairs(feats, dim=32, max_hamming=3).collect()
+    }
+    assert pairs == {(0, 1)}

@@ -123,3 +123,41 @@ def test_entry_smoke(spark):
 
     df = mod.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_udf_grouped_zscore_fixture_has_no_rounding_ties(sf_dir):
+    """Tie-detection guard for the one remaining float-rounded oracle
+    with no integer-exact form: udf_grouped_zscore rounds a
+    stddev-derived double to 4dp on both engines. The r8 bug class
+    (interval_expand, commit a8215d4) was a value landing EXACTLY on a
+    decimal rounding tie, where Spark's HALF_UP and the engines'
+    different summation orders pick different sides. stddev has no
+    integer-lattice rewrite, so instead this guard FAILS LOUDLY if any
+    z-score in any fixture SF sits within 1e-9 of a .00005 boundary —
+    regenerate-data drift lands here as a named failure, not a silent
+    driver hash mismatch. (Cross-engine z differences are ~1e-12; a
+    1e-9 margin means both engines provably round identically.)"""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    dist = con.execute(
+        """
+        SELECT min(abs(abs(z * 10000 - floor(z * 10000)) - 0.5)) FROM (
+            SELECT (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                       AS z
+            FROM events WINDOW w AS (PARTITION BY user_id)
+        ) WHERE z IS NOT NULL
+        """
+    ).fetchone()[0]
+    con.close()
+    assert dist is not None and dist > 1e-9, (
+        f"z-score within {dist} of a 4dp rounding tie at {sf_dir} — "
+        "the a8215d4 bug class; widen the oracle rounding or re-fixture"
+    )

@@ -11,7 +11,7 @@ from batch_processing_iac_aws_spark.plans import (
     ORACLES,
     QUERIES,
     _PRIORITY,
-    _ROUND9_QUEUE,
+    _ROUND10_QUEUE,
 )
 
 # genuinely non-SQL-expressible ops (xxhash64-based SimHash signatures
@@ -32,8 +32,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 203
-    assert len(ORACLES) == 201
+    assert len(QUERIES) == 204
+    assert len(ORACLES) == 202
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -59,26 +59,20 @@ def _ever_driver_confirmed() -> set[str]:
     return seen
 
 
-def test_first_50_is_the_round8_rotation_window():
-    """Rotation policy: the round-8 window = the five queries new this
-    round (quality_logit_score — the weights-as-data linear quality gate,
-    hash-oracled through the engine-exact logit and its >= 0 decision;
-    streaming_incremental_sparse — the sixth streaming composition,
-    lexical-cosine rolling ingest with a batch-by-batch fixpoint oracle;
-    similarity_ivf_pq_index — the persisted IVF-PQ search, the amortized
-    production path; streaming_quality_ingest — the seventh composition,
-    the quality gate fused into the rolling ingest; and
-    similarity_ivf_pq_residual — IVFADC proper, residual-trained PQ) +
-    the second wave (similarity_index_compact — persisted-index
-    small-files compaction, audit-gated; multimodal_phash_pairs —
-    perceptual-hash media near-dup, exhaustively oracled over the
-    portable md5 pseudo-intensity family) + 43 of the 45-query r4 cohort
-    (window_sliding donates a slot — its frame shape stays via
-    window_tumbling, window_range_frame, and streaming_sliding;
-    multimodal_resize donates the other — its mapInPandas stub shape
-    stays via multimodal_frames; both head _ROUND9_QUEUE).
-    After this round no query's last driver-green is older than r5,
-    except those two (r4-green, suite-proven, queued r9)."""
+def test_first_50_is_the_round9_rotation_window():
+    """Rotation policy: the round-9 window = the query new this round
+    (dedup_index_compact — the generation+watermark compaction lifecycle
+    adopted by the incremental dedup index family via the shared store,
+    audit-gated and hash-oracled on the probe-batch survivors) + the two
+    r4 stragglers the r8 pin queued first (window_sliding,
+    multimodal_resize) + 47 of the 50-query r5 cohort (join_inner,
+    join_left and union_distinct donate slots — the inner-join tree
+    shape stays via every in-window TPC-H query plus
+    join_semi/anti/full/range/interval/asof, the outer-join shape via
+    join_full, and the set-op family via set_except/set_intersect/
+    in_subquery; all three head _ROUND10_QUEUE). After this round no
+    query's last driver-green is older than r5 except those three
+    (suite-proven every session, queued r10)."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -96,17 +90,16 @@ def test_first_50_is_the_round8_rotation_window():
     assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"
 
 
-def test_round9_queue_names_are_registered():
+def test_round10_queue_names_are_registered():
     """The pinned next-round rotation queue must name only real queries —
     a typo'd entry would silently never rotate in (the r6 lesson applied
     to the queue itself, not just the window)."""
-    missing = [n for n in _ROUND9_QUEUE if n not in QUERIES]
+    missing = [n for n in _ROUND10_QUEUE if n not in QUERIES]
     assert not missing, f"queue names not in QUERIES: {missing}"
-    # and the queue is exactly the set that will be oldest after round 8:
+    # and the queue is exactly the set that will be oldest after round 9:
     # no overlap with the current window, no duplicates
-    assert len(set(_ROUND9_QUEUE)) == len(_ROUND9_QUEUE)
-    assert not set(_ROUND9_QUEUE) & set(_PRIORITY)
-
+    assert len(set(_ROUND10_QUEUE)) == len(_ROUND10_QUEUE)
+    assert not set(_ROUND10_QUEUE) & set(_PRIORITY)
 
 def test_scratch_source_cache_reuse_and_partial_build_wipe(tmp_path, monkeypatch):
     """scratch_source_cache: second call in the same process reuses the

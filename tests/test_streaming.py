@@ -307,19 +307,20 @@ def test_ingest_batch_replay_idempotent_after_partial_index_write(
 
     # batch 1: docs 3 (new), 4 (dup of batch-0's aaa), 5 (new).
     # Simulate the crash: batch 1's index partition already holds doc 3's
-    # hash (the partial write), then the replay runs the full batch.
+    # hash (the partial write, into the store's committed generation —
+    # exactly what a crashed append_index leaves), then the replay runs
+    # the full batch.
     import pyspark.sql.functions as F
 
-    partial = (
-        spark.createDataFrame([(3, "ccc")], "doc_id long, text string")
-        .select(
-            F.sha2("text", 256).alias("content_hash"),
-            F.lit(1).alias("batch_seq"),
-        )
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        append_index,
+        read_index,
     )
-    partial.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch_seq").parquet(index)
+
+    partial = spark.createDataFrame(
+        [(3, "ccc")], "doc_id long, text string"
+    ).select(F.sha2("text", 256).alias("content_hash"))
+    append_index(partial, index, batch_id=1)
 
     b1 = spark.createDataFrame(
         [(3, "ccc"), (4, "aaa"), (5, "ddd")], "doc_id long, text string"
@@ -331,14 +332,14 @@ def test_ingest_batch_replay_idempotent_after_partial_index_write(
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 2, 3, 5]
-    idx = spark.read.parquet(index)
+    idx = read_index(spark, index)
     assert idx.count() == 4  # aaa,bbb from b0 + ccc,ddd from b1
     # and a SECOND full replay of the same batch is still a fixpoint
     ingest_dedup_batch(b1, 1, table_dir=table, index_dir=index)
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 2, 3, 5]
-    assert spark.read.parquet(index).count() == 4
+    assert read_index(spark, index).count() == 4
 
 
 def test_streaming_ann_ingest_builds_then_appends_exactly_once(
@@ -488,8 +489,6 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
     fixpoint."""
     import os
 
-    import pyspark.sql.functions as F
-
     from batch_processing_iac_aws_spark.streaming.pipeline import (
         ingest_sparse_batch,
         run_streaming_sparse_ingest,
@@ -543,16 +542,18 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
         hashed_doc_vectors,
     )
 
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        append_index,
+    )
+
     partial = hashed_doc_vectors(
         spark.createDataFrame(
             [(11, "completely fresh words about parquet pruning")],
             "doc_id long, text string",
         ),
         dim=1 << 12,
-    ).withColumn("batch_seq", F.lit(1))
-    partial.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch_seq").parquet(idx)
+    )
+    append_index(partial, idx, batch_id=1)
     b1 = spark.createDataFrame(rows[1], "doc_id long, text string")
     ingest_sparse_batch(
         b1, 1, table_dir=table, index_dir=idx, dim=1 << 12,
@@ -614,15 +615,15 @@ def test_ingest_quality_batch_gates_dedups_and_replays_idempotently(
         "doc_id long, text string",
     )
     # crash window: 5's hash already in batch 1's partial index partition
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        append_index,
+        read_index,
+    )
+
     partial = spark.createDataFrame(
         [(5, "one two three four five")], "doc_id long, text string"
-    ).select(
-        F.sha2("text", 256).alias("content_hash"),
-        F.lit(1).alias("batch_seq"),
-    )
-    partial.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch_seq").parquet(index)
+    ).select(F.sha2("text", 256).alias("content_hash"))
+    append_index(partial, index, batch_id=1)
     ingest_quality_batch(b1, 1, table_dir=table, index_dir=index, weights=w)
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
@@ -632,7 +633,7 @@ def test_ingest_quality_batch_gates_dedups_and_replays_idempotently(
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 5]
-    assert spark.read.parquet(index).count() == 2
+    assert read_index(spark, index).count() == 2
 
 
 def test_streaming_ann_ingest_continues_after_compaction(spark, tmp_path):
