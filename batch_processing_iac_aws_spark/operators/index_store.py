@@ -92,6 +92,32 @@ def read_index(spark, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{store_current(index_dir)}/data")
 
 
+def assert_appendable(index_dir: str, batch_id: int) -> None:
+    """Raise when ``batch_id`` is at or below the committed generation's
+    compaction watermark — BEFORE any write. Ingest compositions that
+    write a TABLE partition and then append the INDEX partition must call
+    this first: a replayed compacted batch excludes "its own" batch_seq
+    partition from the index read, but after compaction that partition
+    holds the MERGED history, so the replay would recompute survivors
+    with no history and dynamic-overwrite a corrupted table partition
+    before :func:`append_index`'s own refusal fired. A never-committed
+    store is appendable (the first-batch case)."""
+    try:
+        gen = store_current(index_dir)
+    except FileNotFoundError:
+        return
+    watermark = store_watermark(gen)
+    if watermark is not None and batch_id <= watermark:
+        raise ValueError(
+            f"batch_id {batch_id} is at or below this index's compaction "
+            f"watermark {watermark} — its original partition was merged "
+            "by compact_index, so a replayed ingest would double its "
+            "rows instead of overwriting them. Only compact batches "
+            "whose ingest is checkpoint-committed; new batches need "
+            "fresh ids."
+        )
+
+
 def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
     """Ingest one batch of index rows under its own ``batch_seq``
     partition — dynamic overwrite, so a crashed-and-replayed ingest with
@@ -109,6 +135,7 @@ def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
     away by :func:`compact_index`, so a replayed ingest would double
     their rows instead of overwriting them. Only compact batches whose
     ingest is checkpoint-committed; new batches need fresh ids."""
+    assert_appendable(index_dir, batch_id)
     payload = df.withColumn("batch_seq", F.lit(batch_id))
     try:
         gen = store_current(index_dir)
@@ -121,16 +148,6 @@ def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
         )
         store_commit(index_dir, gname)
         return
-    watermark = store_watermark(gen)
-    if watermark is not None and batch_id <= watermark:
-        raise ValueError(
-            f"batch_id {batch_id} is at or below this index's compaction "
-            f"watermark {watermark} — its original partition was merged "
-            "by compact_index, so a replayed ingest would double its "
-            "rows instead of overwriting them. Only compact batches "
-            "whose ingest is checkpoint-committed; new batches need "
-            "fresh ids."
-        )
     (
         payload.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -293,13 +293,23 @@ def assign_ivf_clusters(
     *,
     vec_col: str = "embedding",
     out_col: str = "ivf_cluster",
+    score_round: "int | None" = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine): a map-only
     pass — Arrow-batched matmul for the scores, JVM argmax over the small
-    score array. No shuffle."""
-    scored = df.withColumn(
-        "__scores", _centroid_scores_udf(centroids)(F.col(vec_col))
-    )
+    score array. No shuffle.
+
+    ``score_round`` (opt-in) rounds the scores before the argmax — the
+    semantic_dedup convention that makes the assignment ENGINE-PORTABLE
+    (a raw-float argmax can flip on ~1e-16 summation-order differences
+    when two cells score nearly equal; at 6dp both engines see the same
+    lattice and ties go to the first/lowest cell id). The ANN search
+    paths keep the raw default — recall floors tolerate boundary flips;
+    hash-oracled dedup paths pass 6."""
+    scores = _centroid_scores_udf(centroids)(F.col(vec_col))
+    if score_round is not None:
+        scores = F.transform(scores, lambda s: F.round(s, score_round))
+    scored = df.withColumn("__scores", scores)
     return scored.withColumn(
         out_col,
         F.array_position(F.col("__scores"), F.array_max("__scores")).cast("int")
@@ -580,6 +590,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int = 0,
+    assign_score_round: "int | None" = None,
 ) -> None:
     """Build and PERSIST an IVF index — the rolling-corpus answer to
     :func:`ivf_topk` re-training per call (the similarity twin of the
@@ -614,6 +625,7 @@ def build_ivf_index(
     _write_ivf_assignments(
         corpus, centroids, gen_dir,
         id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+        score_round=assign_score_round,
     )
     _ivf_commit(index_dir, f"gen-{batch_id}")
     _ivf_prune_generations(index_dir)
@@ -627,9 +639,14 @@ def _write_ivf_assignments(
     id_col: str,
     vec_col: str,
     batch_id: int,
+    score_round: "int | None" = None,
+    max_rows_per_file: "int | None" = None,
 ) -> None:
     """Assign + write ONE batch under its own (batch_seq, cell) partitions
-    — dynamic overwrite, so a replayed batch_id rewrites exactly itself."""
+    — dynamic overwrite, so a replayed batch_id rewrites exactly itself.
+    ``max_rows_per_file`` salts giant cells across several files at the
+    WRITE (index_store.salted_repartition) — the same skew guard
+    compaction takes, for corpora hot enough to need it per ingest."""
     assigned = assign_ivf_clusters(
         batch.select(
             F.col(id_col).alias("id"),
@@ -637,6 +654,7 @@ def _write_ivf_assignments(
         ),
         centroids,
         vec_col="vec",
+        score_round=score_round,
     ).select(
         "id",
         "vec",
@@ -644,13 +662,20 @@ def _write_ivf_assignments(
         F.lit(batch_id).alias("batch_seq"),
         "ivf_cluster",
     )
+    from .index_store import salted_repartition
+
     (
         # repartition on the partition keys first: without it every
         # upstream task writes a sliver into every cell dir (tasks x
         # cells tiny files — measured 512 files and 5s of FS churn for a
-        # 2k-row build); with it, one file per (batch, cell). At real
-        # scale add a salt column to split giant cells across files.
-        assigned.repartition(F.col("batch_seq"), F.col("ivf_cluster"))
+        # 2k-row build); with it, one file per (batch, cell) — or
+        # several for a salted giant cell when max_rows_per_file is set.
+        salted_repartition(
+            assigned,
+            ["batch_seq", "ivf_cluster"],
+            split_col="id",
+            max_rows_per_file=max_rows_per_file,
+        )
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_seq", "ivf_cluster")
@@ -668,6 +693,7 @@ def append_to_ivf_index(
     drift_floor: float = 0.0,
     max_drift_frac: float = 0.5,
     n_centroids: int | None = None,
+    max_rows_per_file: "int | None" = None,
 ) -> bool:
     """Ingest a new batch into the persisted IVF index MAP-ONLY: assign
     against the stored (broadcast-sized) centroids, write the batch's
@@ -725,6 +751,7 @@ def append_to_ivf_index(
             _write_ivf_assignments(
                 batch, centroids, gen_dir,
                 id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+                max_rows_per_file=max_rows_per_file,
             )
             return False
         _retrain_ivf_index(
@@ -739,6 +766,7 @@ def append_to_ivf_index(
     _write_ivf_assignments(
         batch, centroids, gen_dir,
         id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+        max_rows_per_file=max_rows_per_file,
     )
     return False
 
@@ -901,6 +929,91 @@ def ivf_index_topk(
         vec_col=vec_col,
         query_id_col=query_id_col,
     )
+
+
+def incremental_ann_dedup(
+    batch: DataFrame,
+    index_dir: str,
+    *,
+    threshold: float = 0.6,
+    n_probe: int = 1,
+    score_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INDEX-ACCELERATED semantic dedup — SemDeDup's drop rule run
+    against the PERSISTED IVF index instead of the full history:
+    each batch vector probes its ``n_probe`` nearest cells (rounded
+    cosine against the broadcast-sized stored centroids, ties to the
+    lowest cell — the semantic_dedup convention) and drops iff some
+    indexed vector INSIDE a probed cell reaches ``threshold`` cosine.
+    Returns the surviving batch rows (all columns).
+
+    This is the missing scale shape between the exact incremental
+    members and SemDeDup: :func:`incremental_embedding_dedup` scans the
+    FULL history per batch (bounded only by the batch broadcast), and
+    :func:`~..operators.dedup.semantic_dedup` is corpus-wide, not
+    incremental. Here the 100 TB history contributes only its probed
+    cells — the assignments tree is partitioned by (batch_seq,
+    ivf_cluster), so the cell equi-join prunes whole partition
+    directories at the scan, exactly like the ANN search path — and the
+    batch side is one map-only assignment against broadcast centroids.
+    Like every coarse-quantized method, recall is structural-ish, not
+    exact: a true near-duplicate outside the probed cells is missed
+    (raise ``n_probe`` to trade scan for recall; for cosine >= ~0.95
+    duplicates, vectors this similar land in the same top cells for any
+    sane quantizer). All scores round to ``score_round`` dp so probe
+    choice and drop decision are engine-portable — the registered query
+    hash-oracles the whole composition (build -> probe -> drop)
+    end-to-end; build the index with the same ``assign_score_round``."""
+    spark = batch.sparkSession
+    centroids = read_ivf_centroids(spark, index_dir)
+    q = batch.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn(
+        "__rs",
+        F.transform(
+            _centroid_scores_udf(centroids)(F.col("__qv")),
+            lambda s: F.round(s, score_round),
+        ),
+    )
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            (-F.element_at(F.col("__rs"), i + 1)).alias("neg"),
+            i.alias("cid"),
+        ),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(ranked), 1, n_probe),
+        lambda s: s.getField("cid"),
+    )
+    qp = q.withColumn("ivf_cluster", F.explode(probes)).select(
+        "__qid", "__qv", "ivf_cluster"
+    )
+    hist = ivf_assignments(spark, index_dir).select(
+        F.col("vec").alias("__hv"),
+        F.col("norm").alias("__hn"),
+        "ivf_cluster",
+    )
+    scored = qp.join(hist, "ivf_cluster").select(
+        "__qid",
+        F.round(
+            F.when(
+                l2_norm(F.col("__qv")) * F.col("__hn") > 0,
+                dot(F.col("__qv"), F.col("__hv"))
+                / (l2_norm(F.col("__qv")) * F.col("__hn")),
+            ),
+            score_round,
+        ).alias("__s"),
+    )
+    dup_ids = (
+        scored.filter(F.col("__s") >= threshold)
+        .select(F.col("__qid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
 
 
 def lsh_topk(

@@ -215,7 +215,7 @@ from . import quality  # noqa: E402,F401
 #     window_sliding and multimodal_resize (r4-green, suite-proven every
 #     session, heading the r9 queue).
 #   round 9 window (this one) — the r8-pinned plan executed verbatim:
-#     new (1): dedup_index_compact (the generation+watermark compaction
+#     new (3): dedup_index_compact (the generation+watermark compaction
 #       lifecycle the ANN index got in round 8, adopted by the
 #       incremental DEDUP index family via the shared store —
 #       operators/index_store.py:compact_index; the registered row is
@@ -226,28 +226,63 @@ from . import quality  # noqa: E402,F401
 #       DuckDB's replay of the probe decoration + first-arrival
 #       anti-join. The three streaming ingest compositions now read and
 #       append their indexes THROUGH the store's committed generation
-#       pointer).
-#     rotation (49 of _ROUND9_QUEUE's 52): window_sliding and
+#       pointer, and refuse compacted-batch replays BEFORE any write —
+#       the own-partition exclusion would otherwise hide merged history
+#       and corrupt the table partition before the index guard fired),
+#       and streaming_compacted_ingest (the EIGHTH composition: that
+#       compaction fused into the checkpointed rolling ingest — batches
+#       0-1 stream in, compact_index(upto=1) flips the generation while
+#       the checkpoint sleeps, batch 2 resumes against the compacted
+#       history; gated on the audit + the before-any-write replay
+#       refusal, oracled as the same first-arrival fixpoint + batch_seq),
+#       and dedup_incremental_ann (INDEX-ACCELERATED semantic dedup —
+#       SemDeDup's drop rule against the PERSISTED IVF index, probing 2
+#       of 16 cells so history contributes only probed partition
+#       directories; every score rounds 6dp with lowest-cell ties, and
+#       the oracle unrolls the ENTIRE composition — exact-integer Lloyd
+#       refinement at k=16, index cell assignment, 2-cell probe,
+#       probed-cell drop test — with x1.01-rescaled re-uploads decorated
+#       in so the match path provably fires).
+#     rotation (47 of _ROUND9_QUEUE's 52): window_sliding and
 #       multimodal_resize (the two r4 stragglers) head it, then the r5
-#       cohort oldest-first. The 1 new query plus the queue overhang
-#       displace the three most shape-redundant members: join_inner
+#       cohort oldest-first. The 3 new queries plus the queue overhang
+#       displace the five most shape-redundant members: join_inner
 #       (every TPC-H plan in-window is an inner-join tree, and
 #       join_semi/anti/full/range/interval/asof all stay), join_left
 #       (join_full subsumes the outer-join plan shape), and
 #       union_distinct (set_except/set_intersect/in_subquery keep the
-#       set-op family). They head _ROUND10_QUEUE and re-rotate with the
-#       r8 window next round.
+#       set-op family), q7_nation_volume (its nation-volume join-agg
+#       tree stays via q5_region_revenue's identical join spine and
+#       q8_market_share's volume-share aggregate), and scalar_subquery
+#       (the subquery family keeps in_subquery plus q15_top_supplier's
+#       scalar-subquery-on-a-view plan in-window). They head
+#       _ROUND10_QUEUE and re-rotate with the r8 window next round.
 #     After this round no query's last driver-green is older than r5
-#     except those three (suite-proven every session).
+#     except those five (suite-proven every session).
+#     Round-9 proof runs beyond the suite: (a) the capped upward sweep —
+#     tools/make_capped_sf.py subsamples sf0.1 to 1000 docs/vectors and
+#     all 11 exhaustive-oracle dedup twins (the rows whose DuckDB cost
+#     is quadratic at full sf0.1) ran green there via probe_subset, so
+#     every oracle family now has an above-sf0.01 proof of the exact
+#     registered code; (b) dedup_incremental_ann additionally proved at
+#     FULL sf0.1 (its unrolled oracle is probe-bounded, not quadratic);
+#     (c) the real-codec branch executed on true PNG bits (stdlib zlib
+#     decode — tests/test_multimodal.py) closing the r8 verdict's
+#     missing item 2; (d) the udf_grouped_zscore rounding-tie guard
+#     pins the one remaining float oracle at all three fixture SFs;
+#     (e) 5x linearity probes extended to the round-9 operators
+#     (tools/probe_linearity_r9.py, results in ARCHITECTURE.md).
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
     #    enter the window) --
     "dedup_index_compact",
+    "streaming_compacted_ingest",
+    "dedup_incremental_ann",
     # -- the two r4 stragglers the r8 pin queued first --
     "window_sliding",
     "multimodal_resize",
-    # -- the r5 cohort, oldest-first (49 of _ROUND9_QUEUE's 52; the
-    #    displaced three head _ROUND10_QUEUE) --
+    # -- the r5 cohort, oldest-first (47 of _ROUND9_QUEUE's 52; the
+    #    displaced five head _ROUND10_QUEUE) --
     "q1_pricing_summary",
     "join_asof",
     "agg_argminmax",
@@ -283,11 +318,9 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "sample_quality_weighted",
-    "scalar_subquery",
     "set_except",
     "set_intersect",
     "sql_entrypoint",
@@ -299,7 +332,7 @@ _PRIORITY = [
 
 #: Round-10 rotation queue, pinned now so a typo cannot silently drop a
 #: query from rotation (tests/test_registry.py asserts every name
-#: exists): the three r5-cohort members this round's news + overhang
+#: exists): the five r5-cohort members this round's news + overhang
 #: displaced (suite-proven every session, now the single oldest
 #: driver-greens, so they head the queue) followed by the whole r8
 #: window — after round 9 those are the next-oldest driver-greens.
@@ -310,6 +343,8 @@ _ROUND10_QUEUE = [
     "join_inner",
     "join_left",
     "union_distinct",
+    "q7_nation_volume",
+    "scalar_subquery",
     # -- the r8 window (news first, then its r4 cohort) --
     "quality_logit_score",
     "streaming_incremental_sparse",

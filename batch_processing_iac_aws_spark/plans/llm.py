@@ -558,6 +558,128 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+@query(
+    "dedup_incremental_ann",
+    oracle=r"""
+WITH hist AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 4 <> 3),
+batch AS (
+    SELECT b.vec_id,
+           CASE WHEN b.vec_id % 20 = 3 AND d.vec_id IS NOT NULL
+                THEN list_transform(CAST(d.embedding AS DOUBLE[]),
+                                    x -> x * 1.01)
+                ELSE CAST(b.embedding AS DOUBLE[]) END AS v
+    FROM embeddings b LEFT JOIN embeddings d ON d.vec_id = b.vec_id - 3
+    WHERE b.vec_id % 4 = 3
+),
+eq AS (SELECT vec_id,
+              list_transform(v, x -> CAST(round(x*1000) AS BIGINT)) AS xq
+       FROM hist),
+ex AS (SELECT vec_id, generate_subscripts(xq,1) AS i, unnest(xq) AS x
+       FROM eq),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)-1 AS BIGINT) AS cid,
+              xq
+       FROM (SELECT * FROM eq ORDER BY vec_id LIMIT 16)),
+c0x AS (SELECT cid, generate_subscripts(xq,1) AS i, unnest(xq)*100 AS c
+        FROM c0),
+d1 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.x*100 - c.c)*(e.x*100 - c.c)) AS BIGINT) AS dist
+       FROM ex e JOIN c0x c USING (i) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+    FROM d1) WHERE rn=1),
+u1 AS (SELECT a.cluster AS cid, e.i, CAST(sum(e.x) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cluster, e.i),
+c1x AS (SELECT c.cid, c.i,
+               CASE WHEN u.s IS NULL THEN c.c
+                    ELSE (u.s*100 - (((u.s*100 % u.n) + u.n) % u.n)) // u.n
+               END AS c
+        FROM c0x c LEFT JOIN u1 u ON u.cid = c.cid AND u.i = c.i),
+cent AS (SELECT cid, list_transform(list(c ORDER BY i), y -> y/100000.0)
+                     AS cv
+         FROM c1x GROUP BY cid),
+ha AS (SELECT vec_id, cid AS cell FROM (
+    SELECT h.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY h.vec_id
+               ORDER BY round(list_cosine_similarity(h.v, c.cv), 6) DESC,
+                        c.cid) rn
+    FROM hist h CROSS JOIN cent c) WHERE rn = 1),
+bp AS (SELECT vec_id, cid AS cell FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+                        c.cid) rn
+    FROM batch b CROSS JOIN cent c) WHERE rn <= 2)
+SELECT b.vec_id
+FROM batch b
+WHERE NOT EXISTS (
+    SELECT 1
+    FROM bp JOIN ha ON ha.cell = bp.cell
+    JOIN hist h ON h.vec_id = ha.vec_id
+    WHERE bp.vec_id = b.vec_id
+      AND round(list_cosine_similarity(b.v, h.v), 6) >= 0.6)
+""",
+)
+def dedup_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-ACCELERATED semantic dedup — the scale shape between the
+    exhaustive embedding member and SemDeDup: dedup_incremental_embedding
+    scans the FULL history per batch, semantic_dedup is corpus-wide;
+    here the new batch (the 25% crawl, vec_id % 4 == 3) probes only its
+    2 nearest cells of the PERSISTED 16-cell IVF index built over
+    history, so the 100 TB history contributes just the probed cells'
+    partition directories at the scan
+    (operators/similarity.py:incremental_ann_dedup). Every score rounds
+    to 6dp with ties to the lowest cell (the semantic_dedup convention),
+    so the WHOLE composition is engine-portable and the oracle unrolls
+    it end-to-end: the exact-integer Lloyd refinement of the coarse
+    quantizer (the cluster_kmeans machinery at k=16 over history), the
+    index's cell assignment, the batch's 2-cell probe, and the
+    probed-cell drop test. Re-scaled re-uploads are decorated in
+    (vec_id % 20 == 3 copies vec_id-3's history vector x1.01 —
+    cosine-invariant, so the match path provably fires at threshold
+    0.6); the rest of the batch is near-random and survives. The index
+    builds with assign_score_round=6 — the opt-in that makes stored
+    cells hash-exact where the ANN search paths keep raw-float argmax."""
+    from ..operators.similarity import (
+        build_ivf_index,
+        incremental_ann_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    history = e.filter(F.col("vec_id") % 4 != 3)
+    donor = e.select(
+        (F.col("vec_id") + 3).alias("vec_id"),
+        F.col("embedding").alias("__dv"),
+    )
+    batch = (
+        e.filter(F.col("vec_id") % 4 == 3)
+        .join(donor, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") % 20 == 3) & F.col("__dv").isNotNull(),
+                F.transform(
+                    F.col("__dv").cast("array<double>"),
+                    lambda x: x * 1.01,
+                ),
+            )
+            .otherwise(F.col("embedding").cast("array<double>"))
+            .alias("embedding"),
+        )
+    )
+    idx = f"{scratch_dir('anndedup', sf_dir)}/index"
+    build_ivf_index(
+        history, idx, n_centroids=16, batch_id=0, assign_score_round=6
+    )
+    return incremental_ann_dedup(
+        batch, idx, threshold=0.6, n_probe=2, score_round=6
+    ).select("vec_id")
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -678,3 +678,95 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/table").select(
         "doc_id", "content_hash"
     )
+
+
+@query(
+    "streaming_compacted_ingest",
+    oracle="""
+WITH src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+              THEN d7.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+)
+SELECT d.doc_id, sha256(d.text) AS content_hash,
+       CAST(d.doc_id % 3 AS INT) AS batch_seq
+FROM src d
+WHERE NOT EXISTS (
+  SELECT 1 FROM src h
+  WHERE sha256(h.text) = sha256(d.text)
+    AND (h.doc_id % 3 < d.doc_id % 3
+         OR (h.doc_id % 3 = d.doc_id % 3 AND h.doc_id < d.doc_id)))
+""",
+)
+def streaming_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EIGHTH streaming composition — index COMPACTION fused into the
+    checkpointed rolling-ingest lifecycle, the maintenance interleaving a
+    real 24/7 pipeline runs: batches 0-1 stream in and dedup against the
+    persisted fingerprint store, an offline compact_index(upto_batch=1)
+    merges their index partitions under the atomic generation flip while
+    the checkpoint sleeps, then batch 2 arrives and the SAME checkpoint
+    resumes — reading through the new generation, deduping against the
+    compacted history, and appending its own partition above the
+    watermark. The in-engine gates (any failure empties the output and
+    the driver goes red): the compaction audit (2 batch partitions -> 1,
+    strictly fewer files, identical row count, not a no-op replay) and
+    the watermark guard (a replayed ingest of compacted-away batch 1
+    must refuse loudly). The oracle states the same first-arrival
+    fixpoint as streaming_incremental_dedup plus each survivor's
+    batch_seq — compaction must change NOTHING about survivors, and
+    post-compaction ingests must still land their own table partitions.
+    streaming/pipeline.py:run_streaming_ingest_dedup +
+    operators/index_store.py:compact_index."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..operators.index_store import compact_index
+    from ..streaming.pipeline import (
+        ingest_dedup_batch,
+        run_streaming_ingest_dedup,
+    )
+
+    base = scratch_dir("cingest", sf_dir)
+    src_all = _dup_decorated_ingest_source(spark, sf_dir)
+    files = sorted(
+        _glob.glob(f"{src_all}/*.parquet"), key=os.path.getmtime
+    )
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    table, index, ckpt = f"{base}/table", f"{base}/index", f"{base}/ckpt"
+    # stage 1: the first two batch files exist; the stream drains them
+    # (copy2 preserves mtimes, so file order stays batch order)
+    for f in files[:2]:
+        shutil.copy2(f, src)
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
+    audit = compact_index(spark, index, upto_batch=1)
+    refused = False
+    try:
+        ingest_dedup_batch(
+            spark.read.parquet(files[1]), 1,
+            table_dir=table, index_dir=index,
+        )
+    except ValueError:
+        refused = True
+    # stage 2: batch 2 arrives later; the SAME checkpoint continues and
+    # processes only the new file, against the compacted generation
+    shutil.copy2(files[2], src)
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
+    audit_ok = (
+        audit["rows_before"] == audit["rows_after"]
+        and audit["files_after"] < audit["files_before"]
+        and audit["batches_before"] == 2
+        and audit["batches_after"] == 1
+        and not audit["noop_replay"]
+    )
+    return (
+        spark.read.parquet(table)
+        .filter(F.lit(bool(audit_ok and refused)))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.col("batch_seq").cast("int").alias("batch_seq"),
+        )
+    )

@@ -297,8 +297,18 @@ def ingest_dedup_batch(
         return
     from pyspark.sql import Window
 
-    from ..operators.index_store import append_index, read_index
+    from ..operators.index_store import (
+        append_index,
+        assert_appendable,
+        read_index,
+    )
 
+    # refuse a replay of a compacted-away batch BEFORE any write: the
+    # index read below excludes "this batch's own" partition, but after
+    # compaction that partition holds the merged HISTORY — the replay
+    # would recompute survivors with no history and overwrite a corrupt
+    # table partition before append_index's own guard fired
+    assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     hashed = batch_df.withColumn(
         "content_hash", F.sha2(F.col(text_col), 256)
@@ -521,9 +531,16 @@ def ingest_sparse_batch(
     from pyspark.sql import Window
 
     from ..operators.dedup import incremental_sparse_dedup
-    from ..operators.index_store import append_index, read_index
+    from ..operators.index_store import (
+        append_index,
+        assert_appendable,
+        read_index,
+    )
     from ..operators.text import hashed_doc_vectors
 
+    # compacted-batch replays refuse before any write (ingest_dedup_batch
+    # rationale: the own-partition exclusion would hide merged history)
+    assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
     firsts = (
@@ -641,9 +658,13 @@ def ingest_quality_batch(
         return
     from pyspark.sql import Window
 
+    from ..operators.index_store import assert_appendable
     from ..operators.quality import quality_logit_score
     from ..operators.text import quality_features
 
+    # compacted-batch replays refuse before any write (ingest_dedup_batch
+    # rationale: the own-partition exclusion would hide merged history)
+    assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     gated = quality_logit_score(
         quality_features(batch_df, text_col=text_col), weights

@@ -120,8 +120,16 @@ HEADLINE = [
     # round 9: dedup-index small-files compaction through the shared
     # generationed store (4-batch sha index cached per process as an
     # input-by-contract and COPIED per run, so warm measures copy +
-    # compact + the two audit anti-joins, not the 4-batch build)
+    # compact + the two audit anti-joins, not the 4-batch build), and
+    # the eighth streaming composition (compaction fused into the
+    # checkpointed rolling ingest: two streaming runs + a compaction per
+    # call under the wiped scratch_dir; source cached per process)
     "dedup_index_compact",
+    "streaming_compacted_ingest",
+    # round 9 (cont.): index-accelerated semantic dedup — the persisted
+    # IVF index built per call (build path), then a 2-of-16-cell probe
+    # dedup of the 25% batch
+    "dedup_incremental_ann",
 ]
 
 WARM_ITERS = 3

@@ -230,7 +230,102 @@ def test_streaming_dedup_ingest_continues_after_compaction(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(table).collect()
     ) == [1, 2, 3, 6]
-    # replay of a compacted-away batch must refuse, not double rows
+    # replay of a compacted-away batch must refuse BEFORE any write:
+    # neither the table nor the index may change — the replay's index
+    # read would exclude "its own" batch_seq=1 partition, which after
+    # compaction holds the MERGED history, so a late refusal (after the
+    # table overwrite) would have resurrected doc 4 as a survivor
     with pytest.raises(ValueError, match="watermark"):
         ingest_dedup_batch(b1, 1, table_dir=table, index_dir=idx)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2, 3, 6]
     assert read_index(spark, idx).count() == 4
+
+
+def test_streaming_sparse_ingest_continues_after_compaction(spark, tmp_path):
+    """The sparse inverted index (id, idx, c, norm2_sum — a different
+    payload schema from the sha digests) through the same store
+    lifecycle: two ingested batches compact, cosine dedup still fires
+    against the merged history, a fresh batch ingests above the
+    watermark, and a compacted-batch replay refuses before any write."""
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_sparse_batch,
+    )
+
+    table, idx = str(tmp_path / "table"), str(tmp_path / "idx")
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark forest tonight")
+    rev = " ".join(reversed(base.split()))
+    b0 = spark.createDataFrame(
+        [(0, base), (1, "spark shuffles partition data fast")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, rev), (11, "completely fresh words about parquet pruning")],
+        "doc_id long, text string",
+    )
+    kw = dict(table_dir=table, index_dir=idx, dim=1 << 12, threshold=0.95)
+    ingest_sparse_batch(b0, 0, **kw)
+    ingest_sparse_batch(b1, 1, **kw)  # 10 drops (word-permuted re-crawl)
+    audit = compact_index(spark, idx, upto_batch=1)
+    assert audit["batches_after"] == 1
+    assert audit["rows_before"] == audit["rows_after"]
+    # post-compaction: an exact re-crawl of doc 0 and a new doc
+    b2 = spark.createDataFrame(
+        [(20, base), (21, "another brand new document entirely different")],
+        "doc_id long, text string",
+    )
+    ingest_sparse_batch(b2, 2, **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+    with pytest.raises(ValueError, match="watermark"):
+        ingest_sparse_batch(b1, 1, **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+
+
+def test_append_to_ivf_index_salt_splits_giant_cell_at_write(
+    spark, tmp_path
+):
+    """The ingest path takes the same skew guard compaction does: a
+    skewed batch appended with max_rows_per_file must salt its giant
+    cell across several files at the WRITE."""
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_assignments,
+    )
+    from batch_processing_iac_aws_spark.session import local_frame
+
+    seed = local_frame(
+        spark,
+        [(0, [10.0, 0.0]), (1, [0.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(seed, idx, n_centroids=2, batch_id=0)
+    giant = local_frame(
+        spark,
+        [(100 + i, [10.0 + (i % 9) * 0.01, 0.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(
+        giant, idx, batch_id=1, drift_floor=-1.0, max_rows_per_file=80
+    )
+    per = (
+        ivf_assignments(spark, idx)
+        .where(F.col("batch_seq") == 1)
+        .select("ivf_cluster", F.input_file_name().alias("__f"))
+        .groupBy("ivf_cluster")
+        .agg(
+            F.countDistinct("__f").alias("files"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    )
+    big = max(per, key=lambda r: r["rows"])
+    assert big["rows"] == 300
+    assert big["files"] > 1

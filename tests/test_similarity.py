@@ -1088,3 +1088,66 @@ def test_compact_watermark_is_monotone(spark, emb, tmp_path):
     )
     assert seqs == [5]
     assert ivf_assignments(spark, idx).count() == emb.count()
+
+
+def test_incremental_ann_dedup_probes_cells_and_drops_duplicates(
+    spark, tmp_path
+):
+    """Index-accelerated semantic dedup on CLUSTERED data (two
+    well-separated modes): a re-scaled re-upload of a history vector
+    drops (cosine 1.0 is scale-invariant), a genuinely-new orthogonal
+    vector survives, and the probed-cell structure is honest — with
+    n_probe=1 a batch vector sitting in cluster A still dedups against
+    A's indexed members, and raising n_probe can only drop MORE, never
+    resurrect."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.similarity import (
+        build_ivf_index,
+        incremental_ann_dedup,
+    )
+    from batch_processing_iac_aws_spark.session import local_frame
+
+    # history: two tight clusters on orthogonal axes
+    rows = [(i, [10.0 + (i % 5) * 0.01, 0.0, 0.0]) for i in range(40)]
+    rows += [(100 + i, [0.0, 10.0 + (i % 5) * 0.01, 0.0]) for i in range(40)]
+    hist = local_frame(
+        spark, rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(
+        hist, idx, n_centroids=2, batch_id=0, assign_score_round=6
+    )
+    batch = local_frame(
+        spark,
+        [
+            (1000, [10.1, 0.0, 0.0]),    # re-crawl of cluster A -> drops
+            (1001, [0.0, 10.201, 0.0]),  # re-crawl of cluster B -> drops
+            (1002, [0.0, 0.0, 7.0]),     # orthogonal: new -> survives
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got1 = sorted(
+        r["vec_id"]
+        for r in incremental_ann_dedup(
+            batch, idx, threshold=0.95, n_probe=1
+        ).collect()
+    )
+    assert got1 == [1002]
+    # raising n_probe is monotone: the survivor set can only shrink
+    got2 = {
+        r["vec_id"]
+        for r in incremental_ann_dedup(
+            batch, idx, threshold=0.95, n_probe=2
+        ).collect()
+    }
+    assert got2 <= set(got1)
+    # threshold gates: nothing in this batch reaches 0.999999 except the
+    # exact-direction re-crawls, which are cosine ~1.0 with cluster means
+    got_strict = {
+        r["vec_id"]
+        for r in incremental_ann_dedup(
+            batch, idx, threshold=1.1, n_probe=2
+        ).collect()
+    }
+    assert got_strict == {1000, 1001, 1002}  # impossible threshold: all survive
