@@ -443,3 +443,20 @@ def test_band_bloom_prefilter_plan_shape(spark):
     assert "LeftSemi" in tree
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_incremental_ann_dedup_prunes_index_partitions(spark):
+    """The index-accelerated dedup's 100 TB claim, verified in the
+    PHYSICAL plan: the persisted-index scan must carry a dynamic
+    partition-pruning filter on ivf_cluster (the batch's broadcast probe
+    set prunes unprobed cell DIRECTORIES at the scan), the probe join
+    must be a broadcast (batch side is bounded by contract), and the
+    centroid scoring must be Arrow-batched, never row-wise Python."""
+    df = QUERIES["dedup_incremental_ann"](spark, SF)
+    plan = plan_of(df)
+    assert "dynamicpruningexpression(ivf_cluster" in plan, (
+        "index scan lost dynamic partition pruning on the probed cells"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
