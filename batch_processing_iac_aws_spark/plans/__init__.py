@@ -215,7 +215,7 @@ from . import quality  # noqa: E402,F401
 #     window_sliding and multimodal_resize (r4-green, suite-proven every
 #     session, heading the r9 queue).
 #   round 9 window (this one) — the r8-pinned plan executed verbatim:
-#     new (3): dedup_index_compact (the generation+watermark compaction
+#     new (4): dedup_index_compact (the generation+watermark compaction
 #       lifecycle the ANN index got in round 8, adopted by the
 #       incremental DEDUP index family via the shared store —
 #       operators/index_store.py:compact_index; the registered row is
@@ -242,30 +242,45 @@ from . import quality  # noqa: E402,F401
 #       the oracle unrolls the ENTIRE composition — exact-integer Lloyd
 #       refinement at k=16, index cell assignment, 2-cell probe,
 #       probed-cell drop test — with x1.01-rescaled re-uploads decorated
-#       in so the match path provably fires).
-#     rotation (47 of _ROUND9_QUEUE's 52): window_sliding and
+#       in so the match path provably fires), and streaming_fuzzy_ingest
+#       (the NINTH composition: near-duplicate rolling ingest — per
+#       micro-batch exact keep-first, banded MinHash join against the
+#       store-resolved signature index, exact-Jaccard verify against the
+#       table's bodies; oracle threads the batch-by-batch fixpoint with
+#       the exhaustive Jaccard scan; suffix-decorated re-crawls fire the
+#       match path in both arrival orders; source self-capped at 1000
+#       docs so the oracle stays feasible at EVERY SF — proven at full
+#       sf0.1 too).
+#     rotation (46 of _ROUND9_QUEUE's 52): window_sliding and
 #       multimodal_resize (the two r4 stragglers) head it, then the r5
-#       cohort oldest-first. The 3 new queries plus the queue overhang
-#       displace the five most shape-redundant members: join_inner
+#       cohort oldest-first. The 4 new queries plus the queue overhang
+#       displace the six most shape-redundant members: join_inner
 #       (every TPC-H plan in-window is an inner-join tree, and
 #       join_semi/anti/full/range/interval/asof all stay), join_left
 #       (join_full subsumes the outer-join plan shape), and
 #       union_distinct (set_except/set_intersect/in_subquery keep the
 #       set-op family), q7_nation_volume (its nation-volume join-agg
 #       tree stays via q5_region_revenue's identical join spine and
-#       q8_market_share's volume-share aggregate), and scalar_subquery
+#       q8_market_share's volume-share aggregate), scalar_subquery
 #       (the subquery family keeps in_subquery plus q15_top_supplier's
-#       scalar-subquery-on-a-view plan in-window). They head
-#       _ROUND10_QUEUE and re-rotate with the r8 window next round.
+#       scalar-subquery-on-a-view plan in-window), and set_intersect
+#       (INTERSECT rewrites to semi-join + distinct — join_semi and
+#       in_subquery keep that shape, set_except keeps the set-op
+#       rewrite family). They head _ROUND10_QUEUE and re-rotate with
+#       the r8 window next round.
 #     After this round no query's last driver-green is older than r5
-#     except those five (suite-proven every session).
+#     except those six (suite-proven every session).
 #     Round-9 proof runs beyond the suite: (a) the capped upward sweep —
 #     tools/make_capped_sf.py subsamples sf0.1 to 1000 docs/vectors and
 #     all 11 exhaustive-oracle dedup twins (the rows whose DuckDB cost
 #     is quadratic at full sf0.1) ran green there via probe_subset, so
 #     every oracle family now has an above-sf0.01 proof of the exact
-#     registered code; (b) dedup_incremental_ann additionally proved at
-#     FULL sf0.1 (its unrolled oracle is probe-bounded, not quadratic);
+#     registered code; (b) dedup_incremental_ann and
+#     streaming_fuzzy_ingest additionally proved at FULL sf0.1 (the
+#     first's unrolled oracle is probe-bounded, not quadratic; the
+#     second's source self-caps at 1000 docs), and the end-of-round
+#     sweeps ran ALL 205 oracles green at sf0.001 plus all non-quadratic
+#     oracles green at full sf0.1;
 #     (c) the real-codec branch executed on true PNG bits (stdlib zlib
 #     decode — tests/test_multimodal.py) closing the r8 verdict's
 #     missing item 2; (d) the udf_grouped_zscore rounding-tie guard
@@ -278,11 +293,12 @@ _PRIORITY = [
     "dedup_index_compact",
     "streaming_compacted_ingest",
     "dedup_incremental_ann",
+    "streaming_fuzzy_ingest",
     # -- the two r4 stragglers the r8 pin queued first --
     "window_sliding",
     "multimodal_resize",
-    # -- the r5 cohort, oldest-first (47 of _ROUND9_QUEUE's 52; the
-    #    displaced five head _ROUND10_QUEUE) --
+    # -- the r5 cohort, oldest-first (46 of _ROUND9_QUEUE's 52; the
+    #    displaced six head _ROUND10_QUEUE) --
     "q1_pricing_summary",
     "join_asof",
     "agg_argminmax",
@@ -322,7 +338,6 @@ _PRIORITY = [
     "q9_product_profit",
     "sample_quality_weighted",
     "set_except",
-    "set_intersect",
     "sql_entrypoint",
     "streaming_incremental_dedup",
     "text_normalize",
@@ -332,7 +347,7 @@ _PRIORITY = [
 
 #: Round-10 rotation queue, pinned now so a typo cannot silently drop a
 #: query from rotation (tests/test_registry.py asserts every name
-#: exists): the five r5-cohort members this round's news + overhang
+#: exists): the six r5-cohort members this round's news + overhang
 #: displaced (suite-proven every session, now the single oldest
 #: driver-greens, so they head the queue) followed by the whole r8
 #: window — after round 9 those are the next-oldest driver-greens.
@@ -345,6 +360,7 @@ _ROUND10_QUEUE = [
     "union_distinct",
     "q7_nation_volume",
     "scalar_subquery",
+    "set_intersect",
     # -- the r8 window (news first, then its r4 cohort) --
     "quality_logit_score",
     "streaming_incremental_sparse",

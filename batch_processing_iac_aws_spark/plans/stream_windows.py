@@ -680,6 +680,153 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered batch files (doc_id % 3) of documents
+    decorated with NEAR-duplicate re-crawls: doc_id % 10 == 7 serves
+    doc_id-7's text plus one appended word — shingle Jaccard (w-2)/(w-1)
+    against the donor, >= 0.9 for any doc of >= 12 words, so the fuzzy
+    match path provably fires where exact hashing sees a new document.
+    Donors land in a DIFFERENT batch than their re-crawls (id-7 vs id
+    mod 3 never match), sometimes a LATER one — the fixpoint handles
+    both directions. Capped at doc_id < 1000 so the exhaustive-Jaccard
+    oracle stays feasible at every SF (the streaming_incremental_sparse
+    convention). Cached per process (scratch_source_cache)."""
+    import glob as _glob
+    import os
+
+    from .registry import scratch_source_cache
+
+    cache, built = scratch_source_cache("ingest_fuzzy_src", sf_dir)
+    src = f"{cache}/src"
+    if built:
+        return src
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    donor = docs.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.col("text").alias("__near_text"),
+    )
+    d = docs.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("__near_text").isNotNull(),
+            F.concat(F.col("__near_text"), F.lit(" zz7suffix")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stamped: set = set()
+    for b in range(3):
+        (
+            d.filter(F.col("doc_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        t = 1_700_000_000 + b * 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t, t))
+                stamped.add(f)
+    with open(f"{cache}/_BUILT", "w") as fh:
+        fh.write("ok")
+    return src
+
+
+@query(
+    "streaming_fuzzy_ingest",
+    oracle=r"""
+WITH deco AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+                THEN d7.text || ' zz7suffix'
+                ELSE d.text END AS text
+    FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+    WHERE d.doc_id < 1000
+), firsts AS (
+    SELECT doc_id, text, doc_id % 3 AS b
+    FROM deco d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM deco e
+        WHERE e.doc_id % 3 = d.doc_id % 3
+          AND e.text = d.text AND e.doc_id < d.doc_id)
+), sh AS (
+    SELECT doc_id, b,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END AS s
+    FROM (SELECT doc_id, b,
+                 string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                              ' ') AS words
+          FROM firsts)
+), s0 AS (
+    SELECT doc_id FROM firsts WHERE b = 0
+), dup1 AS (
+    SELECT DISTINCT q.doc_id
+    FROM sh q JOIN sh h ON q.b = 1 AND h.b = 0
+    WHERE round(len(list_intersect(q.s, h.s)) * 1.0
+          / len(list_distinct(list_concat(q.s, h.s))), 4) >= 0.9
+), s1 AS (
+    SELECT doc_id FROM firsts
+    WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dup1)
+), dup2 AS (
+    SELECT DISTINCT q.doc_id
+    FROM sh q JOIN sh h
+      ON q.b = 2
+     AND ((h.b = 0 AND h.doc_id IN (SELECT doc_id FROM s0))
+          OR (h.b = 1 AND h.doc_id IN (SELECT doc_id FROM s1)))
+    WHERE round(len(list_intersect(q.s, h.s)) * 1.0
+          / len(list_distinct(list_concat(q.s, h.s))), 4) >= 0.9
+), s2 AS (
+    SELECT doc_id FROM firsts
+    WHERE b = 2 AND doc_id NOT IN (SELECT doc_id FROM dup2)
+)
+SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_seq
+FROM (SELECT doc_id FROM s0 UNION ALL
+      SELECT doc_id FROM s1 UNION ALL
+      SELECT doc_id FROM s2)
+""",
+)
+def streaming_fuzzy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NINTH streaming composition — NEAR-duplicate rolling ingest
+    through the REAL streaming engine
+    (streaming/pipeline.py:run_streaming_fuzzy_ingest), the fuzzy twin
+    of streaming_incremental_dedup and the composition a re-crawling web
+    pipeline actually needs: exact hashing misses the same page
+    re-served with one extra word, so each micro-batch keeps the lowest
+    id per exact hash within itself, band-joins its MinHash signatures
+    against the PERSISTED signature index of earlier survivors (read
+    through the generationed store's committed pointer), verifies
+    candidates with exact shingle Jaccard against the corpus table's
+    bodies, and drops matches at J >= 0.9. The oracle threads the
+    batch-by-batch first-arrival FIXPOINT (near-duplication is not
+    transitive, so each batch scores against the SURVIVING set — the
+    streaming_incremental_sparse convention) with the exhaustive
+    Jaccard scan of dedup_incremental_fuzzy, so the hash match proves
+    checkpointed sequencing, the store round-trip, the banded join's
+    recall, and the verify compose to exactly first-arrival semantics.
+    Suffix-decorated re-crawls (donor batches differ, sometimes arrive
+    LATER than their copies) make the match path provably fire both
+    directions. Source capped at doc_id < 1000 and cached per process;
+    table/index/checkpoint rebuild per call under the wiped
+    scratch_dir."""
+    from ..streaming.pipeline import run_streaming_fuzzy_ingest
+
+    base = scratch_dir("fingest", sf_dir)
+    src = _fuzzy_decorated_ingest_source(spark, sf_dir)
+    run_streaming_fuzzy_ingest(
+        spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt"
+    )
+    return spark.read.parquet(f"{base}/table").select(
+        "doc_id", F.col("batch_seq").cast("int").alias("batch_seq")
+    )
+
+
 @query(
     "streaming_compacted_ingest",
     oracle="""

@@ -710,3 +710,160 @@ def ingest_quality_batch(
     append_index(
         survivors.select("content_hash"), index_dir, batch_id=batch_id
     )
+
+
+def run_streaming_fuzzy_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.9,
+) -> None:
+    """Rolling-corpus ingestion with NEAR-DUPLICATE dedup as a REAL
+    streaming job — the ninth composition and the fuzzy twin of
+    :func:`run_streaming_ingest_dedup`: each micro-batch keeps the
+    lowest id per exact content hash within itself, band-joins its
+    MinHash signatures against the PERSISTED signature index of earlier
+    survivors (through the generationed store), verifies candidates
+    with exact shingle Jaccard against the corpus table's bodies
+    (point-lookup of candidate history docs only), drops batch docs
+    matching history at ``jaccard_threshold``, and appends survivors +
+    their signatures. Same exactly-once contract as the whole family:
+    checkpointed sequencing, batch-keyed dynamic overwrites on both
+    writes, own-partition exclusion on replay, and the store's
+    watermark refusing compacted-batch replays BEFORE any write."""
+    schema = spark.read.format("parquet").load(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_fuzzy_batch(
+            batch_df,
+            batch_id,
+            table_dir=table_dir,
+            index_dir=index_dir,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            jaccard_threshold=jaccard_threshold,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_fuzzy_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    table_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.9,
+) -> None:
+    """One micro-batch of the fuzzy rolling-ingest — module-level so the
+    crash/replay contract is directly testable outside the streaming
+    engine (the ingest_dedup_batch pattern). Within-batch the pipeline
+    keeps the lowest id per EXACT content hash (byte-identical repeats
+    are the cheap overwhelming case; a within-batch NEAR-dup pair lands
+    both members and the next batch's copies dedup against both — the
+    ingest_sparse_batch rationale). Cross-batch near-dups drop via
+    operators.dedup.incremental_fuzzy_dedup: banded signature join
+    against the store-resolved index, exact-Jaccard verify against the
+    corpus table's bodies (candidate-bounded point-lookup — at 100 TB
+    the history ships only matched docs). Idempotent at every crash
+    point: both writes dynamic-overwrite their own batch_seq partition,
+    and BOTH history reads (signature index AND table bodies) exclude
+    the batch's own partition — a replayed batch verifying against its
+    own partial output would self-match at Jaccard 1.0 and permanently
+    lose the whole batch."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    from ..operators.dedup import incremental_fuzzy_dedup, minhash_signatures
+    from ..operators.index_store import (
+        append_index,
+        assert_appendable,
+        read_index,
+    )
+
+    assert_appendable(index_dir, batch_id)
+    spark = batch_df.sparkSession
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    firsts = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sig_kw = dict(
+        id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
+    )
+    try:
+        sig_index = (
+            read_index(spark, index_dir)
+            .where(F.col("batch_seq") != F.lit(batch_id))
+            .select(id_col, "sig")
+        )
+        history = (
+            spark.read.parquet(table_dir)
+            .where(F.col("batch_seq") != F.lit(batch_id))
+            .select(id_col, text_col)
+        )
+    except FileNotFoundError:
+        # only a never-committed store means first batch (the
+        # ingest_dedup_batch rule: any other failure must raise, or
+        # every near-duplicate ingests)
+        sig_index = None
+        history = None
+    survivors = (
+        firsts
+        if sig_index is None
+        else incremental_fuzzy_dedup(
+            firsts,
+            sig_index,
+            history=history,
+            text_col=text_col,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            **sig_kw,
+        )
+    )
+    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(table_dir)
+    )
+    append_index(
+        minhash_signatures(survivors, text_col=text_col, **sig_kw).select(
+            id_col, "sig"
+        ),
+        index_dir,
+        batch_id=batch_id,
+    )

@@ -130,6 +130,11 @@ HEADLINE = [
     # IVF index built per call (build path), then a 2-of-16-cell probe
     # dedup of the 25% batch
     "dedup_incremental_ann",
+    # round 9 (cont.): the ninth streaming composition — near-duplicate
+    # rolling ingest (MinHash banding vs the store-resolved signature
+    # index + exact-Jaccard verify); source cached per process,
+    # table/index/checkpoint rebuilt per call
+    "streaming_fuzzy_ingest",
 ]
 
 WARM_ITERS = 3

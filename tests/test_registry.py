@@ -32,8 +32,8 @@ ROWS_ONLY = {
 
 
 def test_counts():
-    assert len(QUERIES) == 206
-    assert len(ORACLES) == 204
+    assert len(QUERIES) == 207
+    assert len(ORACLES) == 205
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -69,17 +69,20 @@ def test_first_50_is_the_round9_rotation_window():
     on the audit + the before-any-write replay refusal;
     dedup_incremental_ann — index-accelerated semantic dedup against
     the persisted IVF index, the whole composition unrolled in the
-    oracle) + the two r4 stragglers the r8 pin queued first
-    (window_sliding, multimodal_resize) + 45 of the 50-query r5 cohort
-    (join_inner, join_left, union_distinct, q7_nation_volume and
-    scalar_subquery donate slots — the inner-join tree shape stays via
-    every in-window TPC-H query plus
+    oracle; streaming_fuzzy_ingest — the ninth composition,
+    near-duplicate rolling ingest with the threaded-fixpoint exhaustive
+    Jaccard oracle) + the two r4 stragglers the r8 pin queued first
+    (window_sliding, multimodal_resize) + 44 of the 50-query r5 cohort
+    (join_inner, join_left, union_distinct, q7_nation_volume,
+    scalar_subquery and set_intersect donate slots — the inner-join
+    tree shape stays via every in-window TPC-H query plus
     join_semi/anti/full/range/interval/asof, the outer-join shape via
-    join_full, the set-op family via set_except/set_intersect/
-    in_subquery, the nation-volume join-agg tree via q5_region_revenue
-    + q8_market_share, and the subquery family via in_subquery +
-    q15_top_supplier; all five head _ROUND10_QUEUE). After this round
-    no query's last driver-green is older than r5 except those five
+    join_full, the set-op rewrite family via set_except with the
+    semi-join-distinct shape via join_semi/in_subquery, the
+    nation-volume join-agg tree via q5_region_revenue +
+    q8_market_share, and the subquery family via in_subquery +
+    q15_top_supplier; all six head _ROUND10_QUEUE). After this round
+    no query's last driver-green is older than r5 except those six
     (suite-proven every session, queued r10)."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY

@@ -714,3 +714,96 @@ def test_streaming_ann_ingest_continues_after_compaction(spark, tmp_path):
         os.remove(crc)
     run_streaming_ann_ingest(spark, src, idx, ckpt, n_centroids=8)
     assert ivf_assignments(spark, idx).count() == emb.count()
+
+
+def test_streaming_fuzzy_ingest_first_arrival_and_replay(spark, tmp_path):
+    """The ninth composition: three ordered batch files; a one-word-
+    appended re-crawl in a later batch must drop against the persisted
+    MinHash signature index (the case exact hashing misses), new docs
+    survive, a drained re-run is a checkpoint no-op, a replayed batch
+    (crash between index write and checkpoint commit) is a fixpoint,
+    and after compaction a replay of a merged-away batch refuses before
+    any write."""
+    import os
+
+    import pytest as _pytest
+
+    from batch_processing_iac_aws_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        append_index,
+        compact_index,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_fuzzy_batch,
+        run_streaming_fuzzy_ingest,
+    )
+
+    base_text = ("the quick brown fox jumps over the lazy dog and runs "
+                 "far into the deep dark forest tonight looking for food")
+    near_text = base_text + " again"   # J = (w-2)/(w-1) ~ 0.95 >= 0.9
+    rows = {
+        0: [(0, base_text), (1, "spark shuffles partition data fast")],
+        1: [(10, near_text),             # near-dup re-crawl of doc 0
+            (11, "completely fresh words about parquet pruning today")],
+        2: [(20, base_text),             # exact re-crawl of doc 0
+            (21, "another brand new document entirely different here")],
+    }
+    src = str(tmp_path / "src")
+    table, idx = str(tmp_path / "table"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    stamped: set = set()
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        t = 1_700_000_000 + b * 60
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(f"{src}/{f}", (t, t))
+                stamped.add(f)
+    run_streaming_fuzzy_ingest(spark, src, table, idx, ckpt)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(table).collect())
+    # 10 (near-dup) and 20 (exact, J=1.0) both drop against doc 0
+    assert got == [0, 1, 11, 21]
+
+    # drained re-run: checkpoint no-op
+    run_streaming_fuzzy_ingest(spark, src, table, idx, ckpt)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+
+    # crash-window replay: batch 1's index partition already holds doc
+    # 11's signature (partial write), then the full batch replays under
+    # the same batch_id — doc 11 must SURVIVE (its own partial entry
+    # must not kill it at Jaccard 1.0) and doc 10 still drops vs batch 0
+    partial = minhash_signatures(
+        spark.createDataFrame(
+            [(11, "completely fresh words about parquet pruning today")],
+            "doc_id long, text string",
+        )
+    ).select("doc_id", "sig")
+    append_index(partial, idx, batch_id=1)
+    b1 = spark.createDataFrame(rows[1], "doc_id long, text string")
+    ingest_fuzzy_batch(b1, 1, table_dir=table, index_dir=idx)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+    # compaction interplay: merge batches 0-1, replay of batch 1 refuses
+    # BEFORE any write, and a fresh batch still dedups correctly
+    audit = compact_index(spark, idx, upto_batch=1)
+    assert audit["batches_after"] == 2  # {0,1} merged + batch 2
+    with _pytest.raises(ValueError, match="watermark"):
+        ingest_fuzzy_batch(b1, 1, table_dir=table, index_dir=idx)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21]
+    b3 = spark.createDataFrame(
+        [(30, near_text + " more"), (31, "wholly novel text body words")],
+        "doc_id long, text string",
+    )
+    ingest_fuzzy_batch(b3, 3, table_dir=table, index_dir=idx)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(table).collect()
+    ) == [0, 1, 11, 21, 31]
