@@ -59,11 +59,41 @@ def store_current(index_dir: str) -> str:
         with open(f"{index_dir}/CURRENT") as fh:
             gen = fh.read().strip()
     except FileNotFoundError as exc:
+        _assert_store_layout(index_dir)
         raise FileNotFoundError(
             f"no committed index at {index_dir} (CURRENT pointer missing "
             "— no append ever completed here)"
         ) from exc
     return f"{index_dir}/{gen}"
+
+
+def _assert_store_layout(index_dir: str) -> None:
+    """A missing CURRENT pointer must mean 'nothing committed yet' — a
+    nonexistent/empty dir, or a crash-window tree holding only ``gen-*``
+    dirs (a first append that died before its commit; the replay re-runs
+    the same path, a fixpoint). ANYTHING else under ``index_dir`` is a
+    foreign layout — e.g. a pre-store bare ``batch_seq=*`` parquet tree
+    from before the generationed contract — and treating it as
+    first-batch would silently ignore ALL history: every duplicate would
+    ingest AND append, permanent corpus duplication with no error
+    surfaced. Refuse loudly instead; such trees need a one-time
+    migration (append each old partition via :func:`append_index`)."""
+    try:
+        entries = os.listdir(index_dir)
+    except FileNotFoundError:
+        return
+    foreign = [
+        e for e in entries
+        if not e.startswith("gen-") and e != "CURRENT.tmp"
+    ]
+    if foreign:
+        raise ValueError(
+            f"unrecognized index layout at {index_dir}: no CURRENT "
+            f"pointer but found {sorted(foreign)[:3]} — not a "
+            "generationed store. A pre-store bare parquet tree must be "
+            "migrated (re-append its batch partitions), not silently "
+            "treated as an empty first-batch index."
+        )
 
 
 def store_watermark(gen_dir: str) -> "int | None":
@@ -203,8 +233,12 @@ def salted_repartition(
     # total target file count — ONE long to the driver (model-sized); the
     # explicit partition count both sizes the shuffle to the write's
     # intended layout and keeps AQE from coalescing the salt groups back
-    # into one task (which would undo the split on small inputs)
-    n_files = int(fanout.agg(F.sum("__nsalt")).first()[0])
+    # into one task (which would undo the split on small inputs).
+    # `or 0`: SUM over an empty frame is NULL — an empty input must stay
+    # the same no-op the unsalted path gives it, not an int(None) crash
+    n_files = int(fanout.agg(F.sum("__nsalt")).first()[0] or 0)
+    if n_files == 0:
+        return df.repartition(*key_cols)
     salted = (
         df.join(F.broadcast(fanout), keys)
         .withColumn(

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.vectors import cosine, dot, l2_norm
 
@@ -446,6 +446,26 @@ def ivf_topk(
     )
 
 
+def _probe_cells(scores_col: Column, n_cells: int, n_probe: int) -> Column:
+    """Indices of the ``n_probe`` highest-scoring cells from an
+    array<double> centroid-scores column — ties to the LOWEST cell id
+    (struct sort on (neg score, cid)). Shared by the ANN search and the
+    index-dedup probe so the tie-break convention lives in exactly one
+    place (the dedup path feeds ROUNDED scores to keep the probe choice
+    engine-portable; the search path feeds raw scores)."""
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda i: F.struct(
+            (-F.element_at(scores_col, i + 1)).alias("neg"),
+            i.alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(ranked), 1, n_probe),
+        lambda s: s.getField("cid"),
+    )
+
+
 def _ivf_search(
     c: DataFrame,
     queries: DataFrame,
@@ -467,16 +487,7 @@ def _ivf_search(
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
     q = q.withColumn("__qscores", _centroid_scores_udf(centroids)(F.col("__qv")))
-    ranked = F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda i: F.struct(
-            (-F.element_at(F.col("__qscores"), i + 1)).alias("neg"),
-            i.alias("cid"),
-        ),
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(ranked), 1, n_probe), lambda s: s.getField("cid")
-    )
+    probes = _probe_cells(F.col("__qscores"), len(centroids), n_probe)
     qp = q.withColumn("ivf_cluster", F.explode(probes)).drop("__qscores")
 
     cands = qp.join(c, "ivf_cluster").filter(
@@ -978,17 +989,7 @@ def incremental_ann_dedup(
             lambda s: F.round(s, score_round),
         ),
     )
-    ranked = F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda i: F.struct(
-            (-F.element_at(F.col("__rs"), i + 1)).alias("neg"),
-            i.alias("cid"),
-        ),
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(ranked), 1, n_probe),
-        lambda s: s.getField("cid"),
-    )
+    probes = _probe_cells(F.col("__rs"), len(centroids), n_probe)
     qp = q.withColumn("ivf_cluster", F.explode(probes)).select(
         "__qid", "__qv", "ivf_cluster"
     )

@@ -279,8 +279,9 @@ from . import quality  # noqa: E402,F401
 #     streaming_fuzzy_ingest additionally proved at FULL sf0.1 (the
 #     first's unrolled oracle is probe-bounded, not quadratic; the
 #     second's source self-caps at 1000 docs), and the end-of-round
-#     sweeps ran ALL 205 oracles green at sf0.001 plus all non-quadratic
-#     oracles green at full sf0.1;
+#     sf0.001 sweep (re-run after the last query landed) ran ALL 205
+#     oracles green, with all 194 non-quadratic oracles green at full
+#     sf0.1;
 #     (c) the real-codec branch executed on true PNG bits (stdlib zlib
 #     decode — tests/test_multimodal.py) closing the r8 verdict's
 #     missing item 2; (d) the udf_grouped_zscore rounding-tie guard

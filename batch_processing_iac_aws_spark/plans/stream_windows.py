@@ -364,6 +364,31 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_ordered_batch_files(d, cache: str, src: str) -> None:
+    """Write a decorated corpus as three ordered batch files (doc_id % 3,
+    mtimes forced so file order IS batch order for maxFilesPerTrigger=1)
+    and drop the cache sentinel — the one writer both decorated ingest
+    sources share, so the mtime-ordering invariant lives in one place."""
+    import glob as _glob
+    import os
+
+    stamped: set[str] = set()
+    for b in range(3):
+        (
+            d.filter(F.col("doc_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        t = 1_700_000_000 + b * 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t, t))
+                stamped.add(f)
+    with open(f"{cache}/_BUILT", "w") as fh:
+        fh.write("ok")
+
+
 def _dup_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
     """Shared TEST SCAFFOLDING for the exact-hash streaming-ingest
     queries: the documents corpus decorated with deterministic cross-batch
@@ -374,9 +399,6 @@ def _dup_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
     iterations measure the streaming ingest, not corpus prep. Used by
     streaming_incremental_dedup and streaming_quality_ingest, whose
     oracles restate the same decoration."""
-    import glob as _glob
-    import os
-
     from .registry import scratch_source_cache
 
     cache, built = scratch_source_cache("ingest_src", sf_dir)
@@ -397,21 +419,7 @@ def _dup_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    stamped: set[str] = set()
-    for b in range(3):
-        (
-            d.filter(F.col("doc_id") % 3 == b)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        t = 1_700_000_000 + b * 60
-        for f in _glob.glob(f"{src}/*.parquet"):
-            if f not in stamped:
-                os.utime(f, (t, t))
-                stamped.add(f)
-    with open(f"{cache}/_BUILT", "w") as fh:
-        fh.write("ok")
+    _write_ordered_batch_files(d, cache, src)
     return src
 
 
@@ -691,9 +699,6 @@ def _fuzzy_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
     both directions. Capped at doc_id < 1000 so the exhaustive-Jaccard
     oracle stays feasible at every SF (the streaming_incremental_sparse
     convention). Cached per process (scratch_source_cache)."""
-    import glob as _glob
-    import os
-
     from .registry import scratch_source_cache
 
     cache, built = scratch_source_cache("ingest_fuzzy_src", sf_dir)
@@ -718,21 +723,7 @@ def _fuzzy_decorated_ingest_source(spark: SparkSession, sf_dir: str) -> str:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    stamped: set = set()
-    for b in range(3):
-        (
-            d.filter(F.col("doc_id") % 3 == b)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        t = 1_700_000_000 + b * 60
-        for f in _glob.glob(f"{src}/*.parquet"):
-            if f not in stamped:
-                os.utime(f, (t, t))
-                stamped.add(f)
-    with open(f"{cache}/_BUILT", "w") as fh:
-        fh.write("ok")
+    _write_ordered_batch_files(d, cache, src)
     return src
 
 

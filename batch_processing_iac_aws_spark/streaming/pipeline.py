@@ -853,7 +853,13 @@ def ingest_fuzzy_batch(
             **sig_kw,
         )
     )
-    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
+    survivors = (
+        survivors.withColumn("batch_seq", F.lit(batch_id))
+        # two consumers follow (table write + signature append); without
+        # this pin the banded join + exact-Jaccard verify would run
+        # TWICE per micro-batch — the frame is batch-sized by contract
+        .localCheckpoint(eager=True)
+    )
     (
         survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

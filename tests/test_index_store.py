@@ -329,3 +329,37 @@ def test_append_to_ivf_index_salt_splits_giant_cell_at_write(
     big = max(per, key=lambda r: r["rows"])
     assert big["rows"] == 300
     assert big["files"] > 1
+
+
+def test_foreign_layout_refuses_instead_of_silently_first_batching(
+    spark, tmp_path
+):
+    """A pre-store bare batch_seq=* parquet tree (the old read-by-path
+    layout) has no CURRENT pointer; treating it as 'first batch' would
+    silently ignore ALL history — every duplicate would ingest AND
+    append. The store must refuse loudly (migration is explicit), while
+    a crash-window tree holding only gen-* dirs keeps the first-batch
+    FileNotFoundError path."""
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_dedup_batch,
+    )
+
+    idx = str(tmp_path / "legacy")
+    _digests(spark, [(1, "a")]).withColumn(
+        "batch_seq", F.lit(0)
+    ).write.partitionBy("batch_seq").parquet(idx)
+    with pytest.raises(ValueError, match="unrecognized index layout"):
+        read_index(spark, idx)
+    b = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unrecognized index layout"):
+        ingest_dedup_batch(b, 1, table_dir=str(tmp_path / "t"), index_dir=idx)
+    with pytest.raises(ValueError, match="unrecognized index layout"):
+        append_index(_digests(spark, [(2, "b")]), idx, batch_id=1)
+
+
+def test_salted_repartition_empty_frame_is_noop(spark):
+    df = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    out = salted_repartition(df, ["k"], split_col="v", max_rows_per_file=10)
+    assert out.count() == 0
