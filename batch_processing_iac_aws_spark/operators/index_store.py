@@ -46,7 +46,23 @@ def store_commit(index_dir: str, gen_name: str) -> None:
     tmp = f"{index_dir}/CURRENT.tmp"
     with open(tmp, "w") as fh:
         fh.write(gen_name)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, f"{index_dir}/CURRENT")
+    # fsync the directory too: os.replace orders the rename in the page
+    # cache, but only a dir fsync makes it durable — without it a power
+    # loss can surface an EMPTY (pre-rename) CURRENT, and the store would
+    # then fail with a confusing parquet-path error instead of the loud
+    # first-batch / foreign-layout signals. Best-effort: some filesystems
+    # refuse O_RDONLY dir fsync (EINVAL) — ordering is still preserved.
+    try:
+        dfd = os.open(index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def store_current(index_dir: str) -> str:
@@ -64,6 +80,17 @@ def store_current(index_dir: str) -> str:
             f"no committed index at {index_dir} (CURRENT pointer missing "
             "— no append ever completed here)"
         ) from exc
+    # Validate the pointer names a real generation dir: a torn/empty
+    # CURRENT (crash between create and fsync on a non-ordering
+    # filesystem) must fail HERE with a descriptive store error, not
+    # three frames later as a baffling parquet path-not-found.
+    if not gen.startswith("gen-") or not os.path.isdir(f"{index_dir}/{gen}"):
+        raise ValueError(
+            f"corrupt CURRENT pointer at {index_dir}: {gen!r} does not "
+            "name an existing gen-* directory — the pointer file is torn "
+            "or foreign. Recover by re-committing the newest complete "
+            "generation (store_commit) or migrating the tree."
+        )
     return f"{index_dir}/{gen}"
 
 
@@ -239,14 +266,28 @@ def salted_repartition(
     n_files = int(fanout.agg(F.sum("__nsalt")).first()[0] or 0)
     if n_files == 0:
         return df.repartition(*key_cols)
+    # eqNullSafe, not a bare equi-join: a null layout key never
+    # equi-matches, so plain `.join(fanout, keys)` would silently DROP
+    # null-keyed rows — diverging from the unsalted path (and from the
+    # write itself, which files nulls under key=__HIVE_DEFAULT_PARTITION__).
+    # Current callers (batch_seq, ivf_cluster) are never null, but
+    # append_to_ivf_index(max_rows_per_file=...) has no audit gate to
+    # catch the loss, so the helper must be null-correct on its own.
+    fo = fanout.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys], "__nsalt"
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
     salted = (
-        df.join(F.broadcast(fanout), keys)
+        df.join(F.broadcast(fo), cond)
         .withColumn(
             "__salt",
             F.pmod(F.xxhash64(F.col(split_col)), F.col("__nsalt")),
         )
         .repartition(max(1, 2 * n_files), *key_cols, F.col("__salt"))
-        .drop("__nsalt", "__salt")
+        .drop("__nsalt", "__salt", *[f"__k_{k}" for k in keys])
     )
     return salted
 
@@ -339,3 +380,27 @@ def compact_index(
         "batches_before": batches_b, "batches_after": batches_a,
         "noop_replay": False,
     }
+
+
+# --- table-flavored entry points -------------------------------------
+# The store contract is PAYLOAD-AGNOSTIC: nothing above inspects the
+# columns beyond stamping/partitioning batch_seq, so the corpus TABLES
+# the rolling-ingest compositions write (full document rows, one
+# partition per micro-batch) share the exact lifecycle the indexes
+# proved out — committed generation pointer, atomic compaction flip,
+# monotone COMPACTED_UPTO watermark, append-refusal of compacted-away
+# replays, salt-split of giant merged partitions. At a 100 TB rolling
+# corpus the TABLE hits small-files before the index does (its
+# partitions are document-sized, not digest-sized), and a replayed
+# batch after table compaction is the same silent row-doubling the
+# index guard stops — so tables get the SAME store, under names that
+# read correctly at the call site. One caveat the aliases inherit:
+# compaction REMAPS the batch_seq partition value of merged batches, so
+# a table that needs per-row arrival lineage must carry it as a DATA
+# column (the store-backed ingest stamps ``ingest_batch``) and treat
+# batch_seq as layout metadata, exactly like a lakehouse OPTIMIZE
+# rewrites files without touching logical rows.
+append_table = append_index
+read_table = read_index
+compact_table = compact_index
+assert_table_appendable = assert_appendable

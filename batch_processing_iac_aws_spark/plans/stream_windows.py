@@ -908,3 +908,110 @@ def streaming_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("batch_seq").cast("int").alias("batch_seq"),
         )
     )
+
+
+@query(
+    "table_compacted_ingest",
+    oracle="""
+WITH src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+              THEN d7.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+)
+SELECT d.doc_id, sha256(d.text) AS content_hash,
+       CAST(d.doc_id % 3 AS INT) AS ingest_batch
+FROM src d
+WHERE NOT EXISTS (
+  SELECT 1 FROM src h
+  WHERE sha256(h.text) = sha256(d.text)
+    AND (h.doc_id % 3 < d.doc_id % 3
+         OR (h.doc_id % 3 = d.doc_id % 3 AND h.doc_id < d.doc_id)))
+""",
+)
+def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TENTH streaming composition — the corpus TABLE itself under
+    the generationed store's compaction lifecycle, closing the round-9
+    asymmetry where the ingest *indexes* had generations/watermark/
+    atomic-flip but the ingest *tables* accreted one bare partition per
+    micro-batch forever (at 100 TB rolling ingest the document-sized
+    table hits small-files before the digest-sized index does, and a
+    replayed batch after table compaction is the same silent
+    row-doubling the index guard stops). Batches 0-1 stream in through
+    run_streaming_store_ingest (BOTH table and index behind committed
+    generation pointers), an offline compact_table(upto_batch=1) merges
+    the table's two batch partitions under the atomic generation flip
+    while the checkpoint sleeps, a replay of compacted-away batch 1 must
+    refuse BEFORE ANY WRITE — the table-side watermark specifically,
+    since the index here is left UNcompacted — then batch 2 resumes on
+    the same checkpoint, dedups against the persisted index, and lands
+    its own partition inside the compacted generation.
+
+    In-engine gates (any failure empties the output and the driver goes
+    red): the table-compaction audit (2 batch partitions -> 1, strictly
+    fewer files, identical row count, not a no-op replay), the refusal,
+    AND a bit-level no-write proof — the table's (rows, files) layout
+    audit is identical before and after the refused replay. Per-row
+    arrival lineage survives compaction as the DATA column
+    ``ingest_batch`` (batch_seq is layout metadata and remaps on merge —
+    the lakehouse-OPTIMIZE contract), so the oracle asserts the
+    first-arrival fixpoint of streaming_incremental_dedup PLUS each
+    survivor's original batch — proving compaction changed nothing
+    logical while the layout collapsed.
+    streaming/pipeline.py:run_streaming_store_ingest / ingest_store_batch;
+    operators/index_store.py:compact_table (the payload-agnostic store).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..operators.index_store import (
+        compact_table,
+        layout_audit,
+        read_table,
+    )
+    from ..streaming.pipeline import (
+        ingest_store_batch,
+        run_streaming_store_ingest,
+    )
+
+    base = scratch_dir("tingest", sf_dir)
+    src_all = _dup_decorated_ingest_source(spark, sf_dir)
+    files = sorted(
+        _glob.glob(f"{src_all}/*.parquet"), key=os.path.getmtime
+    )
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    table, index, ckpt = f"{base}/table", f"{base}/index", f"{base}/ckpt"
+    for f in files[:2]:
+        shutil.copy2(f, src)
+    run_streaming_store_ingest(spark, src, table, index, ckpt)
+    audit = compact_table(spark, table, upto_batch=1)
+    pre = layout_audit(read_table(spark, table))
+    refused = False
+    try:
+        ingest_store_batch(
+            spark.read.parquet(files[1]), 1,
+            table_dir=table, index_dir=index,
+        )
+    except ValueError:
+        refused = True
+    post = layout_audit(read_table(spark, table))
+    shutil.copy2(files[2], src)
+    run_streaming_store_ingest(spark, src, table, index, ckpt)
+    audit_ok = (
+        audit["rows_before"] == audit["rows_after"]
+        and audit["files_after"] < audit["files_before"]
+        and audit["batches_before"] == 2
+        and audit["batches_after"] == 1
+        and not audit["noop_replay"]
+    )
+    return (
+        read_table(spark, table)
+        .filter(F.lit(bool(audit_ok and refused and pre == post)))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+        )
+    )

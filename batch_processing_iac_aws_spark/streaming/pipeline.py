@@ -873,3 +873,129 @@ def ingest_fuzzy_batch(
         index_dir,
         batch_id=batch_id,
     )
+
+
+def run_streaming_store_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Rolling-corpus ingestion with the corpus TABLE itself in the
+    generationed store — the tenth composition, closing the lifecycle
+    asymmetry of :func:`run_streaming_ingest_dedup` (whose table is a
+    bare batch-partitioned tree maintainable only by the guard-less
+    ``io.compact_parquet``): here BOTH the table and the fingerprint
+    index live behind committed generation pointers, so both sides get
+    atomic compaction flips, monotone ``COMPACTED_UPTO`` watermarks,
+    replay refusal BEFORE any write, and the salt split for giant
+    merged partitions. At a 100 TB rolling corpus the table accretes one
+    document-sized partition per micro-batch and hits small-files long
+    before the digest-sized index does — table compaction is the one
+    that runs weekly, and a replayed batch after it is the same silent
+    row-doubling the index guard exists to stop. Exactly-once contract
+    unchanged from the family: checkpointed sequencing + batch-keyed
+    dynamic overwrites inside the current generation."""
+    schema = spark.read.format("parquet").load(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_store_batch(
+            batch_df,
+            batch_id,
+            table_dir=table_dir,
+            index_dir=index_dir,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_store_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    table_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the store-backed rolling ingest — the
+    ingest_dedup_batch semantics (within-batch keep-first per sha256,
+    anti-join against the persisted fingerprint index) with the TABLE
+    write routed through the generationed store too. Module-level so the
+    crash/replay contract is directly testable outside the streaming
+    engine.
+
+    Both stores' watermarks are checked BEFORE any write: compaction on
+    EITHER side makes a replay of a merged-away batch destructive (the
+    own-partition exclusion would hide merged history on the index side;
+    on the table side the replay would append a duplicate partition into
+    the compacted generation), so the batch refuses loudly if either
+    store has compacted past it — with the table checked first, since
+    the table write happens first.
+
+    Per-row arrival lineage is stamped as the DATA column
+    ``ingest_batch`` (compaction remaps the batch_seq PARTITION value of
+    merged batches — layout metadata — but never touches data columns,
+    the lakehouse-OPTIMIZE contract), so the table's logical rows are
+    bit-identical across compactions and the registered query's oracle
+    can assert per-row lineage survives them."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    from ..operators.index_store import (
+        append_index,
+        append_table,
+        assert_appendable,
+        assert_table_appendable,
+        read_index,
+    )
+
+    assert_table_appendable(table_dir, batch_id)
+    assert_appendable(index_dir, batch_id)
+    spark = batch_df.sparkSession
+    hashed = batch_df.withColumn(
+        "content_hash", F.sha2(F.col(text_col), 256)
+    )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    firsts = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        index = (
+            read_index(spark, index_dir)
+            .where(F.col("batch_seq") != F.lit(batch_id))
+            .select("content_hash")
+        )
+    except FileNotFoundError:
+        # only a never-committed store means first batch (any other read
+        # failure must raise — the ingest_dedup_batch rule)
+        index = None
+    survivors = (
+        firsts
+        if index is None
+        else firsts.join(index, "content_hash", "left_anti")
+    ).withColumn("ingest_batch", F.lit(batch_id).cast("int"))
+    append_table(survivors, table_dir, batch_id=batch_id)
+    append_index(
+        survivors.select("content_hash"), index_dir, batch_id=batch_id
+    )

@@ -141,6 +141,47 @@ def test_salted_repartition_splits_giant_partition(spark, tmp_path):
     assert files[1] == 1
 
 
+def test_salted_repartition_keeps_null_keyed_rows(spark):
+    """Null layout keys never equi-match, so the fan-out join must be
+    null-safe: the salted path has to keep exactly the rows the unsalted
+    path (and the write itself, which files nulls under the Hive default
+    partition) keeps — dropping them would silently shrink a compaction
+    rewrite with no audit to catch it on the append_to_ivf_index path."""
+    df = spark.range(120).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 2)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    out = salted_repartition(df, ["k"], split_col="v", max_rows_per_file=20)
+    assert out.count() == 120
+    assert out.where(F.col("k").isNull()).count() == 40
+    assert out.agg(F.sum("v")).first()[0] == sum(range(120))
+
+
+def test_store_current_refuses_torn_pointer(spark, tmp_path):
+    """A torn/empty CURRENT (power loss between create and fsync) must
+    fail with the descriptive store error, not a baffling parquet
+    path-not-found three frames later."""
+    idx = str(tmp_path / "idx")
+    append_index(_digests(spark, [(1, "a")]), idx, batch_id=0)
+    with open(f"{idx}/CURRENT", "w") as fh:
+        fh.write("")  # torn: rename made visible before the write landed
+    with pytest.raises(ValueError, match="corrupt CURRENT"):
+        store_current(idx)
+    with open(f"{idx}/CURRENT", "w") as fh:
+        fh.write("gen-999")  # pointer to a generation that never existed
+    with pytest.raises(ValueError, match="corrupt CURRENT"):
+        read_index(spark, idx)
+    # recovery: re-commit the real generation and reads work again
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        store_commit,
+    )
+
+    store_commit(idx, "gen-0")
+    assert read_index(spark, idx).count() == 1
+
+
 def test_salted_repartition_rows_invariant(spark):
     df = spark.range(300).select(
         (F.col("id") % 2).alias("k"), F.col("id").alias("v")
@@ -363,3 +404,129 @@ def test_salted_repartition_empty_frame_is_noop(spark):
     )
     out = salted_repartition(df, ["k"], split_col="v", max_rows_per_file=10)
     assert out.count() == 0
+
+
+def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
+    """The round-10 contract: the corpus TABLE behind the generationed
+    store. After compact_table merges batches 0-1, a replay of
+    compacted-away batch 1 must refuse BEFORE ANY WRITE — table-side
+    specifically (the index here stays UNcompacted, so the index guard
+    cannot be the one firing) — leaving both the table's file listing
+    and its logical rows bit-identical."""
+    import os
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        compact_table,
+        read_table,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        ingest_store_batch,
+    )
+
+    table, idx = str(tmp_path / "table"), str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    )
+    kw = dict(table_dir=table, index_dir=idx)
+    ingest_store_batch(b0, 0, **kw)
+    ingest_store_batch(b1, 1, **kw)  # 10 drops (exact dup of 0)
+    audit = compact_table(spark, table, upto_batch=1)
+    assert audit["batches_after"] == 1
+    assert audit["rows_before"] == audit["rows_after"] == 3
+    # per-row arrival lineage survives compaction as the DATA column
+    rows_pre = sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    )
+    assert rows_pre == [(0, 0), (1, 0), (11, 1)]
+
+    def _listing(root):
+        out = []
+        for d, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(d, f)
+                out.append((p, os.path.getsize(p)))
+        return sorted(out)
+
+    files_pre = _listing(table)
+    with pytest.raises(ValueError, match="watermark"):
+        ingest_store_batch(b1, 1, **kw)
+    assert _listing(table) == files_pre, "refusal must precede any write"
+    assert sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    ) == rows_pre
+    # a fresh batch above the watermark ingests fine, dedups against the
+    # compacted history, and lands inside the compacted generation
+    b2 = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], "doc_id long, text string"
+    )
+    ingest_store_batch(b2, 2, **kw)
+    assert sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    ) == [(0, 0), (1, 0), (11, 1), (21, 2)]
+
+
+def test_table_store_streaming_checkpoint_continues_after_compaction(
+    spark, tmp_path
+):
+    """run_streaming_store_ingest through the REAL streaming engine:
+    batches 0-1 drain, the TABLE compacts mid-checkpoint under the
+    atomic generation flip, and the SAME checkpoint resumes for batch 2
+    — reading through the new generation and landing its own partition
+    above the watermark."""
+    import shutil
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        compact_table,
+        read_table,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_store_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    table, idx, ckpt = (
+        str(tmp_path / "table"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    stage = str(tmp_path / "stage")
+    batches = [
+        [(0, "alpha"), (1, "beta")],
+        [(10, "alpha"), (11, "gamma")],
+        [(20, "gamma"), (21, "delta")],
+    ]
+    paths = []
+    for i, rows in enumerate(batches):
+        p = f"{stage}/b{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(p)
+        paths.append(p)
+    import glob as _glob
+    import os
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    for i, p in enumerate(paths[:2]):
+        f = _glob.glob(f"{p}/*.parquet")[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    run_streaming_store_ingest(spark, src, table, idx, ckpt)
+    audit = compact_table(spark, table, upto_batch=1)
+    assert audit["batches_after"] == 1 and not audit["noop_replay"]
+    f = _glob.glob(f"{paths[2]}/*.parquet")[0]
+    dst = f"{src}/b2.parquet"
+    shutil.copy(f, dst)
+    os.utime(dst, (time.time() + 9, time.time() + 9))
+    run_streaming_store_ingest(spark, src, table, idx, ckpt)
+    assert sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    ) == [(0, 0), (1, 0), (11, 1), (21, 2)]
