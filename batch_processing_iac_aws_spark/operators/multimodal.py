@@ -69,33 +69,84 @@ FEATURE_SCHEMA = StructType(
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_image_real(payload: bytes, *, feature_dim: int = 8) -> list[float]:
+def decode_image_real(
+    payload: bytes,
+    *,
+    feature_dim: int = 8,
+    decoder: str = "auto",
+) -> list[float]:
     """Real decoder integration point: PIL, imported AT CALL TIME so the
     module stays importable in codec-free environments. Decodes the image,
     converts to grayscale, resamples to ``feature_dim`` pixels, and emits
     their [0,1] intensities — a minimal real featurization proving the
     codec seam end-to-end.
 
-    Without PIL (this container), PNG payloads still decode FOR REAL via
-    :func:`decode_png_stdlib` — zlib inflate + scanline unfiltering is
-    the actual PNG codec work and needs only the standard library — so
-    the real branch is executable and engine-tested here on true image
-    bits (tests/test_multimodal.py). Non-PNG formats (JPEG's DCT needs a
-    real library) raise NotImplementedError, keeping the
-    fail-loud-not-fake contract for payloads we cannot truly decode.
-    The two real branches share the decode+grayscale semantics but not
-    the resampling kernel (PIL resamples bicubically, the stdlib path
-    block-means), so pin ONE branch per corpus — mixing families across
-    a heterogeneous cluster is the auto_image_decoder caveat."""
+    Without PIL (this container), BOTH major codecs still decode FOR
+    REAL: PNG via :func:`decode_png_stdlib` (zlib inflate + scanline
+    unfiltering) and baseline JPEG via :func:`decode_jpeg_stdlib`
+    (huffman entropy decode + dequant + IDCT, differentially verified
+    against the JVM's ImageIO in tests/test_multimodal.py) — so the
+    real branch is executable and engine-tested here on true image bits
+    for both. Other formats (and progressive JPEG) raise
+    NotImplementedError, keeping the fail-loud-not-fake contract for
+    payloads we cannot truly decode.
+
+    ``decoder`` PINS the kernel, because the two real branches share the
+    decode+grayscale semantics but not the resampling kernel (PIL
+    resamples bicubically, the stdlib path block-means) — under
+    ``"auto"`` the same PNG payload yields DIFFERENT feature vectors on
+    executors with and without PIL, silently mixing feature families
+    across a heterogeneous cluster:
+
+    - ``"stdlib_png"``: always :func:`decode_png_stdlib`, even when PIL
+      is importable — one deterministic kernel on every executor (the
+      production pin for PNG corpora).
+    - ``"stdlib_jpeg"``: always :func:`decode_jpeg_stdlib` — the same
+      pin for baseline-JPEG corpora.
+    - ``"stdlib"``: route by magic to the matching stdlib kernel (PNG
+      or baseline JPEG) — one deterministic kernel family everywhere,
+      for mixed-codec corpora.
+    - ``"pil"``: require PIL; an executor without it fails LOUDLY
+      instead of degrading to a different kernel.
+    - ``"auto"`` (default): probe per process — convenient in a
+      homogeneous environment, hazardous on mixed fleets (documented
+      here and in :func:`auto_image_decoder`)."""
+    if decoder not in ("auto", "pil", "stdlib", "stdlib_png", "stdlib_jpeg"):
+        raise ValueError(
+            f"decode_image_real: unknown decoder {decoder!r} (expected "
+            "'auto', 'pil', 'stdlib', 'stdlib_png', or 'stdlib_jpeg')"
+        )
+    if decoder == "stdlib_png":
+        return decode_png_stdlib(payload, feature_dim=feature_dim)
+    if decoder == "stdlib_jpeg":
+        return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
+    if decoder == "stdlib":
+        if (payload or b"")[:8] == _PNG_MAGIC:
+            return decode_png_stdlib(payload, feature_dim=feature_dim)
+        if (payload or b"")[:3] == _JPEG_MAGIC:
+            return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
+        raise NotImplementedError(
+            "decode_image_real(decoder='stdlib'): payload is neither "
+            "PNG nor JPEG — no stdlib kernel for this format"
+        )
     try:
         from PIL import Image
     except ImportError as exc:
+        if decoder == "pil":
+            raise RuntimeError(
+                "decode_image_real(decoder='pil'): PIL pinned but not "
+                "importable on this executor — refusing to fall back to "
+                "the stdlib kernel (it block-means where PIL resamples "
+                "bicubically; mixed kernels corrupt feature comparisons)"
+            ) from exc
         if (payload or b"")[:8] == _PNG_MAGIC:
             return decode_png_stdlib(payload, feature_dim=feature_dim)
+        if (payload or b"")[:3] == _JPEG_MAGIC:
+            return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
         raise NotImplementedError(
-            "image decoding requires PIL/opencv for non-PNG formats, "
-            "not present in this environment; pass decode_fn=... with a "
-            "real implementation"
+            "image decoding requires PIL/opencv for non-PNG/JPEG "
+            "formats, not present in this environment; pass "
+            "decode_fn=... with a real implementation"
         ) from exc
     import io
 
@@ -194,6 +245,320 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
     for j in range(feature_dim):
         lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
         block = gray[lo:hi] or [0]
+        feats.append(sum(block) / (len(block) * 255.0))
+    return feats
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag scan order: position k in the entropy stream -> raster index in
+# the 8x8 block (ISO/IEC 10918-1 Figure 5)
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# separable IDCT basis with the C(u) = 1/sqrt(2) DC normalization folded
+# in: _JPEG_IDCT_COS[x][u] = C(u) * cos((2x+1) * u * pi / 16)
+import math as _math  # noqa: E402  (module-level: built once per process)
+
+_JPEG_IDCT_COS = [
+    [
+        (_math.sqrt(0.5) if u == 0 else 1.0)
+        * _math.cos((2 * x + 1) * u * _math.pi / 16)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+class _JpegBits:
+    """Entropy-stream bit reader with 0xFF 0x00 byte-unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos = data, pos
+        self.buf, self.n = 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise NotImplementedError(
+                        "decode_jpeg_stdlib: unexpected marker "
+                        f"0xFF{nxt:02X} inside entropy-coded data"
+                    )
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _jpeg_huffman(counts: "list[int]", symbols: "list[int]"):
+    """Canonical (length, code) -> symbol map from a DHT segment."""
+    lut: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _jpeg_huff_decode(br: _JpegBits, lut) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("decode_jpeg_stdlib: invalid huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude per ISO 10918-1 F.2.2.1 EXTEND."""
+    if t and v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def _jpeg_idct_block(coef: "list[float]") -> "list[int]":
+    """8x8 2-D IDCT (separable float, spec-exact basis) + level shift +
+    clamp, returning 64 raster-order pixels in [0, 255]."""
+    tmp = [0.0] * 64
+    for v in range(8):  # 1-D over u for each coefficient row
+        row = coef[v * 8 : v * 8 + 8]
+        base = v * 8
+        for x in range(8):
+            c = _JPEG_IDCT_COS[x]
+            tmp[base + x] = 0.5 * (
+                c[0] * row[0] + c[1] * row[1] + c[2] * row[2]
+                + c[3] * row[3] + c[4] * row[4] + c[5] * row[5]
+                + c[6] * row[6] + c[7] * row[7]
+            )
+    out = [0] * 64
+    for x in range(8):  # 1-D over v for each column
+        col = [tmp[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            c = _JPEG_IDCT_COS[y]
+            s = 0.5 * (
+                c[0] * col[0] + c[1] * col[1] + c[2] * col[2]
+                + c[3] * col[3] + c[4] * col[4] + c[5] * col[5]
+                + c[6] * col[6] + c[7] * col[7]
+            )
+            p = int(_math.floor(s + 128.5))
+            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+    return out
+
+
+def _jpeg_decode_luma(data: bytes) -> "tuple[int, int, list[int]]":
+    """Baseline-sequential JPEG decode of the LUMA channel with the
+    standard library only: marker walk, DQT/DHT/SOF0/DRI/SOS parsing,
+    canonical huffman entropy decode (DC predictors + AC run-length,
+    restart intervals), dequantization, zigzag, float IDCT. Returns
+    (width, height, row-major Y pixels). Chroma components are
+    entropy-decoded (the bitstream interleaves them) but skip
+    dequant/IDCT — grayscale features need Y only, and JPEG's Y *is*
+    the ITU-R 601 luma the PNG path computes from RGB. Supports 8-bit
+    baseline (SOF0/SOF1) with the luma at full sampling resolution;
+    progressive (SOF2), arithmetic coding, and hierarchical modes raise
+    NotImplementedError (fail loud, never fake)."""
+    import struct
+
+    if data[:3] != _JPEG_MAGIC:
+        raise NotImplementedError("decode_jpeg_stdlib: not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    ri = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError(
+                f"decode_jpeg_stdlib: bad marker byte at {pos}"
+            )
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                o += 1
+                if pq != 0:
+                    raise NotImplementedError(
+                        "decode_jpeg_stdlib: 16-bit quantization tables"
+                    )
+                qt[tq] = list(seg[o : o + 64])
+                o += 64
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                o += 1
+                counts = list(seg[o : o + 16])
+                o += 16
+                n = sum(counts)
+                huff[(tc, th)] = _jpeg_huffman(
+                    counts, list(seg[o : o + n])
+                )
+                o += n
+        elif marker in (0xC0, 0xC1):  # baseline / ext. sequential huffman
+            prec = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"decode_jpeg_stdlib: {prec}-bit precision"
+                )
+            comps = []
+            for i in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker in (
+            0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise NotImplementedError(
+                "decode_jpeg_stdlib supports baseline sequential DCT "
+                f"only (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise NotImplementedError(
+                    "decode_jpeg_stdlib: SOS before SOF"
+                )
+            scan = []
+            for i in range(seg[0]):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                fc = next(c for c in frame[2] if c["id"] == cs)
+                scan.append((fc, tt >> 4, tt & 15))
+            return _jpeg_decode_scan(
+                data, pos + seglen, frame, scan, qt, huff, ri
+            )
+        pos += seglen
+    raise NotImplementedError("decode_jpeg_stdlib: no scan found")
+
+
+def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    luma = comps[0]
+    if luma["h"] != hmax or luma["v"] != vmax:
+        raise NotImplementedError(
+            "decode_jpeg_stdlib: luma below full sampling resolution"
+        )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    plane_w = mcux * hmax * 8
+    plane = bytearray(plane_w * mcuy * vmax * 8)
+    br = _JpegBits(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            br.align()
+            if (
+                data[br.pos] == 0xFF
+                and 0xD0 <= data[br.pos + 1] <= 0xD7
+            ):
+                br.pos += 2
+            else:
+                raise NotImplementedError(
+                    "decode_jpeg_stdlib: missing restart marker"
+                )
+            for k in pred:
+                pred[k] = 0
+        my, mx = divmod(m, mcux)
+        for fc, td, ta in scan:
+            want = fc is luma
+            q = qt[fc["tq"]]
+            for by in range(fc["v"]):
+                for bx in range(fc["h"]):
+                    # DC: predictor + huffman-coded category diff
+                    t = _jpeg_huff_decode(br, huff[(0, td)])
+                    pred[fc["id"]] += _jpeg_extend(br.receive(t), t)
+                    coef = [0.0] * 64
+                    coef[0] = pred[fc["id"]] * q[0]
+                    k = 1
+                    while k < 64:  # AC: (run, size) run-length pairs
+                        rs = _jpeg_huff_decode(br, huff[(1, ta)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise NotImplementedError(
+                                "decode_jpeg_stdlib: AC index overflow"
+                            )
+                        coef[_JPEG_ZZ[k]] = (
+                            _jpeg_extend(br.receive(s), s) * q[k]
+                        )
+                        k += 1
+                    if not want:
+                        continue  # chroma: bitstream advanced, no IDCT
+                    px = _jpeg_idct_block(coef)
+                    ox = (mx * fc["h"] + bx) * 8
+                    oy = (my * fc["v"] + by) * 8
+                    for yy in range(8):
+                        row = (oy + yy) * plane_w + ox
+                        plane[row : row + 8] = bytes(
+                            px[yy * 8 : yy * 8 + 8]
+                        )
+    # crop the MCU-padded plane to the true image dims
+    out = [0] * (w * h)
+    for y in range(h):
+        out[y * w : (y + 1) * w] = plane[y * plane_w : y * plane_w + w]
+    return w, h, out
+
+
+def decode_jpeg_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
+    """REAL baseline-JPEG decode with the standard library only — the
+    decode_png_stdlib contract on the other major codec: marker walk,
+    huffman entropy decode, dequantize, IDCT, then ``feature_dim``
+    block-mean luma intensities in [0, 1]. JPEG's Y channel IS the
+    ITU-R 601 luma the PNG path computes, so both codecs land in the
+    same feature space. Supports 8-bit baseline sequential (grayscale
+    or YCbCr at any standard subsampling — chroma is entropy-decoded to
+    keep the interleaved bitstream aligned but skips IDCT); progressive
+    / arithmetic / 12-bit raise NotImplementedError (fail loud, never
+    fake). Pure Python per pixel — the codec seam's integration test
+    and thumbnail-scale path; at corpus scale ship PIL to the executors
+    and the identical mapInPandas plan runs unchanged."""
+    _w, _h, luma = _jpeg_decode_luma(payload or b"")
+    n = len(luma)
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        block = luma[lo:hi] or [0]
         feats.append(sum(block) / (len(block) * 255.0))
     return feats
 

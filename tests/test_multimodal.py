@@ -470,6 +470,36 @@ def test_decode_image_real_executes_png_branch_without_pil():
         decode_image_real(b"\xff\xd8\xff not-a-png")
 
 
+def test_decode_image_real_branch_pin():
+    """The decoder pin makes mixed-environment executors fail loudly
+    instead of silently switching resampling kernels per process:
+    'stdlib_png' always takes the stdlib kernel (even where PIL exists),
+    'pil' refuses rather than degrade when PIL is absent (this
+    container), and an unknown pin is a ValueError."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_image_real,
+        decode_png_stdlib,
+    )
+
+    png = _png_encode(list(range(0, 256, 16)), 16, 1, color=0)
+    assert decode_image_real(
+        png, feature_dim=4, decoder="stdlib_png"
+    ) == decode_png_stdlib(png, feature_dim=4)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(RuntimeError, match="pinned but not importable"):
+            decode_image_real(png, feature_dim=4, decoder="pil")
+    with pytest.raises(ValueError, match="unknown decoder"):
+        decode_image_real(png, feature_dim=4, decoder="bicubic")
+
+
 def test_media_phash_pairs_on_real_png_decode(spark):
     """End-to-end media near-dup over REAL decoded PNGs through the
     registered plan's machinery (extract_features mapInPandas on
@@ -504,3 +534,325 @@ def test_media_phash_pairs_on_real_png_decode(spark):
         for r in media_phash_pairs(feats, dim=32, max_hamming=3).collect()
     }
     assert pairs == {(0, 1)}
+
+
+# --- stdlib baseline-JPEG decoder (round 10) --------------------------
+
+
+def _jpeg_encode_test(blocks_coef, w, h, quant, *, restart_interval=0):
+    """Minimal baseline-JPEG ENCODER for tests: single grayscale
+    component, caller-chosen QUANTIZED zigzag coefficients per 8x8 block
+    (MCU order), custom canonical huffman tables — so the decoder's
+    huffman / dequant / zigzag / IDCT path is exercised on bit-exact,
+    independently-predictable input."""
+    import struct
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _JPEG_ZZ,  # the same constant both sides must agree on anyway
+    )
+
+    assert len(_JPEG_ZZ) == 64
+    # canonical tables: 12 DC category symbols at length 4; EOB/ZRL +
+    # every (run 0-15, size 1-10) AC symbol at length 8 (162 of 256)
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[syms[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_counts, dc_syms), codes(ac_counts, ac_syms)
+
+    bits: list[int] = []
+
+    def put(length, value):
+        for i in range(length - 1, -1, -1):
+            bits.append((value >> i) & 1)
+
+    def put_mag(v):
+        """magnitude bits per ISO 10918-1 F.1.2.1 (category = caller)."""
+        t = abs(v).bit_length()
+        if t:
+            put(t, v if v >= 0 else v + (1 << t) - 1)
+        return t
+
+    def flush_entropy():
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bits.clear()
+        return bytes(out)
+
+    entropy = bytearray()
+    pred = 0
+    for i, coef in enumerate(blocks_coef):
+        if restart_interval and i and i % restart_interval == 0:
+            entropy += flush_entropy()
+            entropy += bytes(
+                [0xFF, 0xD0 + ((i // restart_interval - 1) % 8)]
+            )
+            pred = 0
+        diff = coef.get(0, 0) - pred
+        pred = coef.get(0, 0)
+        t = abs(diff).bit_length()
+        ln, cd = dc_code[t]
+        put(ln, cd)
+        put_mag(diff)
+        run = 0
+        for k in range(1, 64):
+            v = coef.get(k, 0)
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, cd = ac_code[0xF0]
+                put(ln, cd)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, cd = ac_code[(run << 4) | s]
+            put(ln, cd)
+            put_mag(v)
+            run = 0
+        if run:
+            ln, cd = ac_code[0x00]
+            put(ln, cd)
+    entropy += flush_entropy()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(quant))
+    out += seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _naive_idct(coef_raster):
+    """Independent direct-form 2-D IDCT (the textbook double sum) — the
+    test's own reference, sharing no code with the decoder's separable
+    form."""
+    import math
+
+    def c(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        c(u) * c(v) * coef_raster[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            p = int(math.floor(s / 4 + 128.5))
+            out.append(min(255, max(0, p)))
+    return out
+
+
+def test_decode_jpeg_stdlib_flat_and_textured_blocks_exact():
+    """Hand-encoded baseline JPEG with chosen quantized coefficients:
+    a flat block must decode EXACTLY (DC-only IDCT is closed-form), a
+    textured block must match an independent direct-form IDCT within
+    one count (float associativity at the rounding edge)."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        _jpeg_decode_luma,
+    )
+
+    quant = [16] * 64
+    # flat 200: DC = 8*(200-128)/16 = 36 exactly
+    flat = {0: 36}
+    textured = {0: -10, 1: 7, 2: -3, 5: 2, 9: -4, 20: 1, 63: -1}
+    payload = _jpeg_encode_test([flat, textured], 16, 8, quant)
+    w, h, luma = _jpeg_decode_luma(payload)
+    assert (w, h) == (16, 8)
+    left = [luma[y * 16 + x] for y in range(8) for x in range(8)]
+    right = [luma[y * 16 + 8 + x] for y in range(8) for x in range(8)]
+    assert left == [200] * 64
+    coef_raster = [0.0] * 64
+    for k, v in textured.items():
+        coef_raster[_JPEG_ZZ[k]] = v * quant[k]
+    expect = _naive_idct(coef_raster)
+    assert max(abs(a - b) for a, b in zip(right, expect)) <= 1
+
+
+def test_decode_jpeg_stdlib_restart_intervals_and_dc_prediction():
+    """DRI/RSTn handling: with restart_interval=1 the DC predictor must
+    reset at each marker (blocks carry ABSOLUTE DC), and without it the
+    second block's DC is a diff — both must land the same pixels."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    quant = [16] * 64
+    blocks = [{0: 36}, {0: -36}]  # 200-gray then 56-gray
+    plain = _jpeg_encode_test(
+        [{0: 36}, {0: 0 - 36 + 36}], 16, 8, quant
+    )  # diff encoding happens inside the encoder via pred
+    with_rst = _jpeg_encode_test(blocks, 16, 8, quant, restart_interval=1)
+    # NB: the encoder takes ABSOLUTE DC per block and handles diffs /
+    # resets itself, so both payloads must decode identically modulo the
+    # second block's value
+    w, h, luma_rst = _jpeg_decode_luma(with_rst)
+    assert (w, h) == (16, 8)
+    assert luma_rst[0] == 200 and luma_rst[8] == 56
+    w2, h2, luma_plain = _jpeg_decode_luma(
+        _jpeg_encode_test(blocks, 16, 8, quant)
+    )
+    assert luma_plain == luma_rst
+
+
+def test_decode_jpeg_stdlib_matches_jvm_imageio_on_wild_jpegs():
+    """Differential proof on wild-caught baseline JPEGs (the Spark
+    distribution's mllib test images): the stdlib decoder's luma must
+    track the JVM ImageIO decode of the same bytes (mean |diff| < 1,
+    max <= 8 — Y-vs-RGB-roundtrip luma plus IDCT variance; JPEG permits
+    decoder variance, ISO 10918-1 Annex A accuracy bounds)."""
+    import os
+    import shutil
+    import statistics
+    import subprocess
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    samples = [
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP153539.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/chr30.4.184.jpg",
+    ]
+    if not all(map(os.path.exists, samples)) or not shutil.which("javac"):
+        pytest.skip("wild JPEG samples or JDK not available")
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class JpegRef {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+            int rgb = img.getRGB(x, y);
+            sb.append((299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+                       + 114 * (rgb & 255)) / 1000).append(' ');
+        }
+        System.out.print(sb);
+    }
+}
+"""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/JpegRef.java", "w") as fh:
+            fh.write(src)
+        subprocess.run(
+            ["javac", "JpegRef.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        for sample in samples:
+            ref_out = subprocess.run(
+                ["java", "JpegRef", sample], cwd=td, check=True,
+                capture_output=True, text=True,
+            ).stdout.split()
+            rw, rh = int(ref_out[0]), int(ref_out[1])
+            ref = [int(v) for v in ref_out[2:]]
+            w, h, mine = _jpeg_decode_luma(open(sample, "rb").read())
+            assert (w, h) == (rw, rh)
+            diffs = [abs(a - b) for a, b in zip(mine, ref)]
+            assert statistics.mean(diffs) < 1.0, sample
+            assert max(diffs) <= 8, sample
+
+
+def test_decode_jpeg_stdlib_refuses_progressive_and_garbage():
+    import os
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_jpeg_stdlib,
+    )
+
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg_stdlib(b"\x89PNG not a jpeg")
+    progressive = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    if os.path.exists(progressive):
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg_stdlib(open(progressive, "rb").read())
+
+
+def test_decode_image_real_stdlib_pin_routes_both_codecs():
+    """The 'stdlib' pin routes by magic to the matching stdlib kernel;
+    JPEG payloads land in the same [0,1] luma feature space as PNG."""
+    import os
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_image_real,
+        decode_jpeg_stdlib,
+        decode_png_stdlib,
+    )
+
+    png = _png_encode(list(range(0, 256, 16)), 16, 1, color=0)
+    assert decode_image_real(
+        png, feature_dim=4, decoder="stdlib"
+    ) == decode_png_stdlib(png, feature_dim=4)
+    jpg = _jpeg_encode_test([{0: 36}], 8, 8, [16] * 64)
+    got = decode_image_real(jpg, feature_dim=4, decoder="stdlib")
+    assert got == decode_jpeg_stdlib(jpg, feature_dim=4)
+    assert got == [200 / 255.0] * 4
+    # the auto/no-PIL branch routes JPEG too now
+    assert decode_image_real(jpg, feature_dim=4) == got
+    with pytest.raises(NotImplementedError, match="neither PNG nor JPEG"):
+        decode_image_real(b"GIF89a...", decoder="stdlib")
+    sample = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "kittens/DP153539.jpg"
+    )
+    if os.path.exists(sample):
+        feats = decode_image_real(
+            open(sample, "rb").read(), feature_dim=8, decoder="stdlib_jpeg"
+        )
+        assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
