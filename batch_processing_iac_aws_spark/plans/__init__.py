@@ -288,18 +288,122 @@ from . import quality  # noqa: E402,F401
 #     pins the one remaining float oracle at all three fixture SFs;
 #     (e) 5x linearity probes extended to the round-9 operators
 #     (tools/probe_linearity_r9.py, results in ARCHITECTURE.md).
+#   round 10 window (this one) — the r9-pinned _ROUND10_QUEUE executed
+#     verbatim, oldest-first:
+#     new (1): table_compacted_ingest (the TENTH streaming composition —
+#       the corpus TABLE itself behind the generationed store, closing
+#       the r9 verdict's lifecycle asymmetry: both table and index read
+#       through committed generation pointers, the table compacts
+#       mid-checkpoint under the atomic flip, a replay of the
+#       compacted-away batch refuses BEFORE ANY WRITE — proven
+#       table-side specifically by leaving the index uncompacted — and
+#       the registered row gates on the compaction audit + the refusal
+#       + a bit-level no-write proof (identical layout audit around the
+#       refused replay). Per-row arrival lineage survives compaction as
+#       the DATA column ingest_batch, so the oracle asserts the
+#       first-arrival fixpoint PLUS each survivor's original batch.
+#       Green at sf0.001/0.01 and FULL sf0.1 pre-window).
+#     rotation (49 of _ROUND10_QUEUE's 56): the six r5-stale relational
+#       heads (join_inner, join_left, union_distinct, q7_nation_volume,
+#       scalar_subquery, set_intersect — the only queries whose last
+#       driver row was r5), then the r8 window oldest-first. The 1 new
+#       query + the 6-name queue overhang displace the tail seven, all
+#       freshly r8-green and shape-covered in-window: variant_funcs
+#       (try/cast/JSON scalar surface stays via try_funcs, cast_funcs,
+#       json_funcs) and the six classic window-function queries
+#       (window_first_last/lag_lead/percent_rank/range_frame/session/
+#       tumbling — the window plan family stays via udf_grouped_zscore's
+#       grouped window, ts_time_weighted_avg's range frame, and the
+#       streaming_rollup/streaming_sliding window-through-the-engine
+#       rows). They head _ROUND11_QUEUE.
+#     registry change: the two rows-only registrations dedup_simhash /
+#       dedup_simhash_pairs are RETIRED (r10 verdict item 3) — the only
+#       never-hash-checked rows, their xxhash64 family being
+#       structurally un-oracle-able in DuckDB; the algorithm stays fully
+#       hash-proven by dedup_simhash_portable (exhaustive all-pairs
+#       twin, IN this window) + dedup_incremental_simhash, and the
+#       xxhash64 operators remain the production default, property-
+#       tested in tests/test_dedup.py. Counts: 206 registered, 206
+#       oracled — zero rows-only, every registered row hash-checked.
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
     #    enter the window) --
+    "table_compacted_ingest",
+    # -- the six r5-stale relational heads of _ROUND10_QUEUE --
+    "join_inner",
+    "join_left",
+    "union_distinct",
+    "q7_nation_volume",
+    "scalar_subquery",
+    "set_intersect",
+    # -- the r8 window cohort, queue order (news first, then r4 cohort) --
+    "quality_logit_score",
+    "streaming_incremental_sparse",
+    "similarity_ivf_pq_index",
+    "streaming_quality_ingest",
+    "similarity_ivf_pq_residual",
+    "similarity_index_compact",
+    "multimodal_phash_pairs",
+    "graph_pagerank",
+    "dedup_minhash",
+    "streaming_tumbling",
+    "csv_expand",
+    "agg_approx_distinct",
+    "agg_freq_items",
+    "agg_hll_rollup",
+    "agg_skew_salted",
+    "case_null_funcs",
+    "cast_funcs",
+    "corpus_gopher_filter",
+    "dedup_exact_hash",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_first",
+    "dedup_simhash_portable",
+    "dedup_substring_spans",
+    "generator_funcs",
+    "graph_degree_centrality",
+    "interval_funcs",
+    "json_funcs",
+    "multimodal_frames",
+    "sample_per_group",
+    "similarity_ivf",
+    "similarity_lsh",
+    "streaming_join_static",
+    "streaming_rollup",
+    "streaming_sliding",
+    "text_langid",
+    "text_repetition_profile",
+    "text_token_entropy",
+    "topk_per_group",
+    "try_funcs",
+    "ts_time_weighted_avg",
+    "udf_grouped_zscore",
+    "udf_rowwise_python",
+]
+
+#: Round-11 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name
+#: exists): the seven r8-green tail members this round's news + overhang
+#: displaced, followed by the whole r9 window — after round 10 those are
+#: the next-oldest driver-greens. Oldest-green-first stays the rule;
+#: round 11's news must displace the most shape-redundant members,
+#: exactly as this round's ledger entry did.
+_ROUND11_QUEUE = [
+    "variant_funcs",
+    "window_first_last",
+    "window_lag_lead",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_session",
+    "window_tumbling",
+    # -- the r9 window (news first, then its cohort) --
     "dedup_index_compact",
     "streaming_compacted_ingest",
     "dedup_incremental_ann",
     "streaming_fuzzy_ingest",
-    # -- the two r4 stragglers the r8 pin queued first --
     "window_sliding",
     "multimodal_resize",
-    # -- the r5 cohort, oldest-first (46 of _ROUND9_QUEUE's 52; the
-    #    displaced six head _ROUND10_QUEUE) --
     "q1_pricing_summary",
     "join_asof",
     "agg_argminmax",
@@ -344,75 +448,6 @@ _PRIORITY = [
     "text_normalize",
     "timeseries_gapfill",
     "unpivot_measures",
-]
-
-#: Round-10 rotation queue, pinned now so a typo cannot silently drop a
-#: query from rotation (tests/test_registry.py asserts every name
-#: exists): the six r5-cohort members this round's news + overhang
-#: displaced (suite-proven every session, now the single oldest
-#: driver-greens, so they head the queue) followed by the whole r8
-#: window — after round 9 those are the next-oldest driver-greens.
-#: Oldest-green-first stays the rule; round 10's news must displace the
-#: most shape-redundant members, exactly as this round's ledger entry
-#: did.
-_ROUND10_QUEUE = [
-    "join_inner",
-    "join_left",
-    "union_distinct",
-    "q7_nation_volume",
-    "scalar_subquery",
-    "set_intersect",
-    # -- the r8 window (news first, then its r4 cohort) --
-    "quality_logit_score",
-    "streaming_incremental_sparse",
-    "similarity_ivf_pq_index",
-    "streaming_quality_ingest",
-    "similarity_ivf_pq_residual",
-    "similarity_index_compact",
-    "multimodal_phash_pairs",
-    "graph_pagerank",
-    "dedup_minhash",
-    "streaming_tumbling",
-    "csv_expand",
-    "agg_approx_distinct",
-    "agg_freq_items",
-    "agg_hll_rollup",
-    "agg_skew_salted",
-    "case_null_funcs",
-    "cast_funcs",
-    "corpus_gopher_filter",
-    "dedup_exact_hash",
-    "dedup_fingerprint",
-    "dedup_incremental",
-    "dedup_keep_first",
-    "dedup_simhash_portable",
-    "dedup_substring_spans",
-    "generator_funcs",
-    "graph_degree_centrality",
-    "interval_funcs",
-    "json_funcs",
-    "multimodal_frames",
-    "sample_per_group",
-    "similarity_ivf",
-    "similarity_lsh",
-    "streaming_join_static",
-    "streaming_rollup",
-    "streaming_sliding",
-    "text_langid",
-    "text_repetition_profile",
-    "text_token_entropy",
-    "topk_per_group",
-    "try_funcs",
-    "ts_time_weighted_avg",
-    "udf_grouped_zscore",
-    "udf_rowwise_python",
-    "variant_funcs",
-    "window_first_last",
-    "window_lag_lead",
-    "window_percent_rank",
-    "window_range_frame",
-    "window_session",
-    "window_tumbling",
 ]
 
 

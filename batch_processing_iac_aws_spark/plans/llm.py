@@ -391,12 +391,15 @@ def dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash (rows-only; determinism + near-dup behavior
-    property-tested)."""
-    d = _t(spark, sf_dir, "documents")
-    return simhash(d, id_col="doc_id", text_col="text")
+# RETIRED (round 10): the rows-only `dedup_simhash` / `dedup_simhash_pairs`
+# registrations were the registry's only never-hash-checked rows — their
+# xxhash64 token family is structurally un-oracle-able in DuckDB (no
+# xxhash64), and the ALGORITHM (bit voting, packing, 4-chunk pigeonhole
+# banding, hamming verify) is fully hash-proven by `dedup_simhash_portable`
+# below (exhaustive all-pairs DuckDB twin over the md5-derived 60-bit
+# family) plus `dedup_incremental_simhash`. The fast xxhash64 production
+# operators (operators/dedup.py:simhash, simhash_near_duplicates) remain
+# the default path and stay property-tested in tests/test_dedup.py.
 
 
 @query(
@@ -1658,7 +1661,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 @query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash ALGORITHM differentially tested end-to-end: same bit
-    voting, packing, banding, and hamming verify as dedup_simhash_pairs,
+    voting, packing, banding, and hamming verify as the xxhash64
+    production path (operators/dedup.py:simhash_near_duplicates),
     but over an engine-portable md5-derived 60-bit token hash family
     (:func:`_md5_lower60`) that DuckDB reproduces exactly — so the oracle
     validates every moving part except the hash family itself, which the
@@ -1868,17 +1872,6 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_simhash_dedup(
         batch, index, max_hamming=3, bits=60, token_hash=_md5_lower60
     ).select("doc_id")
-
-
-@query("dedup_simhash_pairs")
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate candidates: 16-bit chunk bucketing (pigeonhole
-    guarantees hamming<=3 pairs collide) + bit_count verification — rows-only,
-    property-tested in tests/test_dedup.py."""
-    from ..operators.dedup import simhash_near_duplicates
-
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3)
 
 
 @query(

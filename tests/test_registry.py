@@ -11,29 +11,25 @@ from batch_processing_iac_aws_spark.plans import (
     ORACLES,
     QUERIES,
     _PRIORITY,
-    _ROUND10_QUEUE,
+    _ROUND11_QUEUE,
 )
 
-# genuinely non-SQL-expressible ops (xxhash64-based SimHash signatures
-# and their banded pairs — DuckDB has no xxhash64): rows-only by design,
-# each compensated with property tests. Round 4
-# upgraded agg_approx_distinct / agg_hll_rollup (tolerance-gated exact
-# counts), dedup_minhash (exhaustive-Jaccard recall oracle), and
-# similarity_ivf / similarity_lsh (recall-floor summary), and text_langid
-# (lexicon-generated SQL twin), and agg_freq_items (KPS one-sided
-# guarantee -> sketch-intersect-exact equals exact), and
-# dedup_fuzzy_pipeline (exhaustive graph + recursive-CTE closure twin),
-# and embedding_pca (centering/ordering/eigenvalue-floor invariants gated
-# in-engine, summary row oracled) OUT of this set.
-ROWS_ONLY = {
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-}
+# EMPTY since round 10: the last two rows-only registrations
+# (dedup_simhash / dedup_simhash_pairs, whose xxhash64 token family is
+# structurally un-oracle-able in DuckDB) were retired in favor of the
+# hash-oracled dedup_simhash_portable exhaustive twin +
+# dedup_incremental_simhash; the xxhash64 operators remain the
+# production default, property-tested in tests/test_dedup.py. Every
+# registered query now carries a DuckDB oracle. (History: round 4
+# upgraded agg_approx_distinct / agg_hll_rollup, dedup_minhash,
+# similarity_ivf / similarity_lsh, text_langid, agg_freq_items,
+# dedup_fuzzy_pipeline, and embedding_pca out of this set.)
+ROWS_ONLY: set[str] = set()
 
 
 def test_counts():
-    assert len(QUERIES) == 207
-    assert len(ORACLES) == 205
+    assert len(QUERIES) == 206
+    assert len(ORACLES) == 206
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -59,31 +55,23 @@ def _ever_driver_confirmed() -> set[str]:
     return seen
 
 
-def test_first_50_is_the_round9_rotation_window():
-    """Rotation policy: the round-9 window = the two queries new this
-    round (dedup_index_compact — the generation+watermark compaction
-    lifecycle adopted by the incremental dedup index family via the
-    shared store, audit-gated and hash-oracled on the probe-batch
-    survivors; streaming_compacted_ingest — the eighth composition,
-    that compaction fused into the checkpointed rolling ingest, gated
-    on the audit + the before-any-write replay refusal;
-    dedup_incremental_ann — index-accelerated semantic dedup against
-    the persisted IVF index, the whole composition unrolled in the
-    oracle; streaming_fuzzy_ingest — the ninth composition,
-    near-duplicate rolling ingest with the threaded-fixpoint exhaustive
-    Jaccard oracle) + the two r4 stragglers the r8 pin queued first
-    (window_sliding, multimodal_resize) + 44 of the 50-query r5 cohort
-    (join_inner, join_left, union_distinct, q7_nation_volume,
-    scalar_subquery and set_intersect donate slots — the inner-join
-    tree shape stays via every in-window TPC-H query plus
-    join_semi/anti/full/range/interval/asof, the outer-join shape via
-    join_full, the set-op rewrite family via set_except with the
-    semi-join-distinct shape via join_semi/in_subquery, the
-    nation-volume join-agg tree via q5_region_revenue +
-    q8_market_share, and the subquery family via in_subquery +
-    q15_top_supplier; all six head _ROUND10_QUEUE). After this round
-    no query's last driver-green is older than r5 except those six
-    (suite-proven every session, queued r10)."""
+def test_first_50_is_the_round10_rotation_window():
+    """Rotation policy: the round-10 window = the one query new this
+    round (table_compacted_ingest — the tenth streaming composition,
+    the corpus TABLE behind the generationed store with compaction
+    mid-checkpoint, gated on the audit + the before-any-write replay
+    refusal + the bit-level no-write layout proof) + 49 of
+    _ROUND10_QUEUE's 56 executed verbatim oldest-first: the six
+    r5-stale relational heads, then the r8 window cohort. The 1 new +
+    6-name overhang displace the queue's tail seven (variant_funcs —
+    its try/cast/JSON scalar surface stays in-window via try_funcs,
+    cast_funcs, json_funcs; and the six classic window-function
+    queries, whose window plan family stays via udf_grouped_zscore's
+    grouped window, ts_time_weighted_avg's range frame, and
+    streaming_rollup/streaming_sliding — all seven freshly r8-green).
+    They head _ROUND11_QUEUE. After this round no query's last
+    driver-green is older than r6 except those seven (suite-proven
+    every session, queued r11)."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -101,16 +89,16 @@ def test_first_50_is_the_round9_rotation_window():
     assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"
 
 
-def test_round10_queue_names_are_registered():
+def test_round11_queue_names_are_registered():
     """The pinned next-round rotation queue must name only real queries —
     a typo'd entry would silently never rotate in (the r6 lesson applied
     to the queue itself, not just the window)."""
-    missing = [n for n in _ROUND10_QUEUE if n not in QUERIES]
+    missing = [n for n in _ROUND11_QUEUE if n not in QUERIES]
     assert not missing, f"queue names not in QUERIES: {missing}"
-    # and the queue is exactly the set that will be oldest after round 9:
+    # and the queue is exactly the set that will be oldest after round 10:
     # no overlap with the current window, no duplicates
-    assert len(set(_ROUND10_QUEUE)) == len(_ROUND10_QUEUE)
-    assert not set(_ROUND10_QUEUE) & set(_PRIORITY)
+    assert len(set(_ROUND11_QUEUE)) == len(_ROUND11_QUEUE)
+    assert not set(_ROUND11_QUEUE) & set(_PRIORITY)
 
 def test_scratch_source_cache_reuse_and_partial_build_wipe(tmp_path, monkeypatch):
     """scratch_source_cache: second call in the same process reuses the
