@@ -51,7 +51,11 @@ HEADLINE = [
     "join_asof",
     "dedup_exact_hash",
     "dedup_minhash",
-    "dedup_simhash",
+    # round 10: dedup_simhash (retired registry row) replaced by its
+    # oracled portable twin — same voting/packing/banding algorithm plus
+    # the banded pair join + exhaustive verify, so the slot now measures
+    # the FULL simhash near-dup path rather than signatures only
+    "dedup_simhash_portable",
     "similarity_topk",
     "similarity_ivf",
     "text_quality",
@@ -135,6 +139,56 @@ HEADLINE = [
     # index + exact-Jaccard verify); source cached per process,
     # table/index/checkpoint rebuilt per call
     "streaming_fuzzy_ingest",
+    # round 10: the tenth streaming composition — the corpus TABLE behind
+    # the generationed store, compaction mid-checkpoint + before-any-write
+    # replay refusal (two streaming runs + a table compaction + the
+    # refusal probe per call under the wiped scratch_dir; source cached)
+    "table_compacted_ingest",
+]
+
+# FROZEN core yardstick (round 10, verdict item 5): the headline set grew
+# 36 -> 57 across ten rounds, so cross-round totals of the FULL set are
+# not comparable — coverage growth reads as regression. CORE is the
+# round-5-era headline prefix (33 queries: the 34-query prefix stable
+# since r5 minus the retired dedup_simhash) and MUST NEVER CHANGE — the
+# yardstick regressions are measured against. New queries go to HEADLINE
+# only. bench emits core_total_sec / core_total_warm_sec alongside the
+# full headline totals every run; r8/r9 core totals are back-computed in
+# ARCHITECTURE.md (round-10 section) for the trend line.
+CORE = [
+    "interval_expand",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "multimodal_frames",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_product_profit",
+    "q10_top_customers",
+    "q18_large_orders",
+    "window_rank",
+    "window_session",
+    "join_asof",
+    "dedup_exact_hash",
+    "dedup_minhash",
+    "similarity_topk",
+    "similarity_ivf",
+    "text_quality",
+    "text_tfidf_topk",
+    "search_bm25",
+    "embedding_pca",
+    "join_point_in_time",
+    "dedup_fuzzy_pipeline",
+    "dedup_substring_spans",
+    "text_repetition_profile",
+    "corpus_gopher_filter",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_embedding",
+    "corpus_line_dedup",
+    "dedup_semantic",
+    "cluster_kmeans",
+    "dedup_semantic_kmeans",
+    "text_normalize",
 ]
 
 WARM_ITERS = 3
@@ -181,6 +235,12 @@ def main() -> None:
         "queries_warm": warm,
         "queries_warm_spread": spread,
         "warm_iters": WARM_ITERS,
+        # the frozen yardstick (see CORE above) + explicit full-set
+        # aliases, so cross-round trend reads never mix the two
+        "core_total_sec": round(sum(cold[n] for n in CORE), 3),
+        "core_total_warm_sec": round(sum(warm[n] for n in CORE), 3),
+        "headline_total_sec": round(sum(cold.values()), 3),
+        "headline_total_warm_sec": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(record), flush=True)
