@@ -491,7 +491,9 @@ def streaming_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt",
         weights=w,
     )
-    return spark.read.parquet(f"{base}/table").select(
+    from ..operators.index_store import read_table
+
+    return read_table(spark, f"{base}/table").select(
         "doc_id", "content_hash", "quality_logit"
     )
 
@@ -631,7 +633,9 @@ def streaming_incremental_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt",
         dim=4096, threshold=0.95,
     )
-    return spark.read.parquet(f"{base}/table").select(
+    from ..operators.index_store import read_table
+
+    return read_table(spark, f"{base}/table").select(
         "doc_id", F.col("batch_seq").cast("int").alias("batch_seq")
     )
 
@@ -683,7 +687,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_streaming_ingest_dedup(
         spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt"
     )
-    return spark.read.parquet(f"{base}/table").select(
+    from ..operators.index_store import read_table
+
+    return read_table(spark, f"{base}/table").select(
         "doc_id", "content_hash"
     )
 
@@ -813,7 +819,9 @@ def streaming_fuzzy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_streaming_fuzzy_ingest(
         spark, src, f"{base}/table", f"{base}/index", f"{base}/ckpt"
     )
-    return spark.read.parquet(f"{base}/table").select(
+    from ..operators.index_store import read_table
+
+    return read_table(spark, f"{base}/table").select(
         "doc_id", F.col("batch_seq").cast("int").alias("batch_seq")
     )
 
@@ -899,8 +907,10 @@ def streaming_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         and audit["batches_after"] == 1
         and not audit["noop_replay"]
     )
+    from ..operators.index_store import read_table
+
     return (
-        spark.read.parquet(table)
+        read_table(spark, table)
         .filter(F.lit(bool(audit_ok and refused)))
         .select(
             "doc_id",
@@ -938,8 +948,9 @@ def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table hits small-files before the digest-sized index does, and a
     replayed batch after table compaction is the same silent
     row-doubling the index guard stops). Batches 0-1 stream in through
-    run_streaming_store_ingest (BOTH table and index behind committed
-    generation pointers), an offline compact_table(upto_batch=1) merges
+    run_streaming_ingest_dedup — since round 10 the WHOLE ingest family
+    writes BOTH table and index behind committed generation pointers —
+    then an offline compact_table(upto_batch=1) merges
     the table's two batch partitions under the atomic generation flip
     while the checkpoint sleeps, a replay of compacted-away batch 1 must
     refuse BEFORE ANY WRITE — the table-side watermark specifically,
@@ -958,7 +969,8 @@ def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-arrival fixpoint of streaming_incremental_dedup PLUS each
     survivor's original batch — proving compaction changed nothing
     logical while the layout collapsed.
-    streaming/pipeline.py:run_streaming_store_ingest / ingest_store_batch;
+    streaming/pipeline.py:run_streaming_ingest_dedup / ingest_dedup_batch
+    (store-backed on BOTH sides since round 10);
     operators/index_store.py:compact_table (the payload-agnostic store).
     """
     import glob as _glob
@@ -971,8 +983,8 @@ def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table,
     )
     from ..streaming.pipeline import (
-        ingest_store_batch,
-        run_streaming_store_ingest,
+        ingest_dedup_batch,
+        run_streaming_ingest_dedup,
     )
 
     base = scratch_dir("tingest", sf_dir)
@@ -985,12 +997,12 @@ def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, index, ckpt = f"{base}/table", f"{base}/index", f"{base}/ckpt"
     for f in files[:2]:
         shutil.copy2(f, src)
-    run_streaming_store_ingest(spark, src, table, index, ckpt)
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
     audit = compact_table(spark, table, upto_batch=1)
     pre = layout_audit(read_table(spark, table))
     refused = False
     try:
-        ingest_store_batch(
+        ingest_dedup_batch(
             spark.read.parquet(files[1]), 1,
             table_dir=table, index_dir=index,
         )
@@ -998,7 +1010,7 @@ def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         refused = True
     post = layout_audit(read_table(spark, table))
     shutil.copy2(files[2], src)
-    run_streaming_store_ingest(spark, src, table, index, ckpt)
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
     audit_ok = (
         audit["rows_before"] == audit["rows_after"]
         and audit["files_after"] < audit["files_before"]

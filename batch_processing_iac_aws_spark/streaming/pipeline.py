@@ -287,19 +287,28 @@ def ingest_dedup_batch(
     batch to the complement subset and permanently losing rows from both
     the table and the index.
 
-    The index lives in the generationed store
-    (operators/index_store.py): reads resolve through the committed
-    CURRENT pointer, appends stamp their own batch_seq partition, and
-    offline :func:`~..operators.index_store.compact_index` runs can merge
-    old batch partitions without breaking this ingest — the store's
-    watermark makes a replay of a compacted-away batch refuse loudly."""
+    BOTH sides live in the generationed store (operators/index_store.py)
+    since round 10 — the round-9 lifecycle asymmetry (generationed
+    indexes, bare accreting tables) is closed: reads resolve through the
+    committed CURRENT pointer, appends stamp their own batch_seq
+    partition, and offline :func:`~..operators.index_store.compact_index`
+    / ``compact_table`` runs can merge old batch partitions on EITHER
+    side without breaking this ingest — each store's watermark makes a
+    replay of a compacted-away batch refuse loudly, checked here for
+    both BEFORE any write (table first; the table write happens first).
+    Per-row arrival lineage is stamped as the DATA column
+    ``ingest_batch``: table compaction remaps the batch_seq PARTITION
+    value of merged batches (layout metadata), but never touches data
+    columns — the lakehouse-OPTIMIZE contract."""
     if batch_df.isEmpty():
         return
     from pyspark.sql import Window
 
     from ..operators.index_store import (
         append_index,
+        append_table,
         assert_appendable,
+        assert_table_appendable,
         read_index,
     )
 
@@ -308,6 +317,7 @@ def ingest_dedup_batch(
     # compaction that partition holds the merged HISTORY — the replay
     # would recompute survivors with no history and overwrite a corrupt
     # table partition before append_index's own guard fired
+    assert_table_appendable(table_dir, batch_id)
     assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     hashed = batch_df.withColumn(
@@ -338,14 +348,8 @@ def ingest_dedup_batch(
         firsts
         if index is None
         else firsts.join(index, "content_hash", "left_anti")
-    )
-    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(table_dir)
-    )
+    ).withColumn("ingest_batch", F.lit(batch_id).cast("int"))
+    append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
         survivors.select("content_hash"), index_dir, batch_id=batch_id
     )
@@ -533,13 +537,17 @@ def ingest_sparse_batch(
     from ..operators.dedup import incremental_sparse_dedup
     from ..operators.index_store import (
         append_index,
+        append_table,
         assert_appendable,
+        assert_table_appendable,
         read_index,
     )
     from ..operators.text import hashed_doc_vectors
 
     # compacted-batch replays refuse before any write (ingest_dedup_batch
-    # rationale: the own-partition exclusion would hide merged history)
+    # rationale: the own-partition exclusion would hide merged history;
+    # both stores checked, table first — the table write happens first)
+    assert_table_appendable(table_dir, batch_id)
     assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
@@ -568,13 +576,10 @@ def ingest_sparse_batch(
             threshold=threshold,
         )
     )
-    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(table_dir)
+    survivors = survivors.withColumn(
+        "ingest_batch", F.lit(batch_id).cast("int")
     )
+    append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
         hashed_doc_vectors(
             survivors, id_col=id_col, text_col=text_col, dim=dim
@@ -658,12 +663,17 @@ def ingest_quality_batch(
         return
     from pyspark.sql import Window
 
-    from ..operators.index_store import assert_appendable
+    from ..operators.index_store import (
+        assert_appendable,
+        assert_table_appendable,
+    )
     from ..operators.quality import quality_logit_score
     from ..operators.text import quality_features
 
     # compacted-batch replays refuse before any write (ingest_dedup_batch
-    # rationale: the own-partition exclusion would hide merged history)
+    # rationale: the own-partition exclusion would hide merged history;
+    # both stores checked, table first — the table write happens first)
+    assert_table_appendable(table_dir, batch_id)
     assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     gated = quality_logit_score(
@@ -682,7 +692,7 @@ def ingest_quality_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    from ..operators.index_store import append_index, read_index
+    from ..operators.index_store import append_index, append_table, read_index
 
     try:
         index = (
@@ -699,14 +709,8 @@ def ingest_quality_batch(
         firsts
         if index is None
         else firsts.join(index, "content_hash", "left_anti")
-    )
-    survivors = survivors.withColumn("batch_seq", F.lit(batch_id))
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(table_dir)
-    )
+    ).withColumn("ingest_batch", F.lit(batch_id).cast("int"))
+    append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
         survivors.select("content_hash"), index_dir, batch_id=batch_id
     )
@@ -808,10 +812,15 @@ def ingest_fuzzy_batch(
     from ..operators.dedup import incremental_fuzzy_dedup, minhash_signatures
     from ..operators.index_store import (
         append_index,
+        append_table,
         assert_appendable,
+        assert_table_appendable,
         read_index,
+        read_table,
     )
 
+    # both stores checked before any write, table first (it writes first)
+    assert_table_appendable(table_dir, batch_id)
     assert_appendable(index_dir, batch_id)
     spark = batch_df.sparkSession
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
@@ -830,7 +839,7 @@ def ingest_fuzzy_batch(
             .select(id_col, "sig")
         )
         history = (
-            spark.read.parquet(table_dir)
+            read_table(spark, table_dir)
             .where(F.col("batch_seq") != F.lit(batch_id))
             .select(id_col, text_col)
         )
@@ -854,148 +863,19 @@ def ingest_fuzzy_batch(
         )
     )
     survivors = (
-        survivors.withColumn("batch_seq", F.lit(batch_id))
+        survivors.withColumn(
+            "ingest_batch", F.lit(batch_id).cast("int")
+        )
         # two consumers follow (table write + signature append); without
         # this pin the banded join + exact-Jaccard verify would run
         # TWICE per micro-batch — the frame is batch-sized by contract
         .localCheckpoint(eager=True)
     )
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(table_dir)
-    )
+    append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
         minhash_signatures(survivors, text_col=text_col, **sig_kw).select(
             id_col, "sig"
         ),
         index_dir,
         batch_id=batch_id,
-    )
-
-
-def run_streaming_store_ingest(
-    spark: SparkSession,
-    source_dir: str,
-    table_dir: str,
-    index_dir: str,
-    checkpoint_dir: str,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> None:
-    """Rolling-corpus ingestion with the corpus TABLE itself in the
-    generationed store — the tenth composition, closing the lifecycle
-    asymmetry of :func:`run_streaming_ingest_dedup` (whose table is a
-    bare batch-partitioned tree maintainable only by the guard-less
-    ``io.compact_parquet``): here BOTH the table and the fingerprint
-    index live behind committed generation pointers, so both sides get
-    atomic compaction flips, monotone ``COMPACTED_UPTO`` watermarks,
-    replay refusal BEFORE any write, and the salt split for giant
-    merged partitions. At a 100 TB rolling corpus the table accretes one
-    document-sized partition per micro-batch and hits small-files long
-    before the digest-sized index does — table compaction is the one
-    that runs weekly, and a replayed batch after it is the same silent
-    row-doubling the index guard exists to stop. Exactly-once contract
-    unchanged from the family: checkpointed sequencing + batch-keyed
-    dynamic overwrites inside the current generation."""
-    schema = spark.read.format("parquet").load(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-    )
-
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_store_batch(
-            batch_df,
-            batch_id,
-            table_dir=table_dir,
-            index_dir=index_dir,
-            id_col=id_col,
-            text_col=text_col,
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-
-def ingest_store_batch(
-    batch_df: DataFrame,
-    batch_id: int,
-    *,
-    table_dir: str,
-    index_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> None:
-    """One micro-batch of the store-backed rolling ingest — the
-    ingest_dedup_batch semantics (within-batch keep-first per sha256,
-    anti-join against the persisted fingerprint index) with the TABLE
-    write routed through the generationed store too. Module-level so the
-    crash/replay contract is directly testable outside the streaming
-    engine.
-
-    Both stores' watermarks are checked BEFORE any write: compaction on
-    EITHER side makes a replay of a merged-away batch destructive (the
-    own-partition exclusion would hide merged history on the index side;
-    on the table side the replay would append a duplicate partition into
-    the compacted generation), so the batch refuses loudly if either
-    store has compacted past it — with the table checked first, since
-    the table write happens first.
-
-    Per-row arrival lineage is stamped as the DATA column
-    ``ingest_batch`` (compaction remaps the batch_seq PARTITION value of
-    merged batches — layout metadata — but never touches data columns,
-    the lakehouse-OPTIMIZE contract), so the table's logical rows are
-    bit-identical across compactions and the registered query's oracle
-    can assert per-row lineage survives them."""
-    if batch_df.isEmpty():
-        return
-    from pyspark.sql import Window
-
-    from ..operators.index_store import (
-        append_index,
-        append_table,
-        assert_appendable,
-        assert_table_appendable,
-        read_index,
-    )
-
-    assert_table_appendable(table_dir, batch_id)
-    assert_appendable(index_dir, batch_id)
-    spark = batch_df.sparkSession
-    hashed = batch_df.withColumn(
-        "content_hash", F.sha2(F.col(text_col), 256)
-    )
-    w = Window.partitionBy("content_hash").orderBy(id_col)
-    firsts = (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    try:
-        index = (
-            read_index(spark, index_dir)
-            .where(F.col("batch_seq") != F.lit(batch_id))
-            .select("content_hash")
-        )
-    except FileNotFoundError:
-        # only a never-committed store means first batch (any other read
-        # failure must raise — the ingest_dedup_batch rule)
-        index = None
-    survivors = (
-        firsts
-        if index is None
-        else firsts.join(index, "content_hash", "left_anti")
-    ).withColumn("ingest_batch", F.lit(batch_id).cast("int"))
-    append_table(survivors, table_dir, batch_id=batch_id)
-    append_index(
-        survivors.select("content_hash"), index_dir, batch_id=batch_id
     )

@@ -14,6 +14,7 @@ from batch_processing_iac_aws_spark.operators.index_store import (
     compact_index,
     layout_audit,
     read_index,
+    read_table,
     salted_repartition,
     store_current,
     store_watermark,
@@ -269,7 +270,7 @@ def test_streaming_dedup_ingest_continues_after_compaction(spark, tmp_path):
     )
     ingest_dedup_batch(b2, 2, table_dir=table, index_dir=idx)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 2, 3, 6]
     # replay of a compacted-away batch must refuse BEFORE any write:
     # neither the table nor the index may change — the replay's index
@@ -279,7 +280,7 @@ def test_streaming_dedup_ingest_continues_after_compaction(spark, tmp_path):
     with pytest.raises(ValueError, match="watermark"):
         ingest_dedup_batch(b1, 1, table_dir=table, index_dir=idx)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 2, 3, 6]
     assert read_index(spark, idx).count() == 4
 
@@ -319,12 +320,12 @@ def test_streaming_sparse_ingest_continues_after_compaction(spark, tmp_path):
     )
     ingest_sparse_batch(b2, 2, **kw)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
     with pytest.raises(ValueError, match="watermark"):
         ingest_sparse_batch(b1, 1, **kw)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
 
 
@@ -420,7 +421,7 @@ def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
         read_table,
     )
     from batch_processing_iac_aws_spark.streaming.pipeline import (
-        ingest_store_batch,
+        ingest_dedup_batch,
     )
 
     table, idx = str(tmp_path / "table"), str(tmp_path / "idx")
@@ -431,8 +432,8 @@ def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
         [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
     )
     kw = dict(table_dir=table, index_dir=idx)
-    ingest_store_batch(b0, 0, **kw)
-    ingest_store_batch(b1, 1, **kw)  # 10 drops (exact dup of 0)
+    ingest_dedup_batch(b0, 0, **kw)
+    ingest_dedup_batch(b1, 1, **kw)  # 10 drops (exact dup of 0)
     audit = compact_table(spark, table, upto_batch=1)
     assert audit["batches_after"] == 1
     assert audit["rows_before"] == audit["rows_after"] == 3
@@ -453,7 +454,7 @@ def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
 
     files_pre = _listing(table)
     with pytest.raises(ValueError, match="watermark"):
-        ingest_store_batch(b1, 1, **kw)
+        ingest_dedup_batch(b1, 1, **kw)
     assert _listing(table) == files_pre, "refusal must precede any write"
     assert sorted(
         (r["doc_id"], r["ingest_batch"])
@@ -464,7 +465,7 @@ def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
     b2 = spark.createDataFrame(
         [(20, "gamma"), (21, "delta")], "doc_id long, text string"
     )
-    ingest_store_batch(b2, 2, **kw)
+    ingest_dedup_batch(b2, 2, **kw)
     assert sorted(
         (r["doc_id"], r["ingest_batch"])
         for r in read_table(spark, table).collect()
@@ -474,7 +475,7 @@ def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
 def test_table_store_streaming_checkpoint_continues_after_compaction(
     spark, tmp_path
 ):
-    """run_streaming_store_ingest through the REAL streaming engine:
+    """run_streaming_ingest_dedup through the REAL streaming engine:
     batches 0-1 drain, the TABLE compacts mid-checkpoint under the
     atomic generation flip, and the SAME checkpoint resumes for batch 2
     — reading through the new generation and landing its own partition
@@ -486,7 +487,7 @@ def test_table_store_streaming_checkpoint_continues_after_compaction(
         read_table,
     )
     from batch_processing_iac_aws_spark.streaming.pipeline import (
-        run_streaming_store_ingest,
+        run_streaming_ingest_dedup,
     )
 
     src = str(tmp_path / "src")
@@ -518,14 +519,14 @@ def test_table_store_streaming_checkpoint_continues_after_compaction(
         dst = f"{src}/b{i}.parquet"
         shutil.copy(f, dst)
         os.utime(dst, (time.time() + i, time.time() + i))
-    run_streaming_store_ingest(spark, src, table, idx, ckpt)
+    run_streaming_ingest_dedup(spark, src, table, idx, ckpt)
     audit = compact_table(spark, table, upto_batch=1)
     assert audit["batches_after"] == 1 and not audit["noop_replay"]
     f = _glob.glob(f"{paths[2]}/*.parquet")[0]
     dst = f"{src}/b2.parquet"
     shutil.copy(f, dst)
     os.utime(dst, (time.time() + 9, time.time() + 9))
-    run_streaming_store_ingest(spark, src, table, idx, ckpt)
+    run_streaming_ingest_dedup(spark, src, table, idx, ckpt)
     assert sorted(
         (r["doc_id"], r["ingest_batch"])
         for r in read_table(spark, table).collect()

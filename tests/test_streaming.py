@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from batch_processing_iac_aws_spark.operators.timeseries import expand_intervals
+from batch_processing_iac_aws_spark.operators.index_store import read_table
 from batch_processing_iac_aws_spark.streaming.pipeline import (
     run_available_now_aggregation,
     run_incremental_expand,
@@ -216,6 +217,9 @@ def test_continuous_rollup_idempotent_and_convergent(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def snapshot():
+        # the continuous rollup's table is a PLAIN dynamic-overwrite
+        # parquet tree by design (per-key partition overwrite, not the
+        # batch-partitioned ingest store) — read it bare
         return sorted(
             map(
                 tuple,
@@ -260,12 +264,12 @@ def test_streaming_ingest_dedup_exactly_once_across_restarts(spark, tmp_path):
             os.utime(f"{src}/{f}", (1_700_000_000, 1_700_000_000))
     run_streaming_ingest_dedup(spark, src, table, index, ckpt)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 2]
 
     # drained re-run: checkpoint makes it a no-op
     run_streaming_ingest_dedup(spark, src, table, index, ckpt)
-    assert spark.read.parquet(table).count() == 2
+    assert read_table(spark, table).count() == 2
 
     # new batch arrives: 4 dups batch-1's "aaa" (cross-RUN, via the
     # persisted index), 5 is new, 6 dups 5 within the batch
@@ -281,7 +285,7 @@ def test_streaming_ingest_dedup_exactly_once_across_restarts(spark, tmp_path):
             os.utime(p, (1_700_000_060, 1_700_000_060))
     run_streaming_ingest_dedup(spark, src, table, index, ckpt)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 2, 5]
 
 
@@ -330,14 +334,14 @@ def test_ingest_batch_replay_idempotent_after_partial_index_write(
     # doc 3 must SURVIVE the replay (its own partial index entry must not
     # kill it); doc 4 still dedups against batch 0's persisted hash
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 2, 3, 5]
     idx = read_index(spark, index)
     assert idx.count() == 4  # aaa,bbb from b0 + ccc,ddd from b1
     # and a SECOND full replay of the same batch is still a fixpoint
     ingest_dedup_batch(b1, 1, table_dir=table, index_dir=index)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 2, 3, 5]
     assert read_index(spark, index).count() == 4
 
@@ -521,7 +525,7 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
         spark, src, table, idx, ckpt, dim=1 << 12, threshold=0.95
     )
     got = sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     )
     # 10 (permuted) and 20 (exact) both dedup against doc 0's vectors
     assert got == [0, 1, 11, 21]
@@ -531,7 +535,7 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
         spark, src, table, idx, ckpt, dim=1 << 12, threshold=0.95
     )
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
 
     # crash-window replay: batch 1's index partition already holds doc
@@ -560,7 +564,7 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
         threshold=0.95,
     )
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
     # and a second full replay is still a fixpoint
     ingest_sparse_batch(
@@ -568,7 +572,7 @@ def test_streaming_sparse_ingest_first_arrival_and_replay(spark, tmp_path):
         threshold=0.95,
     )
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
 
 
@@ -596,7 +600,7 @@ def test_ingest_quality_batch_gates_dedups_and_replays_idempotently(
         "doc_id long, text string",
     )
     ingest_quality_batch(b0, 0, table_dir=table, index_dir=index, weights=w)
-    got0 = spark.read.parquet(table).collect()
+    got0 = read_table(spark, table).collect()
     # doc 2 (2 tokens, logit -1) gated out
     assert sorted(r["doc_id"] for r in got0) == [1]
     assert all(r["quality_logit"] >= 0 for r in got0)
@@ -626,12 +630,12 @@ def test_ingest_quality_batch_gates_dedups_and_replays_idempotently(
     append_index(partial, index, batch_id=1)
     ingest_quality_batch(b1, 1, table_dir=table, index_dir=index, weights=w)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 5]
     # replay is a fixpoint
     ingest_quality_batch(b1, 1, table_dir=table, index_dir=index, weights=w)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [1, 5]
     assert read_index(spark, index).count() == 2
 
@@ -764,14 +768,14 @@ def test_streaming_fuzzy_ingest_first_arrival_and_replay(spark, tmp_path):
                 os.utime(f"{src}/{f}", (t, t))
                 stamped.add(f)
     run_streaming_fuzzy_ingest(spark, src, table, idx, ckpt)
-    got = sorted(r["doc_id"] for r in spark.read.parquet(table).collect())
+    got = sorted(r["doc_id"] for r in read_table(spark, table).collect())
     # 10 (near-dup) and 20 (exact, J=1.0) both drop against doc 0
     assert got == [0, 1, 11, 21]
 
     # drained re-run: checkpoint no-op
     run_streaming_fuzzy_ingest(spark, src, table, idx, ckpt)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
 
     # crash-window replay: batch 1's index partition already holds doc
@@ -788,7 +792,7 @@ def test_streaming_fuzzy_ingest_first_arrival_and_replay(spark, tmp_path):
     b1 = spark.createDataFrame(rows[1], "doc_id long, text string")
     ingest_fuzzy_batch(b1, 1, table_dir=table, index_dir=idx)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
     # compaction interplay: merge batches 0-1, replay of batch 1 refuses
     # BEFORE any write, and a fresh batch still dedups correctly
@@ -797,7 +801,7 @@ def test_streaming_fuzzy_ingest_first_arrival_and_replay(spark, tmp_path):
     with _pytest.raises(ValueError, match="watermark"):
         ingest_fuzzy_batch(b1, 1, table_dir=table, index_dir=idx)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21]
     b3 = spark.createDataFrame(
         [(30, near_text + " more"), (31, "wholly novel text body words")],
@@ -805,5 +809,5 @@ def test_streaming_fuzzy_ingest_first_arrival_and_replay(spark, tmp_path):
     )
     ingest_fuzzy_batch(b3, 3, table_dir=table, index_dir=idx)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(table).collect()
+        r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21, 31]
