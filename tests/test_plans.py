@@ -460,3 +460,42 @@ def test_incremental_ann_dedup_prunes_index_partitions(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_store_read_own_batch_exclusion_prunes_partitions(spark, tmp_path):
+    """The ingest compositions' history reads exclude the batch's own
+    batch_seq partition on BOTH stores (table and index). That exclusion
+    must reach the scan as a PartitionFilter — pruned directories — not
+    a post-scan Filter: at 100 TB rolling ingest the history is a year
+    of batch partitions and the replay contract must not pay a full scan
+    to skip one of them."""
+    import pyspark.sql.functions as F
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        append_index,
+        read_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        append_index(
+            spark.range(b * 10, b * 10 + 10).select(
+                F.sha2(F.col("id").cast("string"), 256).alias(
+                    "content_hash"
+                )
+            ),
+            idx,
+            batch_id=b,
+        )
+    df = read_index(spark, idx).where(F.col("batch_seq") != F.lit(1))
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan
+    assert "batch_seq" in plan.split("PartitionFilters")[1].split("]")[0]
+    # and the pruning is real: batch 1's files are never opened
+    files = [
+        r["f"]
+        for r in df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all("batch_seq=1" not in f for f in files)
