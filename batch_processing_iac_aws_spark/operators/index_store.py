@@ -404,3 +404,61 @@ append_table = append_index
 read_table = read_index
 compact_table = compact_index
 assert_table_appendable = assert_appendable
+
+
+def compact_if_needed(
+    spark,
+    index_dir: str,
+    *,
+    committed_upto: int,
+    max_batches: "int | None" = 8,
+    max_files: "int | None" = None,
+    split_col: "str | None" = None,
+    max_rows_per_file: "int | None" = None,
+) -> "dict[str, int | bool] | None":
+    """Threshold-gated compaction — the maintenance policy a 24/7
+    rolling ingest actually runs between micro-batches: audit the
+    committed generation's layout in ONE aggregation job and call
+    :func:`compact_index` only when it has accreted more than
+    ``max_batches`` batch partitions (or ``max_files`` files, if set);
+    otherwise return None and touch nothing. Returns the compaction
+    audit when a rewrite ran.
+
+    ``committed_upto`` is the highest batch id whose ingest the CALLER
+    knows to be checkpoint-committed — the store cannot know the
+    streaming engine's commit state, and compacting an uncommitted
+    batch would make its own crash-replay refuse (the watermark
+    contract). Compaction merges everything at or below it; batches
+    above it keep their own partitions and stay replayable.
+
+    A never-committed store is trivially below every threshold. The
+    check-then-compact window is benign under the single-maintainer
+    assumption the pointer store already makes (two concurrent
+    compactions of the SAME upto are an idempotent fixpoint; racing
+    different uptos needs an external lock, same as any table
+    OPTIMIZE)."""
+    try:
+        df = read_index(spark, index_dir)
+    except FileNotFoundError:
+        return None
+    rows, files, batches = layout_audit(df)
+    over_batches = max_batches is not None and batches > max_batches
+    over_files = max_files is not None and files > max_files
+    if not (over_batches or over_files):
+        return None
+    gen = store_current(index_dir)
+    prev = store_watermark(gen)
+    if prev is not None and committed_upto <= prev:
+        return None  # nothing new below the committed horizon to merge
+    return compact_index(
+        spark,
+        index_dir,
+        upto_batch=committed_upto,
+        split_col=split_col,
+        max_rows_per_file=max_rows_per_file,
+    )
+
+
+#: table-flavored twin (the store is payload-agnostic — see the alias
+#: block above)
+compact_table_if_needed = compact_if_needed

@@ -213,6 +213,7 @@ def run_streaming_ingest_dedup(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_compact_batches: "int | None" = None,
 ) -> None:
     """Rolling-corpus ingestion as a REAL streaming job: document batches
     arrive as files, each micro-batch dedups within itself (keep lowest
@@ -222,6 +223,19 @@ def run_streaming_ingest_dedup(
     composition of operators.dedup.incremental_dedup with streaming
     checkpoints standing in for the reference's Glue job bookmarks
     (reference: batch_processing_IaC.py's bookmark-incremental scans).
+
+    ``auto_compact_batches`` makes the ingest SELF-MAINTAINING: before
+    processing micro-batch N, both stores compact via
+    :func:`~..operators.index_store.compact_if_needed` whenever they
+    have accreted more than that many batch partitions — the OPTIMIZE
+    loop a 24/7 pipeline schedules out-of-band, fused in-band where it
+    is trivially safe. The committed horizon is ``N - 1``: Structured
+    Streaming runs foreachBatch(N) only after batch N-1's checkpoint
+    commit, so every batch at or below N-1 is durably ingested and can
+    merge, while batch N itself (and any crash-replay of it) stays
+    above the watermark. A replay of batch N after a crash re-runs the
+    same compaction first — :func:`compact_index`'s generation naming
+    makes that an idempotent fixpoint.
 
     Exactly-once by construction, twice over: the checkpoint guarantees a
     drained source never re-delivers a batch, and both writes are
@@ -248,6 +262,16 @@ def run_streaming_ingest_dedup(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if auto_compact_batches is not None and batch_id > 0:
+            from ..operators.index_store import compact_if_needed
+
+            for store in (table_dir, index_dir):
+                compact_if_needed(
+                    spark,
+                    store,
+                    committed_upto=batch_id - 1,
+                    max_batches=auto_compact_batches,
+                )
         ingest_dedup_batch(
             batch_df,
             batch_id,

@@ -531,3 +531,51 @@ def test_table_store_streaming_checkpoint_continues_after_compaction(
         (r["doc_id"], r["ingest_batch"])
         for r in read_table(spark, table).collect()
     ) == [(0, 0), (1, 0), (11, 1), (21, 2)]
+
+
+def test_compact_if_needed_thresholds_and_committed_horizon(spark, tmp_path):
+    """The maintenance policy: below threshold it must touch NOTHING
+    (same generation dir, no rewrite), above it compacts exactly up to
+    the caller's committed horizon, and a horizon at/below the existing
+    watermark is a no-op — never a monotonicity crash."""
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        compact_if_needed,
+    )
+
+    idx = str(tmp_path / "idx")
+    # never-committed store: trivially below threshold
+    assert compact_if_needed(spark, idx, committed_upto=0) is None
+    for b in range(4):
+        append_index(
+            _digests(spark, [(10 * b + i, f"t{b}-{i}") for i in range(3)]),
+            idx,
+            batch_id=b,
+        )
+    gen_before = store_current(idx)
+    # 4 batches <= max_batches=8: no-op, same generation
+    assert compact_if_needed(spark, idx, committed_upto=3) is None
+    assert store_current(idx) == gen_before
+    # lower the threshold: compacts up to the committed horizon (2),
+    # batch 3 keeps its own partition and stays replayable
+    audit = compact_if_needed(spark, idx, committed_upto=2, max_batches=2)
+    assert audit is not None
+    assert audit["batches_before"] == 4 and audit["batches_after"] == 2
+    assert audit["rows_before"] == audit["rows_after"] == 12
+    assert store_watermark(store_current(idx)) == 2
+    # a FRESH batch above the watermark appends fine (batch_id=3 here
+    # would be a REPLAY and dynamic-overwrite batch 3's partition — the
+    # append contract, not this test's subject)
+    append_index(_digests(spark, [(99, "fresh")]), idx, batch_id=4)
+    assert read_index(spark, idx).count() == 13
+    # horizon at the watermark: nothing new to merge -> None, not a
+    # monotone-watermark ValueError
+    assert (
+        compact_if_needed(spark, idx, committed_upto=2, max_batches=1)
+        is None
+    )
+    # file-count trigger fires independently of the batch trigger
+    audit2 = compact_if_needed(
+        spark, idx, committed_upto=4, max_batches=None, max_files=1
+    )
+    assert audit2 is not None and audit2["batches_after"] == 1
+    assert audit2["rows_after"] == 13

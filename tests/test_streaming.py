@@ -811,3 +811,67 @@ def test_streaming_fuzzy_ingest_first_arrival_and_replay(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_table(spark, table).collect()
     ) == [0, 1, 11, 21, 31]
+
+
+def test_streaming_ingest_auto_compacts_between_batches(spark, tmp_path):
+    """auto_compact_batches fuses the threshold-gated OPTIMIZE loop into
+    the checkpointed ingest: with a threshold of 1, batch N's trigger
+    first merges everything at or below N-1 on BOTH stores, so the
+    drained state ends with the history merged and only the newest batch
+    in its own partition — with survivors identical to the un-maintained
+    run and per-row ingest_batch lineage intact."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        read_index,
+        store_current,
+        store_watermark,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_ingest_dedup,
+    )
+
+    src, stage = str(tmp_path / "src"), str(tmp_path / "stage")
+    table, idx, ckpt = (
+        str(tmp_path / "table"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    batches = [
+        [(0, "alpha"), (1, "beta")],
+        [(10, "alpha"), (11, "gamma")],
+        [(20, "gamma"), (21, "delta")],
+    ]
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = f"{stage}/b{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(p)
+        f = _glob.glob(f"{p}/*.parquet")[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    run_streaming_ingest_dedup(
+        spark, src, table, idx, ckpt, auto_compact_batches=1
+    )
+    # first-arrival survivors, lineage intact
+    assert sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    ) == [(0, 0), (1, 0), (11, 1), (21, 2)]
+    # before batch 2 ran, batches 0-1 exceeded the threshold and merged:
+    # both stores carry watermark 1 and exactly 2 batch partitions
+    for store in (table, idx):
+        assert store_watermark(store_current(store)) == 1, store
+    assert sorted(
+        r["batch_seq"]
+        for r in read_table(spark, table)
+        .select("batch_seq")
+        .distinct()
+        .collect()
+    ) == [1, 2]
+    assert read_index(spark, idx).count() == 4
