@@ -204,6 +204,29 @@ def run_available_now_sessions(
     return spark.table(name)
 
 
+def _maybe_auto_compact(
+    spark, stores, batch_id: int, max_batches: "int | None"
+) -> None:
+    """Shared in-band maintenance hook for every rolling-ingest runner:
+    before processing micro-batch N, compact each store that has
+    accreted past ``max_batches`` batch partitions, up to the
+    checkpoint-committed horizon N-1 (foreachBatch(N) runs only after
+    batch N-1's commit, so merging it is safe; a crash-replay of N
+    re-runs the same compaction as an idempotent fixpoint). No-op when
+    ``max_batches`` is None — maintenance stays opt-in per pipeline."""
+    if max_batches is None or batch_id == 0:
+        return
+    from ..operators.index_store import compact_if_needed
+
+    for store in stores:
+        compact_if_needed(
+            spark,
+            store,
+            committed_upto=batch_id - 1,
+            max_batches=max_batches,
+        )
+
+
 def run_streaming_ingest_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -262,16 +285,9 @@ def run_streaming_ingest_dedup(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if auto_compact_batches is not None and batch_id > 0:
-            from ..operators.index_store import compact_if_needed
-
-            for store in (table_dir, index_dir):
-                compact_if_needed(
-                    spark,
-                    store,
-                    committed_upto=batch_id - 1,
-                    max_batches=auto_compact_batches,
-                )
+        _maybe_auto_compact(
+            spark, (table_dir, index_dir), batch_id, auto_compact_batches
+        )
         ingest_dedup_batch(
             batch_df,
             batch_id,
@@ -490,6 +506,7 @@ def run_streaming_sparse_ingest(
     text_col: str = "text",
     dim: int = 4096,
     threshold: float = 0.95,
+    auto_compact_batches: "int | None" = None,
 ) -> None:
     """Rolling-corpus ingestion with LEXICAL-COSINE dedup as a REAL
     streaming job — the fifth-modality twin of
@@ -509,6 +526,9 @@ def run_streaming_sparse_ingest(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        _maybe_auto_compact(
+            spark, (table_dir, index_dir), batch_id, auto_compact_batches
+        )
         ingest_sparse_batch(
             batch_df,
             batch_id,
@@ -623,6 +643,7 @@ def run_streaming_quality_ingest(
     weights: "dict[str, float]",
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_compact_batches: "int | None" = None,
 ) -> None:
     """Rolling-corpus ingestion with the QUALITY GATE fused into the
     stream — the seventh composition, and the shape a 100 TB pretraining
@@ -649,6 +670,9 @@ def run_streaming_quality_ingest(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        _maybe_auto_compact(
+            spark, (table_dir, index_dir), batch_id, auto_compact_batches
+        )
         ingest_quality_batch(
             batch_df,
             batch_id,
@@ -754,6 +778,7 @@ def run_streaming_fuzzy_ingest(
     shingle_k: int = 3,
     seed: int = 42,
     jaccard_threshold: float = 0.9,
+    auto_compact_batches: "int | None" = None,
 ) -> None:
     """Rolling-corpus ingestion with NEAR-DUPLICATE dedup as a REAL
     streaming job — the ninth composition and the fuzzy twin of
@@ -776,6 +801,9 @@ def run_streaming_fuzzy_ingest(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        _maybe_auto_compact(
+            spark, (table_dir, index_dir), batch_id, auto_compact_batches
+        )
         ingest_fuzzy_batch(
             batch_df,
             batch_id,

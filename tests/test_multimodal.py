@@ -856,3 +856,54 @@ def test_decode_image_real_stdlib_pin_routes_both_codecs():
             open(sample, "rb").read(), feature_dim=8, decoder="stdlib_jpeg"
         )
         assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_decode_jpeg_stdlib_property_random_blocks():
+    """Property test over the whole coefficient space: random quantized
+    zigzag coefficients (random quant table, random block count, runs of
+    zeros included) round-trip through the hand encoder and the decoder
+    to within one count of the independent direct-form IDCT — huffman
+    tables, magnitude coding, run-length/ZRL/EOB, dequant, zigzag, and
+    IDCT all exercised far beyond the fixed fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        _jpeg_decode_luma,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        blocks=st.lists(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=63),
+                st.integers(min_value=-255, max_value=255).filter(
+                    lambda v: v != 0
+                ),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        q=st.integers(min_value=1, max_value=32),
+    )
+    def check(blocks, q):
+        quant = [q] * 64
+        w = 8 * len(blocks)
+        payload = _jpeg_encode_test(blocks, w, 8, quant)
+        gw, gh, luma = _jpeg_decode_luma(payload)
+        assert (gw, gh) == (w, 8)
+        for i, coef in enumerate(blocks):
+            got = [
+                luma[y * w + 8 * i + x] for y in range(8) for x in range(8)
+            ]
+            raster = [0.0] * 64
+            for k, v in coef.items():
+                raster[_JPEG_ZZ[k]] = v * quant[k]
+            expect = _naive_idct(raster)
+            assert max(
+                abs(a - b) for a, b in zip(got, expect)
+            ) <= 1, (i, coef)
+
+    check()

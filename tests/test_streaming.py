@@ -875,3 +875,64 @@ def test_streaming_ingest_auto_compacts_between_batches(spark, tmp_path):
         .collect()
     ) == [1, 2]
     assert read_index(spark, idx).count() == 4
+
+
+def test_fuzzy_ingest_auto_compacts_between_batches(spark, tmp_path):
+    """The shared _maybe_auto_compact hook through the FUZZY runner (the
+    composition whose history verify reads the table store point-wise):
+    merged history must still serve the banded join + exact-Jaccard
+    verify — a near-dup re-crawl of a batch-0 doc arriving in batch 2
+    drops against the COMPACTED history."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        store_current,
+        store_watermark,
+    )
+    from batch_processing_iac_aws_spark.streaming.pipeline import (
+        run_streaming_fuzzy_ingest,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and runs far into "
+        "the deep dark forest tonight again and again without any rest"
+    )
+    src, stage = str(tmp_path / "src"), str(tmp_path / "stage")
+    table, idx, ckpt = (
+        str(tmp_path / "table"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    batches = [
+        [(0, base_text), (1, "completely unrelated words about parquet")],
+        [(10, "another fresh document with brand new content entirely")],
+        [(20, base_text + " zz"), (21, "final genuinely novel text")],
+    ]
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = f"{stage}/b{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(p)
+        f = _glob.glob(f"{p}/*.parquet")[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    run_streaming_fuzzy_ingest(
+        spark, src, table, idx, ckpt, auto_compact_batches=1
+    )
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        read_table,
+    )
+
+    got = sorted(
+        r["doc_id"] for r in read_table(spark, table).collect()
+    )
+    # doc 20 is a one-word-appended re-crawl of doc 0 (J ~ 0.96) and
+    # must drop against the MERGED batch-0/1 history
+    assert got == [0, 1, 10, 21]
+    for store in (table, idx):
+        assert store_watermark(store_current(store)) == 1, store
