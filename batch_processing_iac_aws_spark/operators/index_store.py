@@ -84,6 +84,11 @@ def store_current(index_dir: str) -> str:
     # CURRENT (crash between create and fsync on a non-ordering
     # filesystem) must fail HERE with a descriptive store error, not
     # three frames later as a baffling parquet path-not-found.
+    # Local-filesystem seam: the isdir probe (like store_commit's
+    # os.replace and layout_counts_meta's scandir) assumes a POSIX dir
+    # tree; an object-store port replaces it with the client's prefix
+    # existence check alongside the conditional-put pointer write —
+    # keep the gen-* name check either way.
     if not gen.startswith("gen-") or not os.path.isdir(f"{index_dir}/{gen}"):
         raise ValueError(
             f"corrupt CURRENT pointer at {index_dir}: {gen!r} does not "
@@ -406,6 +411,123 @@ compact_table = compact_index
 assert_table_appendable = assert_appendable
 
 
+def migrate_bare_tree(spark, index_dir: str) -> "dict[str, int | bool]":
+    """One-time migration of a PRE-STORE bare ``batch_seq=*`` parquet
+    tree into the generationed contract — the operation the foreign-
+    layout refusal (:func:`_assert_store_layout`) tells the operator to
+    perform. All existing batch partitions are re-read with their
+    partition values intact (``basePath`` keeps ``batch_seq`` as a
+    column, and only the named partition dirs are read, so a stray
+    crashed generation dir cannot leak in), rewritten under ONE fresh
+    generation in a single job, committed atomically, and the bare
+    source dirs removed — after which :func:`append_index` /
+    :func:`read_index` work normally and history is preserved (no
+    silent first-batch restart, no duplication).
+
+    Crash/replay is a fixpoint: a crash before :func:`store_commit`
+    leaves the bare tree authoritative (the replay rewrites the same
+    generation); a crash AFTER the commit but before source cleanup is
+    detected by CURRENT existing alongside leftover bare dirs — the
+    replay finishes the cleanup and reports ``noop_replay``. Returns
+    ``rows_before/rows_after`` (must match), ``files_after``,
+    ``batches`` (count migrated), ``noop_replay``."""
+    try:
+        entries = os.listdir(index_dir)
+    except FileNotFoundError:
+        raise ValueError(
+            f"nothing to migrate at {index_dir}: directory does not exist"
+        ) from None
+    bare = sorted(e for e in entries if e.startswith("batch_seq="))
+    if os.path.exists(f"{index_dir}/CURRENT"):
+        if not bare:
+            raise ValueError(
+                f"{index_dir} is already a committed generationed store "
+                "with no bare batch_seq=* partitions — nothing to migrate"
+            )
+        # Replay after a crash between commit and cleanup: the committed
+        # generation already holds the migrated rows; finish the cleanup.
+        gen = store_current(index_dir)
+        rows, files, batches = layout_audit(read_index(spark, index_dir))
+        for d in bare:
+            shutil.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+        return {
+            "rows_before": rows, "rows_after": rows,
+            "files_after": files, "batches": batches,
+            "noop_replay": True,
+        }
+    if not bare:
+        raise ValueError(
+            f"nothing to migrate at {index_dir}: no bare batch_seq=* "
+            "partitions and no CURRENT pointer"
+        )
+    try:
+        ids = [int(d.split("=", 1)[1]) for d in bare]
+    except ValueError:
+        raise ValueError(
+            f"cannot migrate {index_dir}: non-integer batch_seq "
+            f"partition values in {bare[:3]}"
+        ) from None
+    src = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*[f"{index_dir}/{d}" for d in bare])
+    )
+    rows_before = src.count()
+    gname = f"gen-{max(ids)}"
+    (
+        src.write.mode("overwrite")
+        .partitionBy("batch_seq")
+        .parquet(f"{index_dir}/{gname}/data")
+    )
+    store_commit(index_dir, gname)
+    rows_after, files_after, batches = layout_audit(
+        read_index(spark, index_dir)
+    )
+    if rows_after != rows_before:
+        raise ValueError(
+            f"migration audit failed at {index_dir}: {rows_before} rows "
+            f"in the bare tree but {rows_after} in the committed "
+            "generation — bare source left in place for inspection"
+        )
+    for d in bare:
+        shutil.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+    return {
+        "rows_before": rows_before, "rows_after": rows_after,
+        "files_after": files_after, "batches": batches,
+        "noop_replay": False,
+    }
+
+
+def layout_counts_meta(gen_dir: str) -> "tuple[int, int]":
+    """(files, batches) of a committed generation from DIRECTORY LISTING
+    only — one ``os.scandir`` per batch partition, no Spark job, no data
+    read. This is the trigger-side twin of :func:`layout_audit`: the
+    threshold policy only needs file/batch counts, which are metadata,
+    while the row count (which NEEDS a scan) belongs in
+    :func:`compact_index`'s before/after proof. At a 100 TB rolling
+    corpus the distinction is the whole point — a per-micro-batch
+    trigger that aggregated the full table would cost more than the
+    ingest it maintains. Same local-filesystem seam as the pointer
+    probes (see :func:`store_current`): replace the scandir with the
+    object-store client's prefix listing when porting."""
+    files = 0
+    batches = 0
+    try:
+        it = os.scandir(f"{gen_dir}/data")
+    except FileNotFoundError:
+        return 0, 0
+    with it:
+        for entry in it:
+            if entry.is_dir() and entry.name.startswith("batch_seq="):
+                batches += 1
+                with os.scandir(entry.path) as inner:
+                    files += sum(
+                        1
+                        for f in inner
+                        if f.is_file() and f.name.endswith(".parquet")
+                    )
+    return files, batches
+
+
 def compact_if_needed(
     spark,
     index_dir: str,
@@ -417,12 +539,19 @@ def compact_if_needed(
     max_rows_per_file: "int | None" = None,
 ) -> "dict[str, int | bool] | None":
     """Threshold-gated compaction — the maintenance policy a 24/7
-    rolling ingest actually runs between micro-batches: audit the
-    committed generation's layout in ONE aggregation job and call
-    :func:`compact_index` only when it has accreted more than
-    ``max_batches`` batch partitions (or ``max_files`` files, if set);
-    otherwise return None and touch nothing. Returns the compaction
-    audit when a rewrite ran.
+    rolling ingest actually runs between micro-batches: count the
+    committed generation's batch partitions and files from METADATA
+    ONLY (:func:`layout_counts_meta` — a driver-side directory listing,
+    zero Spark jobs, zero data read) and call :func:`compact_index`
+    only when it has accreted more than ``max_batches`` batch
+    partitions (or ``max_files`` files, if set); otherwise return None
+    and touch nothing. The full row-counting :func:`layout_audit` runs
+    only inside the compaction itself, where its before/after proof
+    belongs — fused in-band per micro-batch, the no-op path must never
+    scan the corpus it polices. ``spark`` is only touched when the
+    threshold fires (the no-op path accepts ``spark=None``, which the
+    tests use to prove no job can launch). Returns the compaction audit
+    when a rewrite ran.
 
     ``committed_upto`` is the highest batch id whose ingest the CALLER
     knows to be checkpoint-committed — the store cannot know the
@@ -438,15 +567,14 @@ def compact_if_needed(
     different uptos needs an external lock, same as any table
     OPTIMIZE)."""
     try:
-        df = read_index(spark, index_dir)
+        gen = store_current(index_dir)
     except FileNotFoundError:
         return None
-    rows, files, batches = layout_audit(df)
+    files, batches = layout_counts_meta(gen)
     over_batches = max_batches is not None and batches > max_batches
     over_files = max_files is not None and files > max_files
     if not (over_batches or over_files):
         return None
-    gen = store_current(index_dir)
     prev = store_watermark(gen)
     if prev is not None and committed_upto <= prev:
         return None  # nothing new below the committed horizon to merge

@@ -283,9 +283,19 @@ class _JpegBits:
 
     def bit(self) -> int:
         if self.n == 0:
+            # running off the end of a truncated file must surface as the
+            # documented fail-loud signal, not a bare IndexError
+            if self.pos >= len(self.data):
+                raise NotImplementedError(
+                    "decode_jpeg_stdlib: truncated entropy data"
+                )
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise NotImplementedError(
+                        "decode_jpeg_stdlib: truncated entropy data"
+                    )
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
@@ -393,6 +403,15 @@ def _jpeg_decode_luma(data: bytes) -> "tuple[int, int, list[int]]":
             raise NotImplementedError(
                 f"decode_jpeg_stdlib: bad marker byte at {pos}"
             )
+        # ISO 10918-1 B.1.1.2: markers may be padded by any number of
+        # 0xFF fill bytes — skip them so a fill byte is never parsed as
+        # the marker id (spec-valid wild files pad this way)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise NotImplementedError(
+                "decode_jpeg_stdlib: truncated marker stream"
+            )
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -484,7 +503,8 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri):
         if ri and m and m % ri == 0:
             br.align()
             if (
-                data[br.pos] == 0xFF
+                br.pos + 1 < len(data)
+                and data[br.pos] == 0xFF
                 and 0xD0 <= data[br.pos + 1] <= 0xD7
             ):
                 br.pos += 2

@@ -1027,3 +1027,145 @@ def table_compacted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ingest_batch").cast("int").alias("ingest_batch"),
         )
     )
+
+
+@query(
+    "streaming_autocompact_ingest",
+    oracle="""
+WITH src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+              THEN d7.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+)
+SELECT d.doc_id, sha256(d.text) AS content_hash,
+       CAST(d.doc_id % 3 AS INT) AS ingest_batch
+FROM src d
+WHERE NOT EXISTS (
+  SELECT 1 FROM src h
+  WHERE sha256(h.text) = sha256(d.text)
+    AND (h.doc_id % 3 < d.doc_id % 3
+         OR (h.doc_id % 3 = d.doc_id % 3 AND h.doc_id < d.doc_id)))
+""",
+)
+def streaming_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELEVENTH streaming composition — the threshold-gated
+    auto-compaction POLICY fused in-band, driver-proven (round 10 proved
+    the policy in pytest only; this row graduates it, the same
+    pytest-to-driver path the manual compaction took in rounds 8-10).
+    One run_streaming_ingest_dedup(auto_compact_batches=1) pass over the
+    three-batch duplicate-decorated source: before micro-batch 2 the
+    metadata-only trigger (operators/index_store.py:compact_if_needed —
+    a directory listing, ZERO Spark jobs on the no-op path) finds both
+    stores past the 1-batch threshold and compacts each up to the
+    checkpoint-committed horizon 1 MID-STREAM, by policy, with no
+    offline step; batch 2 then dedups against the compacted history and
+    lands inside the policy-built generation.
+
+    In-engine gates (any failure empties the output and the driver goes
+    red): the policy actually fired on BOTH stores (each committed
+    generation is a ``gen-c1`` compaction generation with watermark 1
+    and exactly 2 batch partitions — merged history + batch 2); a
+    replay of compacted-away batch 1 refuses BEFORE ANY WRITE with the
+    table layout bit-identical around the refusal (the in-band
+    watermark protecting the store, not the offline one); and the
+    post-crash replay of batch 2 — exactly what foreachBatch(2) re-runs
+    from the checkpoint: the same policy check (a no-op fixpoint, its
+    horizon at the watermark) then the batch-keyed overwrite — leaves
+    the table layout and survivor rows bit-identical (idempotent
+    fixpoint). Per-row arrival lineage survives as the ``ingest_batch``
+    DATA column while batch_seq remaps under the merge, so the oracle
+    asserts the first-arrival fixpoint PLUS each survivor's original
+    batch — the policy changed nothing logical.
+    streaming/pipeline.py:run_streaming_ingest_dedup /
+    _maybe_auto_compact; operators/index_store.py:compact_if_needed /
+    layout_counts_meta."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..operators.index_store import (
+        compact_if_needed,
+        layout_audit,
+        read_table,
+        store_current,
+        store_watermark,
+    )
+    from ..streaming.pipeline import (
+        ingest_dedup_batch,
+        run_streaming_ingest_dedup,
+    )
+
+    base = scratch_dir("acingest", sf_dir)
+    src_all = _dup_decorated_ingest_source(spark, sf_dir)
+    files = sorted(
+        _glob.glob(f"{src_all}/*.parquet"), key=os.path.getmtime
+    )
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    table, index, ckpt = f"{base}/table", f"{base}/index", f"{base}/ckpt"
+    for f in files:
+        shutil.copy2(f, src)
+    run_streaming_ingest_dedup(
+        spark, src, table, index, ckpt, auto_compact_batches=1
+    )
+    # gate 1: the policy fired mid-stream on BOTH stores — each current
+    # generation is the compaction generation gen-c1 (watermark 1) and
+    # holds exactly the merged partition + batch 2's own
+    fired = True
+    for store in (table, index):
+        gen = store_current(store)
+        fired = fired and os.path.basename(gen) == "gen-c1"
+        fired = fired and store_watermark(gen) == 1
+        _, _, batches = layout_audit(spark.read.parquet(f"{gen}/data"))
+        fired = fired and batches == 2
+    # gate 2: replay of compacted-away batch 1 refuses BEFORE ANY WRITE
+    pre = layout_audit(read_table(spark, table))
+    refused = False
+    try:
+        ingest_dedup_batch(
+            spark.read.parquet(files[1]), 1,
+            table_dir=table, index_dir=index,
+        )
+    except ValueError:
+        refused = True
+    refused = refused and layout_audit(read_table(spark, table)) == pre
+    # gate 3: crash-replay of batch 2 (policy check + batch-keyed
+    # overwrite, exactly foreachBatch(2)'s replay) is a fixpoint: the
+    # policy no-ops at the watermark and the overwrite lands identical
+    survivors_pre = sorted(
+        (r["doc_id"], r["content_hash"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    )
+    replay_noop = (
+        compact_if_needed(
+            spark, table, committed_upto=1, max_batches=1
+        )
+        is None
+        and compact_if_needed(
+            spark, index, committed_upto=1, max_batches=1
+        )
+        is None
+    )
+    ingest_dedup_batch(
+        spark.read.parquet(files[2]), 2,
+        table_dir=table, index_dir=index,
+    )
+    survivors_post = sorted(
+        (r["doc_id"], r["content_hash"], r["ingest_batch"])
+        for r in read_table(spark, table).collect()
+    )
+    fixpoint = (
+        replay_noop
+        and survivors_pre == survivors_post
+        and layout_audit(read_table(spark, table))[:2] == pre[:2]
+    )
+    return (
+        read_table(spark, table)
+        .filter(F.lit(bool(fired and refused and fixpoint)))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+        )
+    )

@@ -144,6 +144,12 @@ HEADLINE = [
     # replay refusal (two streaming runs + a table compaction + the
     # refusal probe per call under the wiped scratch_dir; source cached)
     "table_compacted_ingest",
+    # round 11: the eleventh streaming composition — the threshold-gated
+    # auto-compaction policy fused IN-BAND (one streaming run with
+    # auto_compact_batches=1, the metadata-only trigger firing
+    # mid-stream, + the refusal and crash-replay fixpoint probes per
+    # call under the wiped scratch_dir; source cached)
+    "streaming_autocompact_ingest",
 ]
 
 # FROZEN core yardstick (round 10, verdict item 5): the headline set grew
@@ -242,6 +248,13 @@ def main() -> None:
         "headline_total_sec": round(sum(cold.values()), 3),
         "headline_total_warm_sec": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # load gate (round 11, verdict item 5): the r10 driver entry was
+        # recorded at loadavg 13.5 and read as a 1.08x regression that a
+        # low-load rerun showed didn't exist. A run that STARTS loaded is
+        # marked unofficial so trend reads skip it; the round's official
+        # number should be the lowest-load of >=2 runs.
+        "load_avg_start": round(load0, 2),
+        "official": load0 < 2.0,
     }
     print(json.dumps(record), flush=True)
     try:  # per-query trend ledger: regression = trend, not coin flip

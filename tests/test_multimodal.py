@@ -907,3 +907,39 @@ def test_decode_jpeg_stdlib_property_random_blocks():
             ) <= 1, (i, coef)
 
     check()
+
+
+def test_decode_jpeg_stdlib_fill_bytes_and_truncation():
+    """ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may pad
+    before a marker id — spec-valid wild files do this, and the walker
+    must skip them rather than parse a fill byte as the marker (which
+    misreads a bogus segment length). And a file truncated mid-entropy
+    must surface the documented fail-loud NotImplementedError, never a
+    bare IndexError."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    quant = [16] * 64
+    plain = _jpeg_encode_test([{0: 36, 1: 5, 8: -3}], 8, 8, quant)
+    want = _jpeg_decode_luma(plain)
+    # pad EVERY segment marker (DQT/SOF0/DHT/DHT/SOS) and EOI with fill
+    # bytes: 0xFF <id> -> 0xFF 0xFF 0xFF <id>
+    padded = bytearray(plain[:2])
+    pos = 2
+    for marker_id in (0xDB, 0xC0, 0xC4, 0xC4, 0xDA):
+        nxt = plain.index(bytes([0xFF, marker_id]), pos)
+        padded += plain[pos:nxt] + b"\xff\xff" + plain[nxt:nxt + 2]
+        pos = nxt + 2
+    padded += plain[pos:-2] + b"\xff\xff" + plain[-2:]
+    assert _jpeg_decode_luma(bytes(padded)) == want
+    # truncation mid-entropy: cut one byte into the scan's entropy data
+    sos = plain.index(b"\xff\xda")
+    truncated = plain[: sos + 2 + 8 + 1]
+    with pytest.raises(NotImplementedError, match="truncated entropy"):
+        _jpeg_decode_luma(truncated)
+    # truncation mid-marker-walk (fill bytes then EOF) is loud too
+    with pytest.raises(NotImplementedError, match="truncated marker"):
+        _jpeg_decode_luma(plain[:sos] + b"\xff\xff\xff\xff")
