@@ -802,8 +802,11 @@ public class JpegRef {
             assert max(diffs) <= 8, sample
 
 
-def test_decode_jpeg_stdlib_refuses_progressive_and_garbage():
-    import os
+def test_decode_jpeg_stdlib_refuses_arithmetic_and_garbage():
+    """Progressive (SOF2) decodes for real since round 11; the refusal
+    surface is now arithmetic coding / hierarchical / lossless modes
+    and non-JPEG bytes."""
+    import struct
 
     import pytest
 
@@ -813,13 +816,80 @@ def test_decode_jpeg_stdlib_refuses_progressive_and_garbage():
 
     with pytest.raises(NotImplementedError, match="not a JPEG"):
         decode_jpeg_stdlib(b"\x89PNG not a jpeg")
-    progressive = (
+    # minimal stream whose frame header declares arithmetic-coded
+    # progressive (SOF10/0xCA) — must refuse at the SOF, loudly
+    sof10 = (
+        b"\xff\xd8"
+        + b"\xff\xca"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="huffman DCT only"):
+        decode_jpeg_stdlib(sof10)
+
+
+def test_decode_jpeg_stdlib_progressive_matches_jvm_imageio():
+    """The round-11 progressive (SOF2) path on WILD bits: the Spark
+    mllib grayscale.jpg (6 scans — DC first at Al=1, two spectral
+    AC-first bands at Al=2, two AC refinements, one DC refinement, with
+    DHT tables redefined between scans) must track the JVM ImageIO
+    decode of the same bytes. Compared against the RASTER samples, not
+    getRGB — on a TYPE_BYTE_GRAY image getRGB applies the gray->sRGB
+    color-management gamma, which is a color-space choice, not decoding
+    (measured: raster mean |diff| 0.018; getRGB mean |diff| 47)."""
+    import os
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    sample = (
         "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
         "multi-channel/grayscale.jpg"
     )
-    if os.path.exists(progressive):
-        with pytest.raises(NotImplementedError, match="baseline"):
-            decode_jpeg_stdlib(open(progressive, "rb").read())
+    if not os.path.exists(sample) or not shutil.which("javac"):
+        pytest.skip("progressive JPEG sample or JDK not available")
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class JpegRefRaw {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+            sb.append(img.getRaster().getSample(x, y, 0)).append(' ');
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/JpegRefRaw.java", "w") as fh:
+            fh.write(src)
+        subprocess.run(
+            ["javac", "JpegRefRaw.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        ref_out = subprocess.run(
+            ["java", "JpegRefRaw", sample], cwd=td, check=True,
+            capture_output=True, text=True,
+        ).stdout.split()
+    rw, rh = int(ref_out[0]), int(ref_out[1])
+    ref = [int(v) for v in ref_out[2:]]
+    w, h, mine = _jpeg_decode_luma(open(sample, "rb").read())
+    assert (w, h) == (rw, rh)
+    diffs = [abs(a - b) for a, b in zip(mine, ref)]
+    assert statistics.mean(diffs) < 0.1
+    assert max(diffs) <= 1
 
 
 def test_decode_image_real_stdlib_pin_routes_both_codecs():
@@ -943,3 +1013,302 @@ def test_decode_jpeg_stdlib_fill_bytes_and_truncation():
     # truncation mid-marker-walk (fill bytes then EOF) is loud too
     with pytest.raises(NotImplementedError, match="truncated marker"):
         _jpeg_decode_luma(plain[:sos] + b"\xff\xff\xff\xff")
+
+
+def _jpeg_encode_progressive_spectral(blocks_coef, w, h, quant, bands):
+    """Progressive TEST ENCODER, spectral selection only (Ah=Al=0): the
+    same quantized-coefficient/table conventions as _jpeg_encode_test,
+    split into one DC scan plus one AC scan per (ss, se) band — so the
+    decoder's multi-scan accumulation path is exercised on input whose
+    ground truth is the BASELINE encoding of the identical
+    coefficients. Each block's AC band ends with a plain EOB (an EOB
+    run of exactly 1), which is spec-legal and keeps the encoder
+    trivially correct."""
+    import struct
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[syms[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_counts, dc_syms), codes(ac_counts, ac_syms)
+
+    def entropy(emit):
+        bits = []
+
+        def put(length, value):
+            for i in range(length - 1, -1, -1):
+                bits.append((value >> i) & 1)
+
+        def put_mag(v):
+            t = abs(v).bit_length()
+            if t:
+                put(t, v if v >= 0 else v + (1 << t) - 1)
+
+        emit(put, put_mag)
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def dc_scan(put, put_mag):
+        pred = 0
+        for coef in blocks_coef:
+            diff = coef.get(0, 0) - pred
+            pred = coef.get(0, 0)
+            t = abs(diff).bit_length()
+            ln, cd = dc_code[t]
+            put(ln, cd)
+            put_mag(diff)
+
+    def ac_scan(ss, se):
+        def emit(put, put_mag):
+            for coef in blocks_coef:
+                run = 0
+                for k in range(ss, se + 1):
+                    v = coef.get(k, 0)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ln, cd = ac_code[0xF0]
+                        put(ln, cd)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    ln, cd = ac_code[(run << 4) | s]
+                    put(ln, cd)
+                    put_mag(v)
+                    run = 0
+                if run:
+                    ln, cd = ac_code[0x00]
+                    put(ln, cd)
+        return emit
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(quant))
+    out += seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += entropy(dc_scan)
+    for ss, se in bands:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x00]))
+        out += entropy(ac_scan(ss, se))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_spectral_equals_baseline():
+    """Spectral-selection progressive of the SAME quantized coefficients
+    must decode bit-identically to the baseline encoding — the
+    multi-scan accumulation changes delivery order, never values."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    quant = [16] * 64
+    blocks = [
+        {0: 36, 1: 5, 8: -3, 20: 2},
+        {0: -10, 3: 7, 50: -2},
+        {0: 0},
+        {0: 127, 63: 1},
+    ]
+    base = _jpeg_decode_luma(_jpeg_encode_test(blocks, 32, 8, quant))
+    for bands in ([(1, 63)], [(1, 5), (6, 63)], [(1, 2), (3, 20), (21, 63)]):
+        prog = _jpeg_decode_luma(
+            _jpeg_encode_progressive_spectral(blocks, 32, 8, quant, bands)
+        )
+        assert prog == base, bands
+
+
+def test_decode_jpeg_progressive_spectral_property_random_blocks():
+    """Hypothesis sweep: ANY random quantized blocks decode identically
+    through the baseline and band-split progressive encodings."""
+    from hypothesis import given, settings, strategies as st
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=63),
+                st.integers(min_value=-255, max_value=255),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.integers(min_value=1, max_value=62),
+    )
+    def check(blocks, split):
+        blocks = [
+            {k: v for k, v in b.items() if v != 0} or {0: 1}
+            for b in blocks
+        ]
+        quant = [16] * 64
+        w = 8 * len(blocks)
+        base = _jpeg_decode_luma(_jpeg_encode_test(blocks, w, 8, quant))
+        prog = _jpeg_decode_luma(
+            _jpeg_encode_progressive_spectral(
+                blocks, w, 8, quant, [(1, split), (split + 1, 63)]
+            )
+        )
+        assert prog == base
+
+    check()
+
+
+def test_decode_jpeg_progressive_successive_approximation_exact():
+    """Successive approximation decoded scan-by-scan on handmade bits
+    (the exact scan script of the wild grayscale.jpg: DC first at Al=1,
+    AC first bands at Al=2, AC refinement passes down to Al=0, DC
+    refinement): every intermediate coefficient state and the final
+    reconstruction must be spec-exact (ISO 10918-1 G.1.2.1-3)."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        _JpegBits,
+        _jpeg_ac_first_block,
+        _jpeg_ac_refine_block,
+        _jpeg_dc_scan_block,
+        _jpeg_huffman,
+    )
+
+    def lut_for(symbols):
+        counts = [0] * 16
+        counts[7] = len(symbols)
+        return (
+            _jpeg_huffman(counts, symbols),
+            {s: (8, i) for i, s in enumerate(symbols)},
+        )
+
+    class _BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, length, value):
+            for i in range(length - 1, -1, -1):
+                self.bits.append((value >> i) & 1)
+
+        def bytes(self):
+            bits = self.bits[:]
+            while len(bits) % 8:
+                bits.append(1)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                b = 0
+                for j in range(8):
+                    b = (b << 1) | bits[i + j]
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return builtins_bytes(out)
+
+    builtins_bytes = bytes
+    dc_lut, dc_code = lut_for(list(range(12)))
+    ac_lut, ac_code = lut_for(
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    # target: DC=5; AC zigzag k=1 -> 9, k=3 -> -5, k=10 -> +1, k=50 -> -1
+    block = [0] * 64
+    # scan 1: DC first, Al=1 (diff of 5>>1 = 2, category 2)
+    bw = _BW()
+    ln, cd = dc_code[2]
+    bw.put(ln, cd)
+    bw.put(2, 2)
+    _jpeg_dc_scan_block(
+        _JpegBits(bw.bytes(), 0), block, dc_lut, 0, 1, {1: 0}, 1
+    )
+    assert block[0] == 4
+    # scan 2: AC first 1-5, Al=2 (k=1: |9|>>2=2; k=3: |5|>>2=1 negative)
+    bw = _BW()
+    ln, cd = ac_code[(0 << 4) | 2]
+    bw.put(ln, cd)
+    bw.put(2, 2)
+    ln, cd = ac_code[(1 << 4) | 1]
+    bw.put(ln, cd)
+    bw.put(1, 0)
+    ln, cd = ac_code[0x00]
+    bw.put(ln, cd)
+    _jpeg_ac_first_block(
+        _JpegBits(bw.bytes(), 0), block, ac_lut, 1, 5, 2, {"eobrun": 0}
+    )
+    assert block[_JPEG_ZZ[1]] == 8 and block[_JPEG_ZZ[3]] == -4
+    # scan 3: AC first 6-63, Al=2 (nothing reaches magnitude 4: EOB)
+    bw = _BW()
+    ln, cd = ac_code[0x00]
+    bw.put(ln, cd)
+    _jpeg_ac_first_block(
+        _JpegBits(bw.bytes(), 0), block, ac_lut, 6, 63, 2, {"eobrun": 0}
+    )
+    # scan 4: AC refine 1-63 Ah=2 Al=1: no new significants; EOB with
+    # correction bits for the two nonzero-history coefs (9 bit1=0,
+    # 5 bit1=0)
+    bw = _BW()
+    ln, cd = ac_code[0x00]
+    bw.put(ln, cd)
+    bw.put(1, 0)
+    bw.put(1, 0)
+    _jpeg_ac_refine_block(
+        _JpegBits(bw.bytes(), 0), block, ac_lut, 1, 63, 1, {"eobrun": 0}
+    )
+    assert block[_JPEG_ZZ[1]] == 8 and block[_JPEG_ZZ[3]] == -4
+    # scan 5: DC refine Al=0 (bit = 5 & 1)
+    bw = _BW()
+    bw.put(1, 1)
+    _jpeg_dc_scan_block(
+        _JpegBits(bw.bytes(), 0), block, None, 1, 0, {1: 0}, 1
+    )
+    assert block[0] == 5
+    # scan 6: AC refine 1-63 Ah=1 Al=0: corrections 9->bit0=1, -5->bit0=1;
+    # newly significant +1 at k=10 (7 zero-history run) and -1 at k=50
+    # (39 zero-history run = ZRL + ZRL + 7); final EOB
+    bw = _BW()
+    ln, cd = ac_code[(7 << 4) | 1]
+    bw.put(ln, cd)
+    bw.put(1, 1)  # sign +
+    bw.put(1, 1)  # correction k=1
+    bw.put(1, 1)  # correction k=3
+    for _ in range(2):
+        ln, cd = ac_code[0xF0]
+        bw.put(ln, cd)
+    ln, cd = ac_code[(7 << 4) | 1]
+    bw.put(ln, cd)
+    bw.put(1, 0)  # sign -
+    ln, cd = ac_code[0x00]
+    bw.put(ln, cd)
+    _jpeg_ac_refine_block(
+        _JpegBits(bw.bytes(), 0), block, ac_lut, 1, 63, 0, {"eobrun": 0}
+    )
+    got = {k: block[_JPEG_ZZ[k]] for k in (0, 1, 3, 10, 50)}
+    assert got == {0: 5, 1: 9, 3: -5, 10: 1, 50: -1}
