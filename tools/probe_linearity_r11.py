@@ -68,27 +68,43 @@ def main() -> None:
     d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text"
     )
-    d5 = d1
+    # 5x, two shapes (the r10 probe's profiles adapted to 6 batches):
+    # (a) DUP — replicas keep the base text AND its batch class (shift by
+    # a multiple of 6), so every batch still lands base survivors while
+    # the keep-first/anti-join drops 4x known content; (b) NEW —
+    # replicas get distinct text, so survivors and both store writes
+    # grow 5x. The naive +1M shift is a TRAP here: 1M % 6 != 0 moves
+    # every replica's batch residue and batches 2-5 end up with zero
+    # survivors — an empty micro-batch writes no partition, the store
+    # never crosses the threshold, and the policy never fires.
+    d5_dup = d1
+    d5_new = d1
     for k in range(1, 5):
-        d5 = d5.unionByName(
-            d1.select(
-                (F.col("doc_id") + 1000000 * k).alias("doc_id"), "text"
-            )
+        shifted = d1.select(
+            (F.col("doc_id") + 6_000_000 * k).alias("doc_id"), "text"
+        )
+        d5_dup = d5_dup.unionByName(shifted)
+        d5_new = d5_new.unionByName(
+            shifted.withColumn("text", F.concat("text", F.lit(f" r{k}")))
         )
     d1 = d1.localCheckpoint(eager=True)
-    d5 = d5.localCheckpoint(eager=True)
+    d5_dup = d5_dup.localCheckpoint(eager=True)
+    d5_new = d5_new.localCheckpoint(eager=True)
     for _ in range(2):  # first round warms codegen; report the second
         r1 = run_scale(spark, d1, "x1")
-        r5 = run_scale(spark, d5, "x5")
-    for label, r in (("x1", r1), ("x5", r5)):
+        rd = run_scale(spark, d5_dup, "x5dup")
+        rn = run_scale(spark, d5_new, "x5new")
+    for label, r in (("x1", r1), ("x5_dup", rd), ("x5_new", rn)):
         print(
             f"MARKER {label}: ingest+policy {r[0]:.2f}s "
             f"trigger-noop {r[1]*1e6:.0f}us rows {r[2]} watermark {r[3]}",
             flush=True,
         )
+        assert r[3] is not None, f"{label}: policy never fired"
     print(
-        f"MARKER ratios at 5x docs: ingest+policy {r5[0]/r1[0]:.2f}x "
-        f"trigger-noop {r5[1]/r1[1]:.2f}x "
+        f"MARKER ratios at 5x docs: ingest+policy dup {rd[0]/r1[0]:.2f}x "
+        f"new {rn[0]/r1[0]:.2f}x; trigger-noop dup {rd[1]/r1[1]:.2f}x "
+        f"new {rn[1]/r1[1]:.2f}x "
         f"(metadata-only => ~1.0x regardless of corpus)", flush=True,
     )
 
