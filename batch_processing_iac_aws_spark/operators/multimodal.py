@@ -377,7 +377,9 @@ def _jpeg_idct_block(coef: "list[float]") -> "list[int]":
     return out
 
 
-def _jpeg_decode_luma(data: bytes) -> "tuple[int, int, list[int]]":
+def _jpeg_decode_luma(
+    data: bytes, *, color: bool = False
+) -> "tuple[int, int, list[int]]":
     """Baseline-sequential JPEG decode of the LUMA channel with the
     standard library only: marker walk, DQT/DHT/SOF0/DRI/SOS parsing,
     canonical huffman entropy decode (DC predictors + AC run-length,
@@ -390,7 +392,12 @@ def _jpeg_decode_luma(data: bytes) -> "tuple[int, int, list[int]]":
     selection + successive approximation via
     :func:`_jpeg_decode_progressive`) with the luma at full sampling
     resolution; arithmetic coding, hierarchical, and lossless modes
-    raise NotImplementedError (fail loud, never fake)."""
+    raise NotImplementedError (fail loud, never fake).
+
+    ``color=True`` (round 11 stretch) additionally runs the chroma
+    IDCT and returns (width, height, row-major interleaved RGB) — JFIF
+    YCbCr conversion with pixel-replication chroma upsampling; on
+    grayscale frames R = G = B = Y."""
     import struct
 
     if data[:3] != _JPEG_MAGIC:
@@ -473,7 +480,7 @@ def _jpeg_decode_luma(data: bytes) -> "tuple[int, int, list[int]]":
                 )
             if progressive:
                 return _jpeg_decode_progressive(
-                    data, pos, frame, qt, huff, ri
+                    data, pos, frame, qt, huff, ri, color=color
                 )
             scan = []
             for i in range(seg[0]):
@@ -481,13 +488,14 @@ def _jpeg_decode_luma(data: bytes) -> "tuple[int, int, list[int]]":
                 fc = next(c for c in frame[2] if c["id"] == cs)
                 scan.append((fc, tt >> 4, tt & 15))
             return _jpeg_decode_scan(
-                data, pos + seglen, frame, scan, qt, huff, ri
+                data, pos + seglen, frame, scan, qt, huff, ri,
+                color=color,
             )
         pos += seglen
     raise NotImplementedError("decode_jpeg_stdlib: no scan found")
 
 
-def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri):
+def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri, color=False):
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -498,8 +506,15 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri):
         )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    plane_w = mcux * hmax * 8
-    plane = bytearray(plane_w * mcuy * vmax * 8)
+    # one MCU-padded plane per WANTED component, each at its own
+    # sampling resolution (chroma planes are smaller under 4:2:0/4:2:2)
+    planes: dict[int, bytearray] = {}
+    plane_ws: dict[int, int] = {}
+    for c in comps:
+        if color or c is luma:
+            pw = mcux * c["h"] * 8
+            planes[c["id"]] = bytearray(pw * mcuy * c["v"] * 8)
+            plane_ws[c["id"]] = pw
     br = _JpegBits(data, pos)
     pred = {c["id"]: 0 for c in comps}
     for m in range(mcux * mcuy):
@@ -519,7 +534,7 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri):
                 pred[k] = 0
         my, mx = divmod(m, mcux)
         for fc, td, ta in scan:
-            want = fc is luma
+            want = color or fc is luma
             q = qt[fc["tq"]]
             for by in range(fc["v"]):
                 for bx in range(fc["h"]):
@@ -549,17 +564,73 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, ri):
                     if not want:
                         continue  # chroma: bitstream advanced, no IDCT
                     px = _jpeg_idct_block(coef)
+                    pw = plane_ws[fc["id"]]
+                    plane = planes[fc["id"]]
                     ox = (mx * fc["h"] + bx) * 8
                     oy = (my * fc["v"] + by) * 8
                     for yy in range(8):
-                        row = (oy + yy) * plane_w + ox
+                        row = (oy + yy) * pw + ox
                         plane[row : row + 8] = bytes(
                             px[yy * 8 : yy * 8 + 8]
                         )
-    # crop the MCU-padded plane to the true image dims
+    if color:
+        return _jpeg_ycc_to_rgb(
+            w, h, comps, planes, plane_ws, hmax, vmax
+        )
+    # crop the MCU-padded luma plane to the true image dims
+    plane = planes[luma["id"]]
+    plane_w = plane_ws[luma["id"]]
     out = [0] * (w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * plane_w : y * plane_w + w]
+    return w, h, out
+
+
+def _jpeg_ycc_to_rgb(w, h, comps, planes, plane_ws, hmax, vmax):
+    """JFIF YCbCr -> interleaved RGB with pixel-replication chroma
+    upsampling (libjpeg's "plain" mode; fancy/triangular upsampling is a
+    decoder choice, not part of the standard — wild-file comparisons
+    against decoders that default to fancy differ slightly on chroma
+    edges, bounded in tests). A single-component frame is grayscale:
+    R = G = B = Y. Frames with other component counts (e.g. Adobe CMYK)
+    refuse loudly."""
+    if len(comps) == 1:
+        yp = planes[comps[0]["id"]]
+        pw = plane_ws[comps[0]["id"]]
+        out = [0] * (3 * w * h)
+        for y in range(h):
+            row = y * pw
+            o = 3 * y * w
+            for x in range(w):
+                v = yp[row + x]
+                out[o] = out[o + 1] = out[o + 2] = v
+                o += 3
+        return w, h, out
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"decode_jpeg_stdlib: {len(comps)}-component color space"
+        )
+    cy, ccb, ccr = comps
+    yp, pwy = planes[cy["id"]], plane_ws[cy["id"]]
+    cbp, pwb = planes[ccb["id"]], plane_ws[ccb["id"]]
+    crp, pwr = planes[ccr["id"]], plane_ws[ccr["id"]]
+    out = [0] * (3 * w * h)
+    o = 0
+    for y in range(h):
+        ry = y * pwy
+        rb = (y * ccb["v"] // vmax) * pwb
+        rr = (y * ccr["v"] // vmax) * pwr
+        for x in range(w):
+            yy = yp[ry + x]
+            cb = cbp[rb + x * ccb["h"] // hmax] - 128
+            cr = crp[rr + x * ccr["h"] // hmax] - 128
+            r = yy + 1.402 * cr
+            g = yy - 0.344136 * cb - 0.714136 * cr
+            b = yy + 1.772 * cb
+            out[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+            o += 3
     return w, h, out
 
 
@@ -731,19 +802,20 @@ def _jpeg_ac_refine_block(br, block, lut, ss, se, al, state) -> None:
 
 
 def _jpeg_progressive_scan(
-    data, pos, seg, frame, coef, gbw, qt, huff, ri, mcux, mcuy
+    data, pos, seg, frame, coef_by, gws, qt, huff, ri, mcux, mcuy
 ):
-    """Decode ONE progressive SOS into the accumulated luma coefficient
-    grid and return the position of the next marker. Interleaved scans
-    (DC, several components) run in MCU order with chroma entropy-
+    """Decode ONE progressive SOS into the accumulated per-component
+    coefficient grids (``coef_by``: cid -> block list, ``gws``: cid ->
+    grid block width; only WANTED components have grids) and return the
+    position of the next marker. Interleaved scans (DC, several
+    components) run in MCU order with unwanted components entropy-
     decoded-and-discarded; single-component scans run in raster order
-    over that component's own block grid; scans containing no luma are
-    skipped outright via the marker scan — their bits cannot affect the
-    luma plane."""
+    over that component's own block grid; scans containing no wanted
+    component are skipped outright via the marker scan — their bits
+    cannot affect any wanted plane."""
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    luma = comps[0]
     ns = seg[0]
     scomps = []
     for i in range(ns):
@@ -753,7 +825,7 @@ def _jpeg_progressive_scan(
     o = 1 + 2 * ns
     ss, se, ahl = seg[o], seg[o + 1], seg[o + 2]
     ah, al = ahl >> 4, ahl & 15
-    if not any(fc is luma for fc, _, _ in scomps):
+    if not any(fc["id"] in coef_by for fc, _, _ in scomps):
         return _jpeg_next_marker(data, pos)
     br = _JpegBits(data, pos)
     state = {"eobrun": 0}
@@ -767,14 +839,15 @@ def _jpeg_progressive_scan(
                     pred[cid] = 0
             my, mx = divmod(m, mcux)
             for fc, td, _ta in scomps:
+                grid = coef_by.get(fc["id"])
                 for by in range(fc["v"]):
                     for bx in range(fc["h"]):
                         block = (
-                            coef[
-                                (my * fc["v"] + by) * gbw
+                            grid[
+                                (my * fc["v"] + by) * gws[fc["id"]]
                                 + mx * fc["h"] + bx
                             ]
-                            if fc is luma
+                            if grid is not None
                             else None
                         )
                         _jpeg_dc_scan_block(
@@ -786,10 +859,12 @@ def _jpeg_progressive_scan(
             raise NotImplementedError(
                 "decode_jpeg_stdlib: interleaved progressive AC scan"
             )
-        fc, td, ta = scomps[0]  # fc is luma (filtered above)
+        fc, td, ta = scomps[0]  # wanted (the scan passed the filter)
         cw = -(-(w * fc["h"]) // hmax)
         ch = -(-(h * fc["v"]) // vmax)
         bw, bh = -(-cw // 8), -(-ch // 8)
+        gw = gws[fc["id"]]
+        grid = coef_by[fc["id"]]
         pred = {fc["id"]: 0}
         lut = huff.get((0, td)) if ss == 0 else huff.get((1, ta))
         if lut is None and not (ss == 0 and ah > 0):
@@ -803,7 +878,7 @@ def _jpeg_progressive_scan(
                 pred[fc["id"]] = 0
                 state["eobrun"] = 0
             by, bx = divmod(i, bw)
-            block = coef[by * gbw + bx]
+            block = grid[by * gw + bx]
             if ss == 0:
                 _jpeg_dc_scan_block(
                     br, block, lut, ah, al, pred, fc["id"]
@@ -815,7 +890,7 @@ def _jpeg_progressive_scan(
     return _jpeg_next_marker(data, br.pos)
 
 
-def _jpeg_decode_progressive(data, pos, frame, qt, huff, ri):
+def _jpeg_decode_progressive(data, pos, frame, qt, huff, ri, color=False):
     """Progressive (SOF2) huffman JPEG decode of the LUMA plane — round
     11, closing the one refusal measured on the real corpus
     (ARCHITECTURE.md round-11 notes). Coefficients for every luma block
@@ -843,8 +918,13 @@ def _jpeg_decode_progressive(data, pos, frame, qt, huff, ri):
         )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    gbw, gbh = mcux * luma["h"], mcuy * luma["v"]
-    coef = [[0] * 64 for _ in range(gbw * gbh)]
+    coef_by: dict[int, list] = {}
+    gws: dict[int, int] = {}
+    for c in comps:
+        if color or c is luma:
+            gw, gh = mcux * c["h"], mcuy * c["v"]
+            coef_by[c["id"]] = [[0] * 64 for _ in range(gw * gh)]
+            gws[c["id"]] = gw
     at_sos = True
     saw_scan = False
     while True:
@@ -852,7 +932,7 @@ def _jpeg_decode_progressive(data, pos, frame, qt, huff, ri):
             (seglen,) = struct.unpack(">H", data[pos : pos + 2])
             seg = data[pos + 2 : pos + seglen]
             pos = _jpeg_progressive_scan(
-                data, pos + seglen, seg, frame, coef, gbw,
+                data, pos + seglen, seg, frame, coef_by, gws,
                 qt, huff, ri, mcux, mcuy,
             )
             saw_scan = True
@@ -888,23 +968,38 @@ def _jpeg_decode_progressive(data, pos, frame, qt, huff, ri):
         pos += seglen
     if not saw_scan:
         raise NotImplementedError("decode_jpeg_stdlib: no scan found")
-    # dequant + IDCT + crop, once, after all scans have accumulated
-    q = qt[luma["tq"]]
-    plane_w = gbw * 8
-    plane = bytearray(plane_w * gbh * 8)
-    for i, block in enumerate(coef):
-        by, bx = divmod(i, gbw)
-        cf = [0.0] * 64
-        for k in range(64):
-            z = _JPEG_ZZ[k]
-            v = block[z]
-            if v:
-                cf[z] = v * q[k]
-        px = _jpeg_idct_block(cf)
-        ox, oy = bx * 8, by * 8
-        for yy in range(8):
-            row = (oy + yy) * plane_w + ox
-            plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+    # dequant + IDCT per wanted component, once all scans accumulated
+    planes: dict[int, bytearray] = {}
+    plane_ws: dict[int, int] = {}
+    for c in comps:
+        if c["id"] not in coef_by:
+            continue
+        q = qt[c["tq"]]
+        gw = gws[c["id"]]
+        grid = coef_by[c["id"]]
+        pw = gw * 8
+        plane = bytearray(pw * (len(grid) // gw) * 8)
+        for i, block in enumerate(grid):
+            by, bx = divmod(i, gw)
+            cf = [0.0] * 64
+            for k in range(64):
+                z = _JPEG_ZZ[k]
+                v = block[z]
+                if v:
+                    cf[z] = v * q[k]
+            px = _jpeg_idct_block(cf)
+            ox, oy = bx * 8, by * 8
+            for yy in range(8):
+                row = (oy + yy) * pw + ox
+                plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+        planes[c["id"]] = plane
+        plane_ws[c["id"]] = pw
+    if color:
+        return _jpeg_ycc_to_rgb(
+            w, h, comps, planes, plane_ws, hmax, vmax
+        )
+    plane = planes[luma["id"]]
+    plane_w = plane_ws[luma["id"]]
     out = [0] * (w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * plane_w : y * plane_w + w]
@@ -933,6 +1028,34 @@ def decode_jpeg_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
         lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
         block = luma[lo:hi] or [0]
         feats.append(sum(block) / (len(block) * 255.0))
+    return feats
+
+
+def decode_jpeg_rgb_stdlib(
+    payload: bytes, *, feature_dim: int = 8
+) -> list[float]:
+    """COLOR twin of :func:`decode_jpeg_stdlib` (round 11 stretch —
+    chroma IDCT): full YCbCr decode (baseline AND progressive) with
+    JFIF conversion and pixel-replication chroma upsampling, then
+    ``feature_dim`` blocks x (mean R, mean G, mean B) flattened to
+    ``3 * feature_dim`` floats in [0, 1] — the color feature space for
+    media near-dup where luma alone conflates differently-colored
+    variants. Grayscale frames yield R = G = B so the features degrade
+    gracefully to the luma family."""
+    _w, _h, rgb = _jpeg_decode_luma(payload or b"", color=True)
+    n = len(rgb) // 3
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        if hi <= lo:
+            feats += [0.0, 0.0, 0.0]
+            continue
+        sums = [0, 0, 0]
+        for i in range(lo, hi):
+            sums[0] += rgb[3 * i]
+            sums[1] += rgb[3 * i + 1]
+            sums[2] += rgb[3 * i + 2]
+        feats += [s / ((hi - lo) * 255.0) for s in sums]
     return feats
 
 

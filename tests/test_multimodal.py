@@ -1312,3 +1312,303 @@ def test_decode_jpeg_progressive_successive_approximation_exact():
     )
     got = {k: block[_JPEG_ZZ[k]] for k in (0, 1, 3, 10, 50)}
     assert got == {0: 5, 1: 9, 3: -5, 10: 1, 50: -1}
+
+
+def _jpeg_encode_test_color(
+    blocks_y, blocks_cb, blocks_cr, w, h, quant, *, progressive=False
+):
+    """3-component 4:4:4 color TEST ENCODER (one block per component per
+    MCU, interleaved Y Cb Cr), baseline or progressive. The progressive
+    form emits one INTERLEAVED DC scan (ns=3) followed by one
+    single-component AC scan per component — exactly the two scan
+    geometries the color progressive decoder must handle. All three
+    components share the one quant/huffman table set (legal and keeps
+    the fixture small)."""
+    import struct
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[syms[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_counts, dc_syms), codes(ac_counts, ac_syms)
+
+    def entropy(emit):
+        bits = []
+
+        def put(length, value):
+            for i in range(length - 1, -1, -1):
+                bits.append((value >> i) & 1)
+
+        def put_mag(v):
+            t = abs(v).bit_length()
+            if t:
+                put(t, v if v >= 0 else v + (1 << t) - 1)
+
+        emit(put, put_mag)
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    per_comp = [blocks_y, blocks_cb, blocks_cr]
+
+    def put_dc(put, put_mag, diff):
+        t = abs(diff).bit_length()
+        ln, cd = dc_code[t]
+        put(ln, cd)
+        put_mag(diff)
+
+    def put_ac_band(put, put_mag, coef, ss, se):
+        run = 0
+        for k in range(ss, se + 1):
+            v = coef.get(k, 0)
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, cd = ac_code[0xF0]
+                put(ln, cd)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, cd = ac_code[(run << 4) | s]
+            put(ln, cd)
+            put_mag(v)
+            run = 0
+        if run:
+            ln, cd = ac_code[0x00]
+            put(ln, cd)
+
+    def interleaved_full(put, put_mag):
+        preds = [0, 0, 0]
+        for m in range(len(blocks_y)):
+            for ci in range(3):
+                coef = per_comp[ci][m]
+                diff = coef.get(0, 0) - preds[ci]
+                preds[ci] = coef.get(0, 0)
+                put_dc(put, put_mag, diff)
+                put_ac_band(put, put_mag, coef, 1, 63)
+
+    def interleaved_dc(put, put_mag):
+        preds = [0, 0, 0]
+        for m in range(len(blocks_y)):
+            for ci in range(3):
+                coef = per_comp[ci][m]
+                diff = coef.get(0, 0) - preds[ci]
+                preds[ci] = coef.get(0, 0)
+                put_dc(put, put_mag, diff)
+
+    def ac_comp(ci):
+        def emit(put, put_mag):
+            for coef in per_comp[ci]:
+                put_ac_band(put, put_mag, coef, 1, 63)
+        return emit
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(quant))
+    sof = 0xC2 if progressive else 0xC0
+    out += seg(
+        sof,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if not progressive:
+        out += seg(
+            0xDA,
+            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]),
+        )
+        out += entropy(interleaved_full)
+    else:
+        out += seg(
+            0xDA,
+            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00]),
+        )
+        out += entropy(interleaved_dc)
+        for ci, cid in enumerate((1, 2, 3)):
+            out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+            out += entropy(ac_comp(ci))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_color_flat_blocks_exact_and_progressive_equal():
+    """Chroma IDCT + JFIF conversion on a hand-built 4:4:4 color JPEG:
+    flat (DC-only) blocks make every plane closed-form (pixel =
+    clamp(floor(dc*q/8 + 128.5))), so the RGB output is checked against
+    independently computed values; and the progressive encoding of the
+    SAME coefficients (interleaved DC scan + one AC scan per component)
+    must decode bit-identically to the baseline."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    quant = [16] * 64
+
+    def plane_val(dc):
+        v = int((dc * 16) / 8 + 128.5)
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    def rgb_of(yv, cbv, crv):
+        def cl(x):
+            return 0 if x < 0 else (255 if x > 255 else int(x + 0.5))
+        return (
+            cl(yv + 1.402 * (crv - 128)),
+            cl(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)),
+            cl(yv + 1.772 * (cbv - 128)),
+        )
+
+    # two MCUs: a reddish block (Cr high) then a bluish one (Cb high)
+    ys, cbs, crs = [{0: 10}, {0: -20}], [{0: -30}, {0: 25}], [{0: 35}, {0: -15}]
+    base = _jpeg_encode_test_color(ys, cbs, crs, 16, 8, quant)
+    w, h, rgb = _jpeg_decode_luma(base, color=True)
+    assert (w, h) == (16, 8)
+    for m in range(2):
+        want = rgb_of(
+            plane_val(ys[m][0]), plane_val(cbs[m][0]), plane_val(crs[m][0])
+        )
+        for yy in range(8):
+            for xx in range(8):
+                i = 3 * (yy * 16 + m * 8 + xx)
+                assert tuple(rgb[i : i + 3]) == want, (m, yy, xx)
+    # luma-only decode of a color file still works (chroma skipped)
+    _, _, luma = _jpeg_decode_luma(base)
+    assert luma[0] == plane_val(ys[0][0]) and luma[8] == plane_val(ys[1][0])
+    # progressive twin: same coefficients, identical RGB (and textured
+    # blocks to push coefficients through the AC band scans)
+    ys2 = [{0: 10, 1: 6, 8: -4}, {0: -20, 5: 3}]
+    cbs2 = [{0: -30, 2: -5}, {0: 25}]
+    crs2 = [{0: 35}, {0: -15, 10: 7}]
+    b2 = _jpeg_encode_test_color(ys2, cbs2, crs2, 16, 8, quant)
+    p2 = _jpeg_encode_test_color(
+        ys2, cbs2, crs2, 16, 8, quant, progressive=True
+    )
+    assert _jpeg_decode_luma(p2, color=True) == _jpeg_decode_luma(
+        b2, color=True
+    )
+    assert _jpeg_decode_luma(p2) == _jpeg_decode_luma(b2)
+
+
+def test_decode_jpeg_color_matches_jvm_imageio_on_wild_jpegs():
+    """RGB decode vs JVM ImageIO getRGB on wild-caught color JPEGs.
+    Chroma upsampling is a decoder choice (we replicate; libjpeg-based
+    decoders default to triangular 'fancy' upsampling), so bounds are
+    looser than the luma test on chroma-edge-heavy content: mean < 3,
+    max <= 32 (measured: kitten mean 0.14/max 7; microscopy image with
+    saturated chroma edges mean 1.84/max 27)."""
+    import os
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+    )
+
+    samples = [
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP153539.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/chr30.4.184.jpg",
+    ]
+    if not all(map(os.path.exists, samples)) or not shutil.which("javac"):
+        pytest.skip("wild JPEG samples or JDK not available")
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class JpegRgb {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+            int rgb = img.getRGB(x, y);
+            sb.append((rgb >> 16) & 255).append(' ')
+              .append((rgb >> 8) & 255).append(' ')
+              .append(rgb & 255).append(' ');
+        }
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/JpegRgb.java", "w") as fh:
+            fh.write(src)
+        subprocess.run(
+            ["javac", "JpegRgb.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        for sample in samples:
+            ref_out = subprocess.run(
+                ["java", "JpegRgb", sample], cwd=td, check=True,
+                capture_output=True, text=True,
+            ).stdout.split()
+            rw, rh = int(ref_out[0]), int(ref_out[1])
+            ref = [int(v) for v in ref_out[2:]]
+            w, h, mine = _jpeg_decode_luma(
+                open(sample, "rb").read(), color=True
+            )
+            assert (w, h) == (rw, rh)
+            diffs = [abs(a - b) for a, b in zip(mine, ref)]
+            assert statistics.mean(diffs) < 3.0, sample
+            assert max(diffs) <= 32, sample
+
+
+def test_decode_jpeg_rgb_features_and_grayscale_degrade():
+    """decode_jpeg_rgb_stdlib: 3*feature_dim floats in [0,1]; on a
+    grayscale (single-component) frame — including the wild PROGRESSIVE
+    one — R = G = B, so the color features collapse to the luma family
+    exactly."""
+    import os
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_jpeg_rgb_stdlib,
+        decode_jpeg_stdlib,
+    )
+
+    quant = [16] * 64
+    jpg = _jpeg_encode_test([{0: 36}, {0: -12}], 16, 8, quant)
+    rgbf = decode_jpeg_rgb_stdlib(jpg, feature_dim=4)
+    lumaf = decode_jpeg_stdlib(jpg, feature_dim=4)
+    assert len(rgbf) == 12 and all(0.0 <= f <= 1.0 for f in rgbf)
+    for j in range(4):
+        assert rgbf[3 * j] == rgbf[3 * j + 1] == rgbf[3 * j + 2]
+        assert abs(rgbf[3 * j] - lumaf[j]) < 1e-12
+    progressive = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    if os.path.exists(progressive):
+        payload = open(progressive, "rb").read()
+        rgbf = decode_jpeg_rgb_stdlib(payload, feature_dim=8)
+        lumaf = decode_jpeg_stdlib(payload, feature_dim=8)
+        for j in range(8):
+            assert rgbf[3 * j] == rgbf[3 * j + 1] == rgbf[3 * j + 2]
+            assert abs(rgbf[3 * j] - lumaf[j]) < 1e-12
