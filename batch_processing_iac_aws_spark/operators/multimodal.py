@@ -102,24 +102,37 @@ def decode_image_real(
       is importable — one deterministic kernel on every executor (the
       production pin for PNG corpora).
     - ``"stdlib_jpeg"``: always :func:`decode_jpeg_stdlib` — the same
-      pin for baseline-JPEG corpora.
+      pin for JPEG corpora (baseline and progressive).
+    - ``"stdlib_jpeg_rgb"``: always :func:`decode_jpeg_rgb_stdlib` —
+      the COLOR pin (round 11): ``3 * feature_dim`` per-block mean-RGB
+      features, a different feature FAMILY from every luma kernel (and
+      a different length), for corpora where luma conflates
+      differently-colored variants. Never mixed with a luma pin in one
+      index — the length mismatch makes accidental mixing fail loudly
+      downstream.
     - ``"stdlib"``: route by magic to the matching stdlib kernel (PNG
-      or baseline JPEG) — one deterministic kernel family everywhere,
+      or JPEG) — one deterministic kernel family everywhere,
       for mixed-codec corpora.
     - ``"pil"``: require PIL; an executor without it fails LOUDLY
       instead of degrading to a different kernel.
     - ``"auto"`` (default): probe per process — convenient in a
       homogeneous environment, hazardous on mixed fleets (documented
       here and in :func:`auto_image_decoder`)."""
-    if decoder not in ("auto", "pil", "stdlib", "stdlib_png", "stdlib_jpeg"):
+    if decoder not in (
+        "auto", "pil", "stdlib", "stdlib_png", "stdlib_jpeg",
+        "stdlib_jpeg_rgb",
+    ):
         raise ValueError(
             f"decode_image_real: unknown decoder {decoder!r} (expected "
-            "'auto', 'pil', 'stdlib', 'stdlib_png', or 'stdlib_jpeg')"
+            "'auto', 'pil', 'stdlib', 'stdlib_png', 'stdlib_jpeg', or "
+            "'stdlib_jpeg_rgb')"
         )
     if decoder == "stdlib_png":
         return decode_png_stdlib(payload, feature_dim=feature_dim)
     if decoder == "stdlib_jpeg":
         return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
+    if decoder == "stdlib_jpeg_rgb":
+        return decode_jpeg_rgb_stdlib(payload, feature_dim=feature_dim)
     if decoder == "stdlib":
         if (payload or b"")[:8] == _PNG_MAGIC:
             return decode_png_stdlib(payload, feature_dim=feature_dim)

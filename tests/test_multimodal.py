@@ -1612,3 +1612,61 @@ def test_decode_jpeg_rgb_features_and_grayscale_degrade():
         for j in range(8):
             assert rgbf[3 * j] == rgbf[3 * j + 1] == rgbf[3 * j + 2]
             assert abs(rgbf[3 * j] - lumaf[j]) < 1e-12
+
+
+def test_media_phash_pairs_color_separates_luma_twins(spark):
+    """The round-11 color pin end-to-end through the registered plan's
+    machinery (extract_features mapInPandas on executors -> ahash_pack
+    -> pigeonhole band join), on TRUE JPEG bits: two images with
+    IDENTICAL luma but opposite chroma (red-tinted vs blue-tinted) are
+    indistinguishable to every luma kernel — stdlib_jpeg pairs them as
+    near-dups — while the stdlib_jpeg_rgb kernel separates them AND
+    still pairs a lightly-retouched re-encode with its original. The
+    aHash/band machinery is feature-length-generic, so the color family
+    rides the same plan unchanged."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_image_real,
+        extract_features,
+        media_phash_pairs,
+    )
+
+    quant = [16] * 64
+    n_mcu = 16
+    ys = [{0: 4 * m - 30} for m in range(n_mcu)]      # luma gradient
+    ys_edit = [dict(b) for b in ys]
+    ys_edit[5][0] += 1                                # one-block touch-up
+    red = [{0: -40}] * n_mcu, [{0: 45}] * n_mcu       # (cb, cr)
+    blue = [{0: 45}] * n_mcu, [{0: -40}] * n_mcu
+    rows = [
+        (0, bytearray(_jpeg_encode_test_color(
+            ys, red[0], red[1], 8 * n_mcu, 8, quant))),
+        (1, bytearray(_jpeg_encode_test_color(
+            ys_edit, red[0], red[1], 8 * n_mcu, 8, quant))),
+        (2, bytearray(_jpeg_encode_test_color(
+            ys, blue[0], blue[1], 8 * n_mcu, 8, quant))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def pairs_with(decoder, feature_dim, dim):
+        feats = extract_features(
+            media,
+            decode_fn=lambda p: decode_image_real(
+                p, feature_dim=feature_dim, decoder=decoder
+            ),
+            feature_dim=dim,
+        ).select(
+            "media_id",
+            F.col("features").cast("array<double>").alias("features"),
+        )
+        return {
+            (r["media_id_a"], r["media_id_b"])
+            for r in media_phash_pairs(
+                feats, dim=dim, max_hamming=3
+            ).collect()
+        }
+
+    # luma kernel: all three images collapse to one near-dup family
+    # (identical Y gradient) — the color-blindness being fixed
+    assert pairs_with("stdlib_jpeg", 16, 16) == {(0, 1), (0, 2), (1, 2)}
+    # color kernel: the retouch still pairs; the color twin separates
+    assert pairs_with("stdlib_jpeg_rgb", 16, 48) == {(0, 1)}
