@@ -1,0 +1,200 @@
+"""Data-selection operators: DSIR — Data Selection with Importance
+Resampling (Xie et al., NeurIPS 2023), the hashed-n-gram variant used
+for pretraining-corpus curation: score every raw document by how much
+more likely its hashed n-gram profile is under a TARGET distribution
+(e.g. a high-quality seed corpus) than under the RAW pool's own
+distribution, then keep the top-k (or Gumbel-resample).
+
+Spark-first shape, sized for 100 TB of raw docs against a bounded
+target corpus:
+
+- featurization is the shared explode+slice n-gram projection
+  (``operators/dedup.py:shingle_rows`` — whole-stage codegen, no
+  interpreted array HOFs) followed by a map-side-combined
+  ``groupBy(id, bucket)`` count whose key space is doc x bucket;
+- both corpus-level distributions collapse to at most ``n_buckets``
+  rows (default 10k) — MODEL-sized, independent of corpus size — so
+  the bucket -> log(p/q) table is a broadcast and per-doc scoring is
+  one broadcast hash join plus one map-side-combined sum: the raw
+  corpus is read ONCE and never shuffled at gram granularity beyond
+  the (id, bucket) combine;
+- selection is ``orderBy(...).limit(k)`` = TakeOrdered (per-partition
+  top-k then a k-row driver merge), never a full sort.
+
+Hash family follows the dedup convention: ``F.xxhash64`` is the
+production default (fast, JVM-side); pass an engine-portable
+``token_hash`` (plans/llm.py:_md5_lower60) when a DuckDB oracle must
+replay bucket assignment bit-exactly. Reference anchor: the reference
+engine has no data-selection surface (its analytics is one projection
+script, pyspark_skript/pyspark_script.py); this extends the corpus-
+management family (SURVEY.md §2B) with the published method.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import shingle_rows
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: "tuple[int, ...]" = (1, 2),
+    token_hash=None,
+) -> DataFrame:
+    """Hashed n-gram profile: one ``(id, bucket, cnt)`` row per distinct
+    bucket a document's n-grams hash into (the hashing-trick feature
+    vector in sparse row form). ``ns`` picks the gram orders (DSIR's
+    published configuration is unigrams + bigrams); grams of every
+    order share one bucket space, exactly as the paper's single hash
+    table does. Docs shorter than an order contribute that order's
+    whole-doc gram once (``shingle_rows``' clamp)."""
+    hash_of = token_hash if token_hash is not None else F.xxhash64
+    parts = [
+        shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+        for k in ns
+    ]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = grams.unionByName(p)
+    return (
+        grams.select(
+            id_col,
+            F.pmod(hash_of(F.col("shingle")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_logratio(
+    target_profile: DataFrame,
+    raw_profile: DataFrame,
+    *,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The bounded scoring table: ``(bucket, logratio)`` with
+    ``logratio = ln p_b - ln q_b`` under Laplace-``alpha`` smoothing
+    (p from the target corpus profile, q from the raw pool's own).
+    At most ``n_buckets`` rows regardless of corpus size — the
+    distributions are the MODEL here, and the caller broadcasts the
+    result into the per-doc join. Buckets absent from both corpora are
+    omitted: a raw doc can only ever look up buckets present in the
+    raw profile, and those carry their exact smoothed ratio."""
+    t = target_profile.groupBy("bucket").agg(F.sum("cnt").alias("t_cnt"))
+    r = raw_profile.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
+    t_tot = t.agg(F.sum("t_cnt").alias("t_tot"))
+    r_tot = r.agg(F.sum("r_cnt").alias("r_tot"))
+    # union + re-agg instead of a FULL OUTER join: Spark cannot
+    # broadcast full-outer sides, so the join form costs a sort-merge
+    # even on two model-sized inputs — one hash agg does the same spine
+    zero = F.lit(0).cast("bigint")
+    spine = (
+        t.select("bucket", "t_cnt", zero.alias("r_cnt"))
+        .unionByName(r.select("bucket", zero.alias("t_cnt"), "r_cnt"))
+        .groupBy("bucket")
+        .agg(F.sum("t_cnt").alias("t_cnt"), F.sum("r_cnt").alias("r_cnt"))
+    )
+    # single-row totals enter as broadcast scalars (the established
+    # single-row crossJoin pattern — one long each, never data-sized)
+    return (
+        spine.crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("t_cnt") + F.lit(alpha))
+                    / (F.col("t_tot") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("r_cnt") + F.lit(alpha))
+                    / (F.col("r_tot") + F.lit(alpha * n_buckets))
+                )
+            ).alias("logratio"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: "tuple[int, ...]" = (1, 2),
+    alpha: float = 1.0,
+    token_hash=None,
+    round_dp: "int | None" = 6,
+) -> DataFrame:
+    """Per-document DSIR log importance weight:
+    ``w(x) = sum_b cnt_b(x) * (ln p_b - ln q_b)`` — one row per raw doc,
+    ``(id, dsir_weight)``. The scoring table is broadcast (bounded by
+    ``n_buckets``); the raw corpus contributes one featurization pass
+    and one map-side-combined per-doc sum. ``round_dp`` rounds the
+    weight for engine-portable comparisons (sums of logs never sit on
+    the decimal grid, so rounding is tie-free in the
+    float-rounding-trap sense); pass None for raw doubles."""
+    raw_prof = hashed_ngram_buckets(
+        raw_docs, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, ns=ns, token_hash=token_hash,
+    )
+    tgt_prof = hashed_ngram_buckets(
+        target_docs, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, ns=ns, token_hash=token_hash,
+    )
+    lr = dsir_bucket_logratio(
+        tgt_prof, raw_prof, n_buckets=n_buckets, alpha=alpha
+    )
+    w = (
+        raw_prof.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("logratio")).alias("dsir_weight"))
+    )
+    if round_dp is not None:
+        w = w.select(
+            id_col, F.round("dsir_weight", round_dp).alias("dsir_weight")
+        )
+    return w
+
+
+def dsir_select_topk(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: "tuple[int, ...]" = (1, 2),
+    alpha: float = 1.0,
+    token_hash=None,
+) -> DataFrame:
+    """The deterministic selection head: the ``k`` raw docs with the
+    highest DSIR weight (id ascending on exact ties — ties happen only
+    for byte-identical gram profiles, e.g. duplicate texts), with the
+    weight attached. ``orderBy().limit(k)`` executes as TakeOrdered:
+    per-partition heap top-k, k-row merge — no global sort. (The
+    paper's Gumbel resampling draws WITHOUT replacement proportionally
+    to exp(weight); top-k is its zero-temperature limit and the
+    reproducible default for pipelines — a seeded Gumbel can be added
+    per-corpus by perturbing the weight with a salted-hash uniform
+    before this head.)"""
+    w = dsir_importance_weights(
+        raw_docs, target_docs,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        ns=ns, alpha=alpha, token_hash=token_hash,
+    )
+    return (
+        w.orderBy(F.col("dsir_weight").desc(), F.col(id_col))
+        .limit(k)
+    )
