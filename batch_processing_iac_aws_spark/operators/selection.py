@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .corpus import salted_digest
 from .dedup import shingle_rows
 
 
@@ -196,5 +197,56 @@ def dsir_select_topk(
     )
     return (
         w.orderBy(F.col("dsir_weight").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_gumbel_sample(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    k: int,
+    salt: str = "",
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: "tuple[int, ...]" = (1, 2),
+    alpha: float = 1.0,
+    token_hash=None,
+) -> DataFrame:
+    """The paper's actual selection rule: sample ``k`` docs WITHOUT
+    replacement with probability proportional to ``exp(weight /
+    temperature)`` via the Gumbel-top-k identity (argtop-k of
+    ``w/T + G_i`` with i.i.d. standard Gumbel noise IS such a sample).
+    The noise is DETERMINISTIC and engine-portable — the corpus ops'
+    shared salted-md5 digest (operators/corpus.py:salted_digest) maps
+    each doc id to a uniform u in (0,1) and ``G = -ln(-ln u)`` — so the
+    sample is reproducible across runs, partitionings, and engines,
+    re-drawable by changing ``salt`` (the same re-draw lever every
+    hash-gated sampler here exposes), and oracle-able in DuckDB with
+    the same md5 arithmetic. Executes as TakeOrdered on the perturbed
+    key, exactly like the top-k head; ``temperature -> 0`` recovers
+    :func:`dsir_select_topk`. Uniform construction: the digest's first
+    12 hex chars scale to (0,1) with a +1 offset so u is never exactly
+    0 (ln(0) guard); NULL-id docs digest to NULL and are never sampled,
+    matching every gate built on the shared digest."""
+    w = dsir_importance_weights(
+        raw_docs, target_docs,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        ns=ns, alpha=alpha, token_hash=token_hash,
+    )
+    u = (
+        F.conv(F.substring(salted_digest(F.col(id_col), salt), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16 ** 12 + 2))
+    key = (
+        F.col("dsir_weight") / F.lit(float(temperature))
+        - F.log(-F.log(u))
+    )
+    return (
+        w.withColumn("gumbel_key", F.round(key, 6))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
     )

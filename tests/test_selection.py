@@ -14,6 +14,7 @@ import re
 import pyspark.sql.functions as F
 
 from batch_processing_iac_aws_spark.operators.selection import (
+    dsir_gumbel_sample,
     dsir_bucket_logratio,
     dsir_importance_weights,
     dsir_select_topk,
@@ -282,3 +283,58 @@ def test_dsir_default_hash_is_xxhash64_and_ranks_consistently(spark):
     for s in sparky:
         for o in set(got) - sparky:
             assert got[s] > got[o], (s, o)
+
+
+def test_dsir_gumbel_sample_matches_python_and_is_reproducible(spark):
+    """Gumbel-top-k head: deterministic salted-md5 noise replayed by an
+    independent Python mirror (exact ids AND 6dp keys); identical
+    across invocations at one salt; re-drawn under another; and the
+    zero-temperature limit recovers the plain top-k ids."""
+    raw, tgt = _frames(spark)
+
+    def py_sample(salt, k, temperature):
+        w = _py_weights(RAW, TARGET)
+        keys = {}
+        for did, wv in w.items():
+            hx = hashlib.md5(f"{salt}{did}".encode()).hexdigest()[:12]
+            u = (int(hx, 16) + 1.0) / (16 ** 12 + 2)
+            keys[did] = round(
+                wv / temperature - math.log(-math.log(u)), 6
+            )
+        return sorted(keys.items(), key=lambda t: (-t[1], t[0]))[:k]
+
+    for salt in ("", "epoch-2"):
+        got = [
+            (r["doc_id"], r["gumbel_key"])
+            for r in dsir_gumbel_sample(
+                raw, tgt, k=4, salt=salt, n_buckets=N_BUCKETS,
+                token_hash=_md5_lower60,
+            ).collect()
+        ]
+        want = py_sample(salt, 4, 1.0)
+        assert [g[0] for g in got] == [x[0] for x in want], salt
+        for (gid, gk), (wid, wk) in zip(got, want):
+            assert abs(gk - wk) < 2e-6, (salt, gid)
+        rerun = [
+            r["doc_id"]
+            for r in dsir_gumbel_sample(
+                raw, tgt, k=4, salt=salt, n_buckets=N_BUCKETS,
+                token_hash=_md5_lower60,
+            ).collect()
+        ]
+        assert rerun == [g[0] for g in got]
+    # zero-temperature limit: ordering collapses to the weights
+    cold = [
+        r["doc_id"]
+        for r in dsir_gumbel_sample(
+            raw, tgt, k=4, temperature=1e-9, n_buckets=N_BUCKETS,
+            token_hash=_md5_lower60,
+        ).collect()
+    ]
+    top = [
+        r["doc_id"]
+        for r in dsir_select_topk(
+            raw, tgt, k=4, n_buckets=N_BUCKETS, token_hash=_md5_lower60
+        ).collect()
+    ]
+    assert cold == top
