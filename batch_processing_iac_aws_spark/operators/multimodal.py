@@ -2,15 +2,19 @@
 typed metadata structs, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing here is real and tested — schema contracts,
-partition-sized Arrow batches, deterministic outputs. Codec work: PNG
-decodes FOR REAL with the standard library (``decode_png_stdlib`` — zlib
-inflate + RFC 2083 unfiltering + integer luma), so the real branch of the
-seam executes and is engine-tested even in this library-free container;
-JPEG/audio/video need a real library (PIL/ffmpeg) and their
-``decode_fn=None`` default remains the deterministic fake "decoder"
-(content-hash features), with ``decode_image_real`` as the single
-integration point (PIL when importable, stdlib PNG otherwise, loud
-NotImplementedError for formats it cannot truly decode).
+partition-sized Arrow batches, deterministic outputs. Codec work: THREE
+media formats decode FOR REAL with the standard library — PNG
+(``decode_png_stdlib``: zlib inflate + RFC 2083 unfiltering + integer
+luma), JPEG (``decode_jpeg_stdlib``: baseline + progressive huffman
+DCT, luma or full RGB), and PCM WAV audio (``decode_wav_stdlib``: RIFF
+walk + 8/16-bit PCM + mono mix + block-RMS envelope) — so the real
+branch of the seam executes and is engine-tested on true bits in this
+library-free container. Compressed audio / video need a real library
+(ffmpeg) and their ``decode_fn=None`` default remains the
+deterministic fake "decoder" (content-hash features), with
+``decode_image_real`` as the single image integration point (PIL when
+importable, stdlib kernels otherwise, loud NotImplementedError for
+formats nothing here can truly decode).
 
 Scale notes: binary payloads ride Parquet natively; keep them OUT of shuffle
 keys and project them away before wide operations. mapInPandas streams Arrow
@@ -1357,3 +1361,105 @@ def media_phash_pairs(
         id_a=f"{id_col}_a",
         id_b=f"{id_col}_b",
     )
+
+
+# --- stdlib PCM WAV decoder (round 11) --------------------------------
+
+
+def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
+    """RIFF/WAVE walk + PCM sample decode with the standard library
+    only: returns (sample_rate, mono samples in [-1, 1]). Supports
+    integer PCM (format 1) at 8-bit unsigned and 16-bit signed, any
+    channel count (channels mix to mono by mean — the standard
+    downmix); unknown RIFF chunks (LIST, fact, cue, ...) are skipped by
+    their declared size exactly as the spec intends. IEEE-float (3),
+    A-law/mu-law (6/7), extensible (0xFFFE), and other bit depths raise
+    NotImplementedError (fail loud, never fake), as do truncated
+    headers/chunks."""
+    import struct
+
+    data = payload or b""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("decode_wav_stdlib: not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    frames = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid in (b"fmt ", b"data") and len(body) < size:
+            raise NotImplementedError(
+                f"decode_wav_stdlib: truncated {cid.decode()!r} chunk"
+            )
+        if cid == b"fmt ":
+            if size < 16:
+                raise NotImplementedError(
+                    "decode_wav_stdlib: short fmt chunk"
+                )
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            frames = body
+            if fmt is not None:
+                break  # spec orders fmt before data; stop at the samples
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise NotImplementedError(
+            "decode_wav_stdlib: missing fmt or data chunk"
+        )
+    audio_format, n_ch, rate, _brate, _balign, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"decode_wav_stdlib: non-PCM audio format {audio_format} "
+            "(IEEE-float/A-law/mu-law/extensible need a real library)"
+        )
+    if n_ch < 1:
+        raise NotImplementedError("decode_wav_stdlib: zero channels")
+    if bits == 16:
+        n = len(frames) // 2
+        ints = struct.unpack(f"<{n}h", frames[: 2 * n])
+        scale = 32768.0
+    elif bits == 8:
+        ints = [b - 128 for b in frames]  # 8-bit WAV is unsigned
+        scale = 128.0
+    else:
+        raise NotImplementedError(
+            f"decode_wav_stdlib: {bits}-bit PCM (8/16 supported)"
+        )
+    n_frames = len(ints) // n_ch
+    if n_ch == 1:
+        mono = [v / scale for v in ints[:n_frames]]
+    else:
+        mono = [
+            sum(ints[i * n_ch : (i + 1) * n_ch]) / (n_ch * scale)
+            for i in range(n_frames)
+        ]
+    return rate, mono
+
+
+def decode_wav_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
+    """REAL PCM-WAV decode with the standard library only — the third
+    medium after PNG/JPEG to execute the seam's real branch on true
+    bits: RIFF walk, 8/16-bit PCM, mono downmix, then the block-RMS
+    loudness envelope — ``feature_dim`` root-mean-square energies over
+    contiguous sample blocks, each in [0, 1]. The envelope is the audio
+    analogue of the image kernels' block-mean luma: it rides the SAME
+    downstream machinery (extract_features -> ahash_pack ->
+    hamming_band_pairs), so near-duplicate audio dedup — re-encoded,
+    re-gained, or padded uploads of one recording — is the identical
+    pigeonhole plan the image corpus runs. Deterministic: no resampling,
+    no windowing choices; empty audio yields all-zero features."""
+    import math as _m
+
+    _rate, mono = _wav_decode_samples(payload)
+    n = len(mono)
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        if hi <= lo:
+            feats.append(0.0)
+            continue
+        feats.append(
+            _m.sqrt(sum(v * v for v in mono[lo:hi]) / (hi - lo))
+        )
+    return feats

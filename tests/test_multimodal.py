@@ -1670,3 +1670,155 @@ def test_media_phash_pairs_color_separates_luma_twins(spark):
     assert pairs_with("stdlib_jpeg", 16, 16) == {(0, 1), (0, 2), (1, 2)}
     # color kernel: the retouch still pairs; the color twin separates
     assert pairs_with("stdlib_jpeg_rgb", 16, 48) == {(0, 1)}
+
+
+# --- stdlib PCM WAV decoder (round 11) --------------------------------
+
+
+def _wav_encode_test(samples_by_channel, rate=8000, bits=16, *, extra_chunk=None):
+    """Minimal RIFF/WAVE test encoder (independent of the decoder):
+    interleaves channels, 16-bit signed or 8-bit unsigned PCM, with an
+    optional unknown chunk spliced before data to prove the walk skips
+    it."""
+    import struct
+
+    n_ch = len(samples_by_channel)
+    n = len(samples_by_channel[0])
+    inter = [
+        samples_by_channel[c][i] for i in range(n) for c in range(n_ch)
+    ]
+    if bits == 16:
+        body = struct.pack(f"<{len(inter)}h", *inter)
+        balign, brate = 2 * n_ch, rate * 2 * n_ch
+    else:
+        body = bytes((v + 128) & 0xFF for v in inter)
+        balign, brate = n_ch, rate * n_ch
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, brate, balign, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        cbody = extra_chunk[4:]
+        chunks += (
+            extra_chunk[:4]
+            + struct.pack("<I", len(cbody))
+            + cbody
+            + (b"\x00" if len(cbody) & 1 else b"")  # RIFF word alignment
+        )
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_stdlib_rms_exact_downmix_and_chunk_skip():
+    """Block-RMS envelope checked against an independent numpy
+    computation; stereo downmixes by mean; 8-bit unsigned decodes to
+    the same envelope as its 16-bit twin (+-quantization); unknown RIFF
+    chunks are skipped by size."""
+    import math
+
+    import numpy as np
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_wav_stdlib,
+    )
+
+    rate, n = 8000, 640
+    left = [int(20000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+    right = [int(8000 * math.sin(2 * math.pi * 220 * i / rate)) for i in range(n)]
+    wav = _wav_encode_test([left, right], rate)
+    got = decode_wav_stdlib(wav, feature_dim=4)
+    mono = (np.array(left) + np.array(right)) / (2 * 32768.0)
+    want = [
+        float(np.sqrt(np.mean(mono[j * 160 : (j + 1) * 160] ** 2)))
+        for j in range(4)
+    ]
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
+    # unknown chunk (LIST) before data: identical decode
+    wav_list = _wav_encode_test(
+        [left, right], rate, extra_chunk=b"LISTjunk-metadata-bytes"
+    )
+    assert decode_wav_stdlib(wav_list, feature_dim=4) == got
+    # 8-bit twin: same envelope within 8-bit quantization error
+    l8 = [v // 256 for v in left]
+    got8 = decode_wav_stdlib(
+        _wav_encode_test([l8], rate, bits=8), feature_dim=4
+    )
+    m8 = np.array(l8) / 128.0
+    want8 = [
+        float(np.sqrt(np.mean(m8[j * 160 : (j + 1) * 160] ** 2)))
+        for j in range(4)
+    ]
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got8, want8))
+
+
+def test_decode_wav_stdlib_refusals_are_loud():
+    import struct
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_wav_stdlib,
+    )
+
+    with pytest.raises(NotImplementedError, match="not a RIFF"):
+        decode_wav_stdlib(b"\x89PNG not audio")
+    ok = _wav_encode_test([[0, 100, -100, 50]], 8000)
+    # IEEE-float format code
+    floaty = bytearray(ok)
+    floaty[20:22] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav_stdlib(bytes(floaty))
+    # 24-bit depth
+    deep = bytearray(ok)
+    deep[34:36] = struct.pack("<H", 24)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav_stdlib(bytes(deep))
+    # truncated data chunk
+    with pytest.raises(NotImplementedError, match="truncated 'data'"):
+        decode_wav_stdlib(ok[:-3])
+
+
+def test_media_phash_pairs_on_real_wav_decode(spark):
+    """Audio near-dup through the SAME machinery the image corpora use
+    (extract_features mapInPandas -> ahash_pack -> pigeonhole band
+    join), on true PCM bits: a re-gained re-encode of a recording has a
+    proportionally scaled RMS envelope — aHash's brighter-than-mean rule
+    is gain-invariant, so the pair is found — while a different
+    recording (reversed envelope) is not."""
+    import math
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_wav_stdlib,
+        extract_features,
+        media_phash_pairs,
+    )
+
+    rate, n = 8000, 32 * 40
+    # amplitude envelope rising over 32 blocks; the "other" recording
+    # falls instead
+    def tone(env):
+        return [
+            int(env(i) * math.sin(2 * math.pi * 440 * i / rate) * 28000)
+            for i in range(n)
+        ]
+
+    rising = tone(lambda i: (i // 40 + 1) / 32.0)
+    regain = [int(v * 0.55) for v in rising]  # re-encoded at lower gain
+    falling = tone(lambda i: (32 - i // 40) / 32.0)
+    rows = [
+        (0, bytearray(_wav_encode_test([rising], rate))),
+        (1, bytearray(_wav_encode_test([regain], rate))),
+        (2, bytearray(_wav_encode_test([falling], rate))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = extract_features(
+        media,
+        decode_fn=lambda p: decode_wav_stdlib(p, feature_dim=32),
+        feature_dim=32,
+    ).select(
+        "media_id",
+        F.col("features").cast("array<double>").alias("features"),
+    )
+    pairs = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in media_phash_pairs(feats, dim=32, max_hamming=3).collect()
+    }
+    assert pairs == {(0, 1)}
