@@ -146,12 +146,66 @@ def prune_store_generations(index_dir: str) -> None:
             shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
 
 
-def read_index(spark, index_dir: str) -> DataFrame:
+def read_index(
+    spark,
+    index_dir: str,
+    *,
+    as_of_batch: "int | None" = None,
+    lineage_col: "str | None" = None,
+) -> DataFrame:
     """The committed generation's index rows (payload columns +
     ``batch_seq``) — the supported way to read the store; generation
     dirs are an implementation detail. Raises FileNotFoundError when no
-    generation was ever committed (the first-batch signal)."""
-    return spark.read.parquet(f"{store_current(index_dir)}/data")
+    generation was ever committed (the first-batch signal).
+
+    ``as_of_batch=K`` is the store's SNAPSHOT read — "the corpus exactly
+    as it stood after ingest batch K committed", the reproducibility
+    contract a training run needs ("which snapshot trained model X").
+    No copied history and no retention policy is required, because the
+    lifecycle already guarantees the current generation CONTAINS every
+    snapshot: appends land under their own ``batch_seq`` partition and
+    compaction merges rows without changing them, so a snapshot is a
+    filter, not a restore:
+
+    * ``K`` at or above the compaction watermark (or an uncompacted
+      store): ``batch_seq <= K`` is exact — merged batches remap DOWN to
+      the watermark, never up — and it prunes PARTITIONS, so at a 100 TB
+      rolling corpus the read costs the snapshot's directories, not a
+      scan (same contract as the own-batch exclusion,
+      tests/test_plans.py).
+    * ``K`` BELOW the watermark: those batches' partitions were merged,
+      so layout alone cannot recover the boundary. Stores that stamp
+      per-row arrival lineage as a DATA column (the store-backed table
+      ingests' ``ingest_batch`` — operators/index_store.py table-alias
+      note) pass ``lineage_col``: rows are filtered on lineage while
+      ``batch_seq <= watermark`` still prunes every post-watermark
+      partition. Without lineage the read REFUSES loudly — returning
+      the merged superset would silently include post-K rows.
+    """
+    gen = store_current(index_dir)
+    df = spark.read.parquet(f"{gen}/data")
+    if as_of_batch is None:
+        return df
+    watermark = store_watermark(gen)
+    if lineage_col is not None:
+        # Exact for every row (lineage == batch id at append time and
+        # survives compaction untouched); batch_seq still prunes all
+        # partitions newer than the snapshot horizon.
+        horizon = max(as_of_batch, watermark or as_of_batch)
+        return df.filter(
+            (F.col("batch_seq") <= F.lit(horizon))
+            & (F.col(lineage_col) <= F.lit(as_of_batch))
+        )
+    if watermark is not None and as_of_batch < watermark:
+        raise ValueError(
+            f"snapshot as_of_batch={as_of_batch} is below this store's "
+            f"compaction watermark {watermark}: those batches' partitions "
+            "were merged, so the boundary is gone from the layout. Stamp "
+            "per-row lineage as a data column at append time and pass "
+            "lineage_col (the store-backed table ingests' ingest_batch), "
+            "or compact less aggressively."
+        )
+    return df.filter(F.col("batch_seq") <= F.lit(as_of_batch))
 
 
 def assert_appendable(index_dir: str, batch_id: int) -> None:

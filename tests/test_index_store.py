@@ -670,3 +670,122 @@ def test_migrate_bare_tree_refuse_then_migrate_then_append(spark, tmp_path):
     # fully-migrated store with nothing bare: loud, not a silent no-op
     with pytest.raises(ValueError, match="nothing to migrate"):
         migrate_bare_tree(spark, idx)
+
+
+# --- snapshot (as_of_batch) reads ------------------------------------
+
+
+def _texts(spark, rows, batch):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("ingest_batch", F.lit(batch))
+
+
+def test_snapshot_asof_reads_exact_prefix_and_prunes(spark, tmp_path):
+    """as_of_batch=K is the store's snapshot read: exactly the rows of
+    batches <= K, and the cutoff reaches the scan as a PartitionFilter
+    (pruned directories, not a post-scan filter) — at a 100 TB rolling
+    corpus a snapshot must cost the snapshot's partitions, not a scan."""
+    from .test_plans import plan_of
+
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        append_index(
+            _digests(spark, [(10 * b + i, f"t{b}-{i}") for i in range(2)]),
+            idx,
+            batch_id=b,
+        )
+    snap = read_index(spark, idx, as_of_batch=1)
+    assert snap.count() == 4
+    assert sorted(
+        r["batch_seq"]
+        for r in snap.select("batch_seq").distinct().collect()
+    ) == [0, 1]
+    plan = plan_of(snap)
+    assert "PartitionFilters: [" in plan
+    assert "batch_seq" in plan.split("PartitionFilters")[1].split("]")[0]
+    files = [
+        r["f"]
+        for r in snap.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all("batch_seq=2" not in f for f in files)
+
+
+def test_snapshot_asof_survives_compaction_at_or_above_watermark(
+    spark, tmp_path
+):
+    """Compaction merges layout without changing rows, so a snapshot at
+    or above the watermark is IDENTICAL before and after — merged
+    batches remap DOWN to the watermark, never up."""
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        append_index(
+            _digests(spark, [(10 * b + i, f"t{b}-{i}") for i in range(2)]),
+            idx,
+            batch_id=b,
+        )
+    before = sorted(
+        r["content_hash"]
+        for r in read_index(spark, idx, as_of_batch=1).collect()
+    )
+    compact_index(spark, idx, upto_batch=1)
+    after = sorted(
+        r["content_hash"]
+        for r in read_index(spark, idx, as_of_batch=1).collect()
+    )
+    assert before == after and len(after) == 4
+    # the full read (as_of the newest batch) is the whole store
+    assert read_index(spark, idx, as_of_batch=2).count() == 6
+
+
+def test_snapshot_below_watermark_refuses_without_lineage(spark, tmp_path):
+    """Batches below the watermark were merged into one partition; the
+    layout alone cannot recover the boundary, and returning the merged
+    superset would silently include post-K rows — refuse loudly."""
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        append_index(_digests(spark, [(b, f"t{b}")]), idx, batch_id=b)
+    compact_index(spark, idx, upto_batch=1)
+    with pytest.raises(ValueError, match="below this store's compaction"):
+        read_index(spark, idx, as_of_batch=0)
+
+
+def test_snapshot_below_watermark_with_lineage_recovers_exact_batch(
+    spark, tmp_path
+):
+    """Stores that stamp per-row arrival lineage as a DATA column (the
+    store-backed table ingests' ingest_batch) keep EVERY snapshot
+    recoverable through compaction: lineage filters the merged
+    partition exactly, while batch_seq still prunes all post-watermark
+    partitions from the scan."""
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        append_table,
+        compact_table,
+    )
+
+    table = str(tmp_path / "table")
+    for b in range(3):
+        append_table(
+            _texts(spark, [(10 * b + i, f"d{b}-{i}") for i in range(2)], b),
+            table,
+            batch_id=b,
+        )
+    compact_table(spark, table, upto_batch=1)
+    snap = read_table(
+        spark, table, as_of_batch=0, lineage_col="ingest_batch"
+    )
+    assert sorted(r["doc_id"] for r in snap.collect()) == [0, 1]
+    # post-watermark partitions never open: the horizon prune is real
+    files = [
+        r["f"]
+        for r in snap.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all("batch_seq=2" not in f for f in files)
+    # lineage also answers snapshots ABOVE the watermark exactly
+    assert read_table(
+        spark, table, as_of_batch=1, lineage_col="ingest_batch"
+    ).count() == 4
