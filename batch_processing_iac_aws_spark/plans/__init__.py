@@ -18,6 +18,10 @@ from . import stream_windows  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
+# staged (next-round) registrations: suite-proven now via
+# tests/test_oracle.py's live+staged union, invisible to
+# queries()/oracle_sql() until the round-12 flip (registry.staged_query)
+from . import staged  # noqa: E402,F401
 
 # The correctness driver hard-checks the FIRST 50 registered queries in
 # insertion order; everything after gets no driver row. Keep one (or a few)

@@ -86,6 +86,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Next-round staging area. The driver-window invariant is structural
+#: (plans/__init__.py: the 50-slot window is always the queries with the
+#: OLDEST last-driver-green, never-driver-seen first), so every NEW
+#: registration immediately enters the window and displaces a stale
+#: query — rounds whose window budget is spoken for (round 11: one new
+#: slot + the entire 49-name r6-stale cohort) stage finished pairs here
+#: instead. Staged pairs are held to the SAME proof bar as registered
+#: ones NOW — tests/test_oracle.py parametrizes over the union, so every
+#: suite run differentially checks them against DuckDB at sf0.01 — and
+#: the flip is mechanical: swap ``staged_query`` for ``query`` next
+#: round. They are invisible to __spark_entry__.queries()/oracle_sql()
+#: until then.
+STAGED_QUERIES: dict[str, QueryFn] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged_query(
+    name: str, oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a finished (query, oracle) pair into the STAGING area —
+    suite-proven now, driver-registered next round (see STAGED_QUERIES
+    note). Name collisions with live registrations are a bug."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..session import ensure_worker_imports
+
+            ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        if name in QUERIES:
+            raise ValueError(f"staged name already registered: {name}")
+        STAGED_QUERIES[name] = wrapped
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
 def _sweep_dead_siblings(base_no_pid: str) -> None:
     """Remove sibling scratch trees (same ``<name>_p<pid>`` stem, other
     pids) whose owning process is gone. Per-pid naming isolates CONCURRENT

@@ -1,0 +1,243 @@
+"""Round-12 staged registrations — finished (query, oracle) pairs the
+driver-window invariant keeps out of THIS round's registry.
+
+The 50-slot driver window is structural oldest-first with
+never-driver-seen queries entering first (plans/__init__.py), so any
+new registration displaces a stale query from the window. Round 11's
+window budget is exactly spoken for — one new slot
+(streaming_autocompact_ingest) plus the entire 49-name r6-stale cohort,
+the r10 verdict's rotation-repair done-criterion — so the round's other
+new operators stage here instead: proven by the suite NOW (
+tests/test_oracle.py runs the union of live and staged pairs against
+DuckDB at sf0.01 every run), registered next round by swapping
+``staged_query`` for ``query``.
+
+Staged this round:
+
+* ``dsir_select`` — the DSIR data-selection head over the documents
+  corpus (operators/selection.py, Xie et al. NeurIPS 2023), portable
+  md5 bucket family so DuckDB replays featurization, smoothing, and the
+  weighted sum bit-exactly (the oracle template here is the one
+  tests/test_selection.py proved against the pure-Python mirror).
+* ``table_snapshot_asof`` — the generationed store's snapshot-read
+  contract (operators/index_store.py:read_index(as_of_batch=...)):
+  reproduce the corpus table exactly as it stood after ingest batch K,
+  through a compaction that merged K's partition away, via the
+  ``ingest_batch`` lineage column — plus the loud refusal when no
+  lineage exists below the watermark.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import scratch_dir, staged_query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+#: DuckDB replay of the full DSIR pipeline over the portable md5 bucket
+#: family (same \s+/short-doc-clamp gram rule as shingle_rows, same
+#: little-endian 60-bit hash as plans/llm.py:_md5_lower60, same Laplace
+#: smoothing and weighted sum) — proven against an independent
+#: pure-Python reimplementation in tests/test_selection.py. ``{raw}`` /
+#: ``{target}`` are table expressions; weights round to 6dp on both
+#: sides (sums of logs never sit on the decimal grid).
+DSIR_ORACLE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM {{raw}}
+), grams AS (
+    SELECT doc_id, unnest(w) AS g FROM toks
+    UNION ALL
+    SELECT t.doc_id,
+           CASE WHEN len(t.w) < 2 THEN array_to_string(t.w, ' ')
+                ELSE t.w[s.i] || ' ' || t.w[s.i + 1] END AS g
+    FROM toks t, unnest(generate_series(1, greatest(len(t.w) - 1, 1))) AS s(i)
+), tg AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM {{target}}
+), tgrams AS (
+    SELECT doc_id, unnest(w) AS g FROM tg
+    UNION ALL
+    SELECT t.doc_id,
+           CASE WHEN len(t.w) < 2 THEN array_to_string(t.w, ' ')
+                ELSE t.w[s.i] || ' ' || t.w[s.i + 1] END AS g
+    FROM tg t, unnest(generate_series(1, greatest(len(t.w) - 1, 1))) AS s(i)
+), rprof AS (
+    SELECT doc_id, CAST(md5_number_lower(g) % {1 << 60} AS BIGINT)
+           % {{n_buckets}} AS bucket, COUNT(*) AS cnt
+    FROM grams GROUP BY 1, 2
+), rb AS (SELECT bucket, SUM(cnt) AS r_cnt FROM rprof GROUP BY 1),
+tb AS (
+    SELECT CAST(md5_number_lower(g) % {1 << 60} AS BIGINT)
+           % {{n_buckets}} AS bucket, COUNT(*) AS t_cnt
+    FROM tgrams GROUP BY 1
+), tot AS (
+    SELECT (SELECT COALESCE(SUM(t_cnt), 0) FROM tb) AS t_tot,
+           (SELECT COALESCE(SUM(r_cnt), 0) FROM rb) AS r_tot
+), lr AS (
+    SELECT COALESCE(rb.bucket, tb.bucket) AS bucket,
+           ln((COALESCE(t_cnt, 0) + {{alpha}})
+              / (t_tot + {{alpha}} * {{n_buckets}}))
+           - ln((COALESCE(r_cnt, 0) + {{alpha}})
+                / (r_tot + {{alpha}} * {{n_buckets}})) AS logratio
+    FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket, tot
+)
+SELECT p.doc_id, round(SUM(p.cnt * lr.logratio), 6) + 0 AS dsir_weight
+FROM rprof p JOIN lr ON p.bucket = lr.bucket
+GROUP BY p.doc_id
+"""
+
+_DSIR_RAW = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)"
+_DSIR_TARGET = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)"
+_DSIR_K = 64
+_DSIR_BUCKETS = 1024
+
+
+@staged_query(
+    "dsir_select",
+    oracle=f"""
+SELECT doc_id, dsir_weight FROM ({DSIR_ORACLE_SQL.format(
+        raw=_DSIR_RAW, target=_DSIR_TARGET,
+        n_buckets=_DSIR_BUCKETS, alpha=1.0,
+    )})
+ORDER BY dsir_weight DESC, doc_id
+LIMIT {_DSIR_K}
+""",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023, hashed-n-gram
+    variant) as the corpus-curation head: every tenth document plays the
+    high-quality TARGET corpus, the rest are the RAW pool, and the query
+    keeps the 64 raw docs whose hashed unigram+bigram profile is most
+    over-represented under the target distribution relative to the
+    pool's own (Laplace-smoothed log ratio, summed per doc).
+
+    Scale shape (operators/selection.py): one featurization pass over
+    the raw corpus (explode+slice shingles, whole-stage codegen,
+    map-side-combined (doc, bucket) counts); both corpus distributions
+    collapse to <= 1024 rows — the MODEL — so scoring is one broadcast
+    hash join + a map-side-combined sum (plan-asserted
+    1 BroadcastHashJoin / 0 SortMergeJoin in tests/test_selection.py);
+    the head is orderBy+limit = TakeOrdered, never a global sort. The
+    portable md5 bucket family lets DuckDB replay every moving part;
+    production keeps xxhash64 (the dedup-family convention)."""
+    from ..operators.selection import dsir_select_topk
+    from .llm import _md5_lower60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    top = dsir_select_topk(
+        raw, tgt, k=_DSIR_K, n_buckets=_DSIR_BUCKETS, alpha=1.0,
+        token_hash=_md5_lower60,
+    )
+    # `+ 0.0` mirrors the oracle's `+ 0`: IEEE -0.0 + 0.0 = +0.0, so a
+    # weight that rounds to zero from below hashes identically.
+    return top.select(
+        "doc_id", (F.col("dsir_weight") + F.lit(0.0)).alias("dsir_weight")
+    )
+
+
+@staged_query(
+    "table_snapshot_asof",
+    oracle="""
+WITH src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND d7.text IS NOT NULL
+              THEN d7.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d7 ON d7.doc_id = d.doc_id - 7
+)
+SELECT d.doc_id, sha256(d.text) AS content_hash,
+       CAST(0 AS INT) AS ingest_batch
+FROM src d
+WHERE d.doc_id % 3 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM src h
+    WHERE h.doc_id % 3 = 0
+      AND sha256(h.text) = sha256(d.text)
+      AND h.doc_id < d.doc_id)
+""",
+)
+def table_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's SNAPSHOT-read contract, driven end-to-end: reproduce
+    the corpus table exactly as it stood after ingest batch 0 — the
+    training-run reproducibility question ("which snapshot trained
+    model X") — through a compaction that merged batch 0's partition
+    away. Three micro-batches stream in through the store-backed dedup
+    ingest, an offline ``compact_table(upto_batch=1)`` merges batches
+    0-1 under the atomic generation flip, then
+    ``read_table(as_of_batch=0, lineage_col="ingest_batch")`` recovers
+    the exact batch-0 survivor set from the merged partition via the
+    per-row arrival lineage the ingest stamps as a DATA column — while
+    ``batch_seq <= watermark`` still prunes every post-watermark
+    partition from the scan (no copied history, no retention policy:
+    appends land under their own partition and compaction merges rows
+    without changing them, so a snapshot is a filter, not a restore).
+
+    In-engine gates (any failure empties the output and the oracle goes
+    red): the layout-only refusal — ``as_of_batch=0`` WITHOUT lineage
+    must raise (batch 0's partition boundary is gone from the layout,
+    and returning the merged superset would silently include post-0
+    rows); snapshot invariance — the ``as_of_batch=1`` row set is
+    IDENTICAL before and after compaction (merged batches remap DOWN to
+    the watermark, never up); and the prefix property — the batch-0
+    snapshot is a subset of the batch-1 snapshot.
+    operators/index_store.py:read_index (as_of_batch/lineage_col);
+    tests/test_index_store.py proves the same contract plus the
+    partition-prune plan assert on synthetic stores."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..operators.index_store import compact_table, read_table
+    from ..streaming.pipeline import run_streaming_ingest_dedup
+    from .stream_windows import _dup_decorated_ingest_source
+
+    base = scratch_dir("tsnap", sf_dir)
+    src_all = _dup_decorated_ingest_source(spark, sf_dir)
+    files = sorted(
+        _glob.glob(f"{src_all}/*.parquet"), key=os.path.getmtime
+    )
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    table, index, ckpt = f"{base}/table", f"{base}/index", f"{base}/ckpt"
+    for f in files:
+        shutil.copy2(f, src)
+    run_streaming_ingest_dedup(spark, src, table, index, ckpt)
+
+    def _rows(df):
+        return sorted(
+            (r["doc_id"], r["content_hash"], r["ingest_batch"])
+            for r in df.select(
+                "doc_id", "content_hash", "ingest_batch"
+            ).collect()
+        )
+
+    asof1_before = _rows(
+        read_table(spark, table, as_of_batch=1, lineage_col="ingest_batch")
+    )
+    compact_table(spark, table, upto_batch=1)
+    asof1_after = _rows(
+        read_table(spark, table, as_of_batch=1, lineage_col="ingest_batch")
+    )
+    refused = False
+    try:
+        read_table(spark, table, as_of_batch=0)
+    except ValueError:
+        refused = True
+    snap0 = read_table(
+        spark, table, as_of_batch=0, lineage_col="ingest_batch"
+    )
+    prefix_ok = set(_rows(snap0)) <= set(asof1_after)
+    ok = bool(
+        refused and asof1_before == asof1_after and prefix_ok
+    )
+    return snap0.filter(F.lit(ok)).select(
+        "doc_id",
+        "content_hash",
+        F.col("ingest_batch").cast("int").alias("ingest_batch"),
+    )

@@ -306,3 +306,18 @@ def test_package_imports_from_worker_zip(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), env=env,
     )
     assert "WORKERZIP_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_staged_round12_registrations():
+    """The round-12 staging area (plans/registry.py:STAGED_QUERIES):
+    exactly this round's deferred registrations, every one oracled,
+    none leaking into the live registry (the driver window budget is
+    spoken for — the rotation repair's done-criterion)."""
+    from batch_processing_iac_aws_spark.plans.registry import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    assert set(STAGED_QUERIES) == {"dsir_select", "table_snapshot_asof"}
+    assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
+    assert not set(STAGED_QUERIES) & set(QUERIES)

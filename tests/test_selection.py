@@ -117,54 +117,11 @@ def test_dsir_weights_match_pure_python_reimplementation(spark):
             assert got[s] > got[o], (s, o)
 
 
-#: DuckDB replay of the full DSIR pipeline over the portable hash
-#: family — the registration-candidate oracle for round 12 (window
-#: invariant: round 11's one new-query slot was used by
-#: streaming_autocompact_ingest, and adding another would push an
-#: r6-stale query back out of the driver window).
-DSIR_ORACLE_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM {{raw}}
-), grams AS (
-    SELECT doc_id, unnest(w) AS g FROM toks
-    UNION ALL
-    SELECT t.doc_id,
-           CASE WHEN len(t.w) < 2 THEN array_to_string(t.w, ' ')
-                ELSE t.w[s.i] || ' ' || t.w[s.i + 1] END AS g
-    FROM toks t, unnest(generate_series(1, greatest(len(t.w) - 1, 1))) AS s(i)
-), tg AS (
-    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM {{target}}
-), tgrams AS (
-    SELECT doc_id, unnest(w) AS g FROM tg
-    UNION ALL
-    SELECT t.doc_id,
-           CASE WHEN len(t.w) < 2 THEN array_to_string(t.w, ' ')
-                ELSE t.w[s.i] || ' ' || t.w[s.i + 1] END AS g
-    FROM tg t, unnest(generate_series(1, greatest(len(t.w) - 1, 1))) AS s(i)
-), rprof AS (
-    SELECT doc_id, CAST(md5_number_lower(g) % {1 << 60} AS BIGINT)
-           % {{n_buckets}} AS bucket, COUNT(*) AS cnt
-    FROM grams GROUP BY 1, 2
-), rb AS (SELECT bucket, SUM(cnt) AS r_cnt FROM rprof GROUP BY 1),
-tb AS (
-    SELECT CAST(md5_number_lower(g) % {1 << 60} AS BIGINT)
-           % {{n_buckets}} AS bucket, COUNT(*) AS t_cnt
-    FROM tgrams GROUP BY 1
-), tot AS (
-    SELECT (SELECT COALESCE(SUM(t_cnt), 0) FROM tb) AS t_tot,
-           (SELECT COALESCE(SUM(r_cnt), 0) FROM rb) AS r_tot
-), lr AS (
-    SELECT COALESCE(rb.bucket, tb.bucket) AS bucket,
-           ln((COALESCE(t_cnt, 0) + {{alpha}})
-              / (t_tot + {{alpha}} * {{n_buckets}}))
-           - ln((COALESCE(r_cnt, 0) + {{alpha}})
-                / (r_tot + {{alpha}} * {{n_buckets}})) AS logratio
-    FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket, tot
-)
-SELECT p.doc_id, round(SUM(p.cnt * lr.logratio), 6) + 0 AS dsir_weight
-FROM rprof p JOIN lr ON p.bucket = lr.bucket
-GROUP BY p.doc_id
-"""
+#: The registered-candidate oracle now lives with the staged round-12
+#: registration (plans/staged.py:DSIR_ORACLE_SQL) — imported here so the
+#: pure-Python differential below keeps proving the SAME template the
+#: future driver row will run.
+from batch_processing_iac_aws_spark.plans.staged import DSIR_ORACLE_SQL
 
 
 def test_dsir_weights_match_duckdb_oracle(spark):
