@@ -114,8 +114,11 @@ def decode_image_real(
       differently-colored variants. Never mixed with a luma pin in one
       index — the length mismatch makes accidental mixing fail loudly
       downstream.
-    - ``"stdlib"``: route by magic to the matching stdlib kernel (PNG
-      or JPEG) — one deterministic kernel family everywhere,
+    - ``"stdlib_gif"``: always :func:`decode_gif_stdlib` — first-frame
+      block-mean luma (round 11; animated frame SAMPLING goes through
+      :func:`gif_frame_fn` + sample_frames, not this single-vector pin).
+    - ``"stdlib"``: route by magic to the matching stdlib kernel (PNG,
+      JPEG, or GIF) — one deterministic kernel family everywhere,
       for mixed-codec corpora.
     - ``"pil"``: require PIL; an executor without it fails LOUDLY
       instead of degrading to a different kernel.
@@ -124,12 +127,12 @@ def decode_image_real(
       here and in :func:`auto_image_decoder`)."""
     if decoder not in (
         "auto", "pil", "stdlib", "stdlib_png", "stdlib_jpeg",
-        "stdlib_jpeg_rgb",
+        "stdlib_jpeg_rgb", "stdlib_gif",
     ):
         raise ValueError(
             f"decode_image_real: unknown decoder {decoder!r} (expected "
-            "'auto', 'pil', 'stdlib', 'stdlib_png', 'stdlib_jpeg', or "
-            "'stdlib_jpeg_rgb')"
+            "'auto', 'pil', 'stdlib', 'stdlib_png', 'stdlib_jpeg', "
+            "'stdlib_jpeg_rgb', or 'stdlib_gif')"
         )
     if decoder == "stdlib_png":
         return decode_png_stdlib(payload, feature_dim=feature_dim)
@@ -137,14 +140,18 @@ def decode_image_real(
         return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
     if decoder == "stdlib_jpeg_rgb":
         return decode_jpeg_rgb_stdlib(payload, feature_dim=feature_dim)
+    if decoder == "stdlib_gif":
+        return decode_gif_stdlib(payload, feature_dim=feature_dim)
     if decoder == "stdlib":
         if (payload or b"")[:8] == _PNG_MAGIC:
             return decode_png_stdlib(payload, feature_dim=feature_dim)
         if (payload or b"")[:3] == _JPEG_MAGIC:
             return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
+        if (payload or b"")[:6] in _GIF_MAGICS:
+            return decode_gif_stdlib(payload, feature_dim=feature_dim)
         raise NotImplementedError(
-            "decode_image_real(decoder='stdlib'): payload is neither "
-            "PNG nor JPEG — no stdlib kernel for this format"
+            "decode_image_real(decoder='stdlib'): payload is not "
+            "PNG/JPEG/GIF — no stdlib kernel for this format"
         )
     try:
         from PIL import Image
@@ -160,8 +167,10 @@ def decode_image_real(
             return decode_png_stdlib(payload, feature_dim=feature_dim)
         if (payload or b"")[:3] == _JPEG_MAGIC:
             return decode_jpeg_stdlib(payload, feature_dim=feature_dim)
+        if (payload or b"")[:6] in _GIF_MAGICS:
+            return decode_gif_stdlib(payload, feature_dim=feature_dim)
         raise NotImplementedError(
-            "image decoding requires PIL/opencv for non-PNG/JPEG "
+            "image decoding requires PIL/opencv for non-PNG/JPEG/GIF "
             "formats, not present in this environment; pass "
             "decode_fn=... with a real implementation"
         ) from exc
@@ -1463,3 +1472,330 @@ def decode_wav_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
             _m.sqrt(sum(v * v for v in mono[lo:hi]) / (hi - lo))
         )
     return feats
+
+
+# --- GIF decode: the fourth real-bits medium, and the video seam's ----
+#     frame extraction made real (animated GIF = frames on true bits) --
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+#: interlace passes (GIF89a spec appendix E): (first row, row step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(
+    min_code_size: int, data: bytes, max_pixels: int
+) -> "list[int]":
+    """GIF-flavored LZW (variable code width 3..12 bits, LSB-first bit
+    packing, in-stream clear/end codes, deferred-clear tolerated):
+    ``data`` is the concatenated image sub-blocks, returns palette
+    indexes. Corrupt codes and streams that end before ``max_pixels``
+    indexes arrive raise NotImplementedError — fail loud, never fake."""
+    if not 2 <= min_code_size <= 11:
+        raise NotImplementedError(
+            f"decode_gif_stdlib: bad LZW min code size {min_code_size}"
+        )
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    width = min_code_size + 1
+    buf = nbits = bytepos = 0
+    prev = None
+    out: "list[int]" = []
+
+    while True:
+        while nbits < width:
+            if bytepos >= len(data):
+                raise NotImplementedError(
+                    "decode_gif_stdlib: truncated LZW stream"
+                )
+            buf |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise NotImplementedError(
+                    "decode_gif_stdlib: corrupt LZW (first code not in "
+                    "table)"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + (table[prev][0],)
+        else:
+            raise NotImplementedError(
+                "decode_gif_stdlib: corrupt LZW (code beyond table)"
+            )
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(table[prev] + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+        if len(out) >= max_pixels:
+            break
+    if len(out) < max_pixels:
+        raise NotImplementedError(
+            f"decode_gif_stdlib: LZW stream ended at {len(out)} of "
+            f"{max_pixels} pixels"
+        )
+    return out[:max_pixels]
+
+
+def _gif_subblocks(data: bytes, pos: int) -> "tuple[bytes, int]":
+    """Assemble a GIF data-sub-block chain ([len][bytes]... 0) starting
+    at ``pos``; returns (payload, position after the terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise NotImplementedError(
+                "decode_gif_stdlib: truncated sub-block chain"
+            )
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(data):
+            raise NotImplementedError(
+                "decode_gif_stdlib: truncated sub-block"
+            )
+        chunks.append(data[pos : pos + n])
+        pos += n
+
+
+def _gif_palette_luma(raw: bytes) -> "list[int]":
+    """Color table -> ITU-R 601-2 integer luma per entry (the same
+    299/587/114 rule every image kernel here uses)."""
+    return [
+        (299 * raw[3 * i] + 587 * raw[3 * i + 1] + 114 * raw[3 * i + 2])
+        // 1000
+        for i in range(len(raw) // 3)
+    ]
+
+
+def decode_gif_frames(
+    payload: bytes, *, max_frames: "int | None" = None
+) -> "list[tuple[int, int, list[int]]]":
+    """REAL GIF decode with the standard library only — GIF87a/89a
+    header walk, global/local color tables, LZW decompression,
+    interlace reorder, and full ANIMATION COMPOSITION (frame rects,
+    GIF89a transparency, disposal methods none/keep/restore-background/
+    restore-previous). Returns one COMPOSED full-canvas luma frame
+    (width, height, row-major intensities) per image in the stream —
+    what a viewer would show, not the raw sub-rectangles the file
+    stores — so an animated GIF is the sandbox's true-bits stand-in for
+    video: :func:`gif_frame_fn` feeds these frames through the SAME
+    sample_frames -> features -> ahash near-dup plan a real video
+    corpus would run behind the ffmpeg seam. Unknown block types and
+    truncated streams raise NotImplementedError (fail loud, never
+    fake); pure Python per pixel, fine for thumbnail-scale payloads
+    (the documented stdlib-kernel trade, see decode_png_stdlib)."""
+    import struct
+
+    data = payload or b""
+    if data[:6] not in _GIF_MAGICS:
+        raise NotImplementedError("decode_gif_stdlib: not a GIF payload")
+    if len(data) < 13:
+        raise NotImplementedError("decode_gif_stdlib: truncated header")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, bg_index = data[10], data[11]
+    if sw == 0 or sh == 0:
+        raise NotImplementedError("decode_gif_stdlib: empty logical screen")
+    pos = 13
+    gct_luma: "list[int] | None" = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise NotImplementedError(
+                "decode_gif_stdlib: truncated global color table"
+            )
+        gct_luma = _gif_palette_luma(data[pos : pos + 3 * n])
+        pos += 3 * n
+    bg_luma = (
+        gct_luma[bg_index]
+        if gct_luma is not None and bg_index < len(gct_luma)
+        else 0
+    )
+    canvas = [bg_luma] * (sw * sh)
+    frames: "list[tuple[int, int, list[int]]]" = []
+    disposal, transparent = 0, None
+    while True:
+        if pos >= len(data):
+            # missing trailer: tolerate only if we already have frames
+            # (common in the wild); an imageless stream is corrupt
+            if frames:
+                break
+            raise NotImplementedError(
+                "decode_gif_stdlib: stream ends before any image"
+            )
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise NotImplementedError(
+                    "decode_gif_stdlib: truncated extension"
+                )
+            label = data[pos]
+            pos += 1
+            body, pos = _gif_subblocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                disposal = (body[0] >> 2) & 0x07
+                transparent = body[3] if body[0] & 0x01 else None
+            # comment/application/plain-text extensions: skipped whole
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(
+                f"decode_gif_stdlib: unknown block 0x{block:02x}"
+            )
+        if pos + 9 > len(data):
+            raise NotImplementedError(
+                "decode_gif_stdlib: truncated image descriptor"
+            )
+        left, top, iw, ih = struct.unpack("<HHHH", data[pos : pos + 8])
+        ipacked = data[pos + 8]
+        pos += 9
+        if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
+            raise NotImplementedError(
+                "decode_gif_stdlib: image rect outside logical screen"
+            )
+        luma = gct_luma
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise NotImplementedError(
+                    "decode_gif_stdlib: truncated local color table"
+                )
+            luma = _gif_palette_luma(data[pos : pos + 3 * n])
+            pos += 3 * n
+        if luma is None:
+            raise NotImplementedError(
+                "decode_gif_stdlib: image with no color table"
+            )
+        if pos >= len(data):
+            raise NotImplementedError(
+                "decode_gif_stdlib: truncated image data"
+            )
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(data, pos)
+        idx = _gif_lzw_decode(min_code, lzw, iw * ih)
+        # interlace: decoded row i lands on canvas row rows[i]
+        if ipacked & 0x40:
+            rows = [
+                r
+                for first, step in _GIF_INTERLACE
+                for r in range(first, ih, step)
+            ]
+        else:
+            rows = list(range(ih))
+        before = list(canvas) if disposal == 3 else None
+        for i, r in enumerate(rows):
+            src = idx[i * iw : (i + 1) * iw]
+            dst = (top + r) * sw + left
+            for x, v in enumerate(src):
+                if v == transparent:
+                    continue
+                if v >= len(luma):
+                    raise NotImplementedError(
+                        "decode_gif_stdlib: pixel index beyond palette"
+                    )
+                canvas[dst + x] = luma[v]
+        frames.append((sw, sh, list(canvas)))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        # disposal applies AFTER the frame is shown, to its rect only
+        if disposal == 2:  # restore to background color
+            for r in range(ih):
+                dst = (top + r) * sw + left
+                canvas[dst : dst + iw] = [bg_luma] * iw
+        elif disposal == 3 and before is not None:  # restore previous
+            canvas = before
+        disposal, transparent = 0, None
+    if not frames:
+        raise NotImplementedError("decode_gif_stdlib: no image in stream")
+    return frames
+
+
+def decode_gif_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
+    """First-frame GIF featurization on true bits — the block-mean luma
+    kernel every stdlib image codec here emits, so GIF corpora ride the
+    identical extract_features -> ahash_pack -> hamming_band_pairs
+    near-dup plan as PNG/JPEG ones (same feature family, same [0,1]
+    scale, comparable only within one pinned kernel)."""
+    w, h, luma = decode_gif_frames(payload, max_frames=1)[0]
+    n = len(luma)
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        block = luma[lo:hi] or [0]
+        feats.append(sum(block) / (len(block) * 255.0))
+    return feats
+
+
+#: tiny deterministic gray-frame container for FRAME_SCHEMA payloads:
+#: magic + <u32 w><u32 h> + row-major luma bytes — the shape a real
+#: video frame extractor (the ffmpeg seam) would hand downstream
+_GRAY_FRAME_MAGIC = b"GRY8"
+
+
+def pack_gray_frame(width: int, height: int, luma: "list[int]") -> bytes:
+    import struct
+
+    if len(luma) != width * height:
+        raise ValueError("pack_gray_frame: luma size != width * height")
+    return (
+        _GRAY_FRAME_MAGIC
+        + struct.pack("<II", width, height)
+        + bytes(luma)
+    )
+
+
+def gray_frame_features(frame: bytes, *, feature_dim: int = 8) -> list[float]:
+    """Featurize one GRY8 frame container: the same block-mean luma
+    kernel as the image codecs, so sampled VIDEO frames join images in
+    one near-dup index when that is what the pipeline wants."""
+    import struct
+
+    data = frame or b""
+    if data[:4] != _GRAY_FRAME_MAGIC or len(data) < 12:
+        raise NotImplementedError("gray_frame_features: not a GRY8 frame")
+    w, h = struct.unpack("<II", data[4:12])
+    luma = data[12 : 12 + w * h]
+    if len(luma) != w * h:
+        raise NotImplementedError("gray_frame_features: truncated frame")
+    n = len(luma)
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        block = luma[lo:hi] or b"\x00"
+        feats.append(sum(block) / (len(block) * 255.0))
+    return feats
+
+
+def gif_frame_fn(payload: bytes, idx: int) -> bytes:
+    """REAL ``frame_fn`` for :func:`sample_frames`: composed frame
+    ``idx`` of an animated GIF as a GRY8 container. A sample grid
+    longer than the animation holds the LAST frame (the standard
+    video-sampler behavior for clips shorter than the grid — and what
+    a GIF viewer shows after playback stops); a non-GIF payload still
+    refuses loudly through decode_gif_frames. Decoding per (payload,
+    idx) keeps the seam signature; for long grids decode once per
+    payload and slice — the mapInPandas batch shape already groups
+    frames by media id."""
+    frames = decode_gif_frames(payload, max_frames=idx + 1)
+    w, h, luma = frames[min(idx, len(frames) - 1)]
+    return pack_gray_frame(w, h, luma)

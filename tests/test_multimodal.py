@@ -915,8 +915,11 @@ def test_decode_image_real_stdlib_pin_routes_both_codecs():
     assert got == [200 / 255.0] * 4
     # the auto/no-PIL branch routes JPEG too now
     assert decode_image_real(jpg, feature_dim=4) == got
-    with pytest.raises(NotImplementedError, match="neither PNG nor JPEG"):
-        decode_image_real(b"GIF89a...", decoder="stdlib")
+    # GIF routes to its own stdlib kernel since round 11 (see
+    # test_decode_image_real_stdlib_gif_pin_and_routing); a format with
+    # NO stdlib kernel still refuses loudly
+    with pytest.raises(NotImplementedError, match="not PNG/JPEG/GIF"):
+        decode_image_real(b"BM......", decoder="stdlib")
     sample = (
         "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
         "kittens/DP153539.jpg"
@@ -1822,3 +1825,407 @@ def test_media_phash_pairs_on_real_wav_decode(spark):
         for r in media_phash_pairs(feats, dim=32, max_hamming=3).collect()
     }
     assert pairs == {(0, 1)}
+
+
+# --- GIF decode (round 11: fourth real-bits medium + real frame sampling)
+
+
+def _gif_lzw_encode_test(min_code_size, indexes):
+    """Independent GIF-LZW COMPRESSOR (test-side only, shares no code
+    with the decoder): greedy longest-match table build, variable code
+    width with the canonical grow rule (width++ when the just-assigned
+    code reaches 1 << width), LSB-first bit packing."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    bits = []
+
+    def emit(code, w):
+        bits.append((code, w))
+
+    emit(clear, width)
+    prev = ()
+    for p in indexes:
+        cur = prev + (p,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        prev = (p,)
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    buf = n = 0
+    out = bytearray()
+    for code, w in bits:
+        buf |= code << n
+        n += w
+        while n >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            n -= 8
+    if n:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_rows(h):
+    return [r for f, s in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(f, h, s)]
+
+
+def _gif_encode_test(sw, sh, palette, frames, *, bg=0, magic=b"GIF89a"):
+    """Hand-built GIF encoder: global color table, per-frame rects,
+    GIF89a graphic-control extensions (disposal/transparency), optional
+    interlace (rows written in pass order). ``frames`` entries:
+    (left, top, w, h, row-major indexes, opts) with opts keys
+    disposal / transparent / interlace."""
+    import struct
+
+    depth = 1
+    while (2 << (depth - 1)) < len(palette):
+        depth += 1
+    n_colors = 2 << (depth - 1)
+    out = bytearray(magic)
+    out += struct.pack("<HH", sw, sh)
+    out.append(0x80 | (depth - 1))  # GCT flag + size
+    out.append(bg)
+    out.append(0)  # aspect
+    for i in range(n_colors):
+        out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    for left, top, w, h, idx, opts in frames:
+        disposal = opts.get("disposal", 0)
+        transparent = opts.get("transparent")
+        if disposal or transparent is not None:
+            out += bytes([0x21, 0xF9, 4])
+            out.append(
+                ((disposal & 7) << 2)
+                | (1 if transparent is not None else 0)
+            )
+            out += struct.pack("<H", 0)  # delay
+            out.append(transparent if transparent is not None else 0)
+            out.append(0)
+        out.append(0x2C)
+        out += struct.pack("<HHHH", left, top, w, h)
+        out.append(0x40 if opts.get("interlace") else 0x00)
+        if opts.get("interlace"):
+            idx = [
+                v
+                for r in _gif_interlace_rows(h)
+                for v in idx[r * w : (r + 1) * w]
+            ]
+        mcs = max(2, depth)
+        out.append(mcs)
+        lzw = _gif_lzw_encode_test(mcs, idx)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+_GIF_PAL4 = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+#: ITU-601 luma of _GIF_PAL4 (299r + 587g + 114b) // 1000
+_GIF_PAL4_Y = [0, 255, 76, 29]
+
+
+def test_decode_gif_stdlib_static_exact():
+    """Single-frame GIF: LZW round-trip and palette->luma are exact."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_gif_stdlib,
+    )
+
+    idx = [0, 1, 2, 3,
+           3, 2, 1, 0,
+           1, 1, 2, 2]
+    payload = _gif_encode_test(
+        4, 3, _GIF_PAL4, [(0, 0, 4, 3, idx, {})]
+    )
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 1
+    w, h, luma = frames[0]
+    assert (w, h) == (4, 3)
+    assert luma == [_GIF_PAL4_Y[v] for v in idx]
+    feats = decode_gif_stdlib(payload, feature_dim=4)
+    n = len(luma)
+    want = [
+        sum(luma[(j * n) // 4 : ((j + 1) * n) // 4])
+        / ((((j + 1) * n) // 4 - (j * n) // 4) * 255.0)
+        for j in range(4)
+    ]
+    assert feats == want
+
+
+def test_decode_gif_animation_composition_and_disposals():
+    """Composed animation semantics: frame rects paint onto the canvas,
+    transparent pixels hold what is underneath, disposal 2 restores the
+    frame's rect to the background color, disposal 3 restores the
+    pre-frame canvas."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    base = [1] * 16  # 4x4 all white
+    # frame 2: 2x2 red patch at (1,1) with one transparent pixel,
+    # disposal 3 (restore previous after showing)
+    patch = [2, 3,
+             2, 0]
+    # frame 3: full-canvas repaint to blue
+    blue = [3] * 16
+    payload = _gif_encode_test(
+        4, 4, _GIF_PAL4,
+        [
+            (0, 0, 4, 4, base, {"disposal": 1}),
+            (1, 1, 2, 2, patch, {"disposal": 3, "transparent": 0}),
+            (0, 0, 4, 4, blue, {}),
+        ],
+    )
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 3
+    y = _GIF_PAL4_Y
+    f1 = frames[0][2]
+    assert f1 == [y[1]] * 16
+    f2 = frames[1][2]
+    want2 = [y[1]] * 16
+    want2[5], want2[6] = y[2], y[3]   # (1,1) (2,1)
+    want2[9] = y[2]                   # (1,2); (2,2) transparent -> white
+    assert f2 == want2
+    # disposal 3 restored the white canvas before frame 3 painted it all
+    f3 = frames[2][2]
+    assert f3 == [y[3]] * 16
+    # max_frames stops early with identical prefixes
+    assert decode_gif_frames(payload, max_frames=2)[1][2] == f2
+
+
+def test_decode_gif_disposal_background_restore():
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    patch = [2, 2, 2, 2]
+    # bg color 1 (white); patch shown with disposal 2 then a transparent
+    # frame: the patch rect must read as BACKGROUND, not as the patch
+    payload = _gif_encode_test(
+        4, 4, _GIF_PAL4,
+        [
+            (1, 1, 2, 2, patch, {"disposal": 2}),
+            (0, 0, 4, 4, [0] * 16, {"transparent": 0}),
+        ],
+        bg=1,
+    )
+    frames = decode_gif_frames(payload)
+    y = _GIF_PAL4_Y
+    f1 = frames[0][2]
+    assert f1.count(y[2]) == 4 and f1.count(y[1]) == 12
+    assert frames[1][2] == [y[1]] * 16
+
+
+def test_decode_gif_interlaced_equals_progressive_order():
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    # 4x9 vertical gradient-ish pattern, enough rows for all 4 passes
+    idx = [(r % 4) for r in range(9) for _ in range(4)]
+    plain = _gif_encode_test(4, 9, _GIF_PAL4, [(0, 0, 4, 9, idx, {})])
+    inter = _gif_encode_test(
+        4, 9, _GIF_PAL4, [(0, 0, 4, 9, idx, {"interlace": True})]
+    )
+    assert inter != plain  # rows really were reordered on disk
+    assert decode_gif_frames(inter) == decode_gif_frames(plain)
+
+
+def test_decode_gif_matches_jvm_imageio_on_wild_gifs():
+    """Differential proof on wild-caught GIFs (the libxslt doc images,
+    GIF87a and GIF89a, 8-bit and 6-bit palettes): GIF is lossless, so
+    the bar is EXACT equality with the JVM ImageIO decode — unlike the
+    JPEG differential's IDCT-variance tolerance."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    samples = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif"))
+    if not samples or not shutil.which("javac"):
+        pytest.skip("wild GIF samples or JDK not available")
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class GifRef {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+            int rgb = img.getRGB(x, y);
+            sb.append((299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+                       + 114 * (rgb & 255)) / 1000).append(' ');
+        }
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/GifRef.java", "w") as fh:
+            fh.write(src)
+        subprocess.run(
+            ["javac", "GifRef.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        for sample in samples:
+            ref_out = subprocess.run(
+                ["java", "GifRef", sample], cwd=td, check=True,
+                capture_output=True, text=True,
+            ).stdout.split()
+            rw, rh = int(ref_out[0]), int(ref_out[1])
+            ref = [int(v) for v in ref_out[2:]]
+            w, h, mine = decode_gif_frames(
+                open(sample, "rb").read(), max_frames=1
+            )[0]
+            assert (w, h) == (rw, rh), sample
+            assert mine == ref, sample
+
+
+def test_decode_gif_refuses_garbage_and_truncation():
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_gif_stdlib,
+        gray_frame_features,
+    )
+
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        decode_gif_stdlib(b"RIFFxxxxWAVE")
+    idx = [0, 1, 2, 3]
+    good = _gif_encode_test(4, 1, _GIF_PAL4, [(0, 0, 4, 1, idx, {})])
+    with pytest.raises(NotImplementedError, match="truncated|ends before"):
+        decode_gif_frames(good[:20])
+    # corrupt the LZW stream length mid-image
+    with pytest.raises(NotImplementedError):
+        decode_gif_frames(good[:-3])
+    with pytest.raises(NotImplementedError, match="not a GRY8"):
+        gray_frame_features(b"nope")
+
+
+def test_decode_image_real_stdlib_gif_pin_and_routing():
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_stdlib,
+        decode_image_real,
+    )
+
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    payload = _gif_encode_test(4, 2, _GIF_PAL4, [(0, 0, 4, 2, idx, {})])
+    want = decode_gif_stdlib(payload, feature_dim=4)
+    assert decode_image_real(
+        payload, feature_dim=4, decoder="stdlib_gif"
+    ) == want
+    assert decode_image_real(
+        payload, feature_dim=4, decoder="stdlib"
+    ) == want
+
+
+def test_sample_frames_real_gif_animation(spark):
+    """The video seam on TRUE bits: an animated GIF through
+    sample_frames(frame_fn=gif_frame_fn) yields composed GRY8 frames
+    whose features change exactly where the animation changes and hold
+    the last frame beyond the clip's end (the standard sampler behavior
+    for short clips)."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        gif_frame_fn,
+        gray_frame_features,
+        sample_frames,
+    )
+
+    white = [1] * 16
+    dark = [0] * 16
+    payload = _gif_encode_test(
+        4, 4, _GIF_PAL4,
+        [(0, 0, 4, 4, white, {}), (0, 0, 4, 4, dark, {})],
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit(4).cast("long").alias("width"),
+            F.lit(4).cast("long").alias("height"),
+            F.lit(len(payload)).cast("long").alias("n_bytes"),
+        ),
+    )
+    rows = (
+        sample_frames(media, n_frames=3, frame_fn=gif_frame_fn)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    feats = [
+        gray_frame_features(bytes(r["frame"]), feature_dim=4)
+        for r in rows
+    ]
+    assert feats[0] == [1.0, 1.0, 1.0, 1.0]   # all-white frame
+    assert feats[1] == [0.0, 0.0, 0.0, 0.0]   # animation went dark
+    assert feats[2] == feats[1]               # grid past clip: hold last
+
+
+def test_decode_gif_property_random_frames():
+    """Property sweep mirroring the JPEG random-block test: random
+    canvas sizes, palettes, pixel indexes, and the interlace flag must
+    round-trip the independent test encoder -> decoder EXACTLY (GIF is
+    lossless)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        n_colors=st.integers(2, 16),
+        interlace=st.booleans(),
+        data=st.data(),
+    )
+    def run(w, h, n_colors, interlace, data):
+        palette = [
+            (
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+            )
+            for _ in range(n_colors)
+        ]
+        idx = [
+            data.draw(st.integers(0, n_colors - 1)) for _ in range(w * h)
+        ]
+        payload = _gif_encode_test(
+            w, h, palette,
+            [(0, 0, w, h, idx, {"interlace": interlace})],
+        )
+        (gw, gh, luma), = decode_gif_frames(payload)
+        assert (gw, gh) == (w, h)
+        y = [
+            (299 * r + 587 * g + 114 * b) // 1000 for r, g, b in palette
+        ]
+        assert luma == [y[v] for v in idx]
+
+    run()
