@@ -234,6 +234,72 @@ def assert_appendable(index_dir: str, batch_id: int) -> None:
         )
 
 
+def _schema_contract(df: DataFrame) -> "dict[str, str]":
+    """Payload-schema contract form: lower-cased name -> type
+    simpleString, ``batch_seq`` excluded. Name-keyed (parquet resolves
+    columns by name, so order is immaterial) and nullability-blind
+    (Spark's inferred nullability is not stable across writers)."""
+    return {
+        f.name.lower(): f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name.lower() != "batch_seq"
+    }
+
+
+def _write_schema_contract(gen_dir: str, contract: "dict[str, str]") -> None:
+    import json
+
+    with open(f"{gen_dir}/SCHEMA", "w") as fh:
+        json.dump(contract, fh, sort_keys=True)
+
+
+def assert_append_schema(df: DataFrame, gen_dir: str) -> None:
+    """Refuse a batch whose payload schema DRIFTED from the store's
+    contract — BEFORE any write. Without this, a parquet tree accretes
+    heterogeneous per-partition schemas and ``read_index`` silently
+    resolves to ONE file's footer: columns added by newer batches
+    vanish from reads at random (engine-demonstrated — the read schema
+    depends on which footer Spark samples), which at a 100 TB rolling
+    corpus is silent data loss discovered months later. The contract
+    lives in the generation as a small ``SCHEMA`` file (one driver-side
+    read per append, no Spark job, no directory listing — object-store
+    friendly, same seam notes as the CURRENT pointer); stores created
+    before the contract self-heal by deriving it from the committed
+    footers once and persisting it. Schema EVOLUTION is a deliberate
+    non-feature: an index/table store's payload is its contract — a new
+    column means a new store (or an offline rewrite), never an in-place
+    drift."""
+    import json
+
+    got = _schema_contract(df)
+    try:
+        with open(f"{gen_dir}/SCHEMA") as fh:
+            want = json.load(fh)
+    except FileNotFoundError:
+        # pre-contract store: derive from the committed data once and
+        # persist — the footer read costs one Spark-metadata pass, paid
+        # only on the first post-upgrade append
+        want = _schema_contract(
+            df.sparkSession.read.parquet(f"{gen_dir}/data")
+        )
+        _write_schema_contract(gen_dir, want)
+    if got != want:
+        added = sorted(set(got) - set(want))
+        missing = sorted(set(want) - set(got))
+        retyped = sorted(
+            f"{c}: {want[c]} -> {got[c]}"
+            for c in set(want) & set(got)
+            if want[c] != got[c]
+        )
+        raise ValueError(
+            f"append refused: batch schema drifted from the store "
+            f"contract at {gen_dir} (added={added}, missing={missing}, "
+            f"retyped={retyped}). Heterogeneous partition schemas make "
+            "reads resolve to one random footer — write matching "
+            "columns, or create a new store for the new payload."
+        )
+
+
 def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
     """Ingest one batch of index rows under its own ``batch_seq``
     partition — dynamic overwrite, so a crashed-and-replayed ingest with
@@ -246,11 +312,14 @@ def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
     and commits it; a crash before the commit leaves no CURRENT, so the
     replay takes the same first-append path — a fixpoint.
 
-    Refuses ``batch_id`` at or below the committed generation's
-    compaction watermark: those batches' original partitions were merged
-    away by :func:`compact_index`, so a replayed ingest would double
-    their rows instead of overwriting them. Only compact batches whose
-    ingest is checkpoint-committed; new batches need fresh ids."""
+    Refuses BEFORE any write: ``batch_id`` at or below the committed
+    generation's compaction watermark (those batches' original
+    partitions were merged away by :func:`compact_index`, so a replayed
+    ingest would double their rows instead of overwriting them — only
+    compact batches whose ingest is checkpoint-committed; new batches
+    need fresh ids), and a payload schema that drifted from the store's
+    contract (:func:`assert_append_schema` — heterogeneous partition
+    schemas make reads silently drop columns)."""
     assert_appendable(index_dir, batch_id)
     payload = df.withColumn("batch_seq", F.lit(batch_id))
     try:
@@ -262,8 +331,12 @@ def append_index(df: DataFrame, index_dir: str, *, batch_id: int) -> None:
             .partitionBy("batch_seq")
             .parquet(f"{index_dir}/{gname}/data")
         )
+        _write_schema_contract(
+            f"{index_dir}/{gname}", _schema_contract(df)
+        )
         store_commit(index_dir, gname)
         return
+    assert_append_schema(df, gen)
     (
         payload.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -428,6 +501,9 @@ def compact_index(
     )
     with open(f"{new_gen}/COMPACTED_UPTO", "w") as fh:
         fh.write(str(upto_batch))
+    # the schema contract travels with the generation (compaction never
+    # changes the payload schema — derive from the rows just rewritten)
+    _write_schema_contract(new_gen, _schema_contract(df))
     rows_a, files_a, batches_a = layout_audit(
         spark.read.parquet(f"{new_gen}/data")
     )
@@ -532,6 +608,7 @@ def migrate_bare_tree(spark, index_dir: str) -> "dict[str, int | bool]":
         .partitionBy("batch_seq")
         .parquet(f"{index_dir}/{gname}/data")
     )
+    _write_schema_contract(f"{index_dir}/{gname}", _schema_contract(src))
     store_commit(index_dir, gname)
     rows_after, files_after, batches = layout_audit(
         read_index(spark, index_dir)

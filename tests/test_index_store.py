@@ -789,3 +789,80 @@ def test_snapshot_below_watermark_with_lineage_recovers_exact_batch(
     assert read_table(
         spark, table, as_of_batch=1, lineage_col="ingest_batch"
     ).count() == 4
+
+
+# --- schema-drift refusal (the generation's SCHEMA contract) ----------
+
+
+def test_append_schema_drift_refuses_before_write(spark, tmp_path):
+    """A batch whose payload schema drifted from the store's contract
+    must refuse BEFORE any write: heterogeneous partition schemas make
+    read_index resolve to one random footer and silently drop columns
+    (engine-demonstrated — this is the silent-data-loss class, not a
+    style rule). Added, missing, and retyped columns all refuse and are
+    NAMED; matching schemas append regardless of column order or case."""
+    idx = str(tmp_path / "idx")
+    append_index(_digests(spark, [(1, "a")]), idx, batch_id=0)
+    pre = sorted(r["content_hash"] for r in read_index(spark, idx).collect())
+
+    with pytest.raises(ValueError, match=r"added=\['score'\]"):
+        append_index(
+            spark.createDataFrame(
+                [("x", 1.0)], "content_hash string, score double"
+            ),
+            idx,
+            batch_id=1,
+        )
+    with pytest.raises(ValueError, match=r"missing=\['content_hash'\]"):
+        append_index(
+            spark.createDataFrame([(1.0,)], "score double"), idx, batch_id=1
+        )
+    with pytest.raises(ValueError, match="retyped.*content_hash"):
+        append_index(
+            spark.createDataFrame([(7,)], "content_hash bigint"),
+            idx,
+            batch_id=1,
+        )
+    # nothing was written by any refused append
+    assert sorted(
+        r["content_hash"] for r in read_index(spark, idx).collect()
+    ) == pre
+    # same contract under different case appends fine (parquet resolves
+    # by name; the contract is case-insensitive like Spark's resolver)
+    append_index(
+        spark.createDataFrame([("z",)], "CONTENT_HASH string"),
+        idx,
+        batch_id=1,
+    )
+    assert read_index(spark, idx).count() == 2
+
+
+def test_schema_contract_self_heals_and_survives_compaction(
+    spark, tmp_path
+):
+    """Stores created before the contract existed (no SCHEMA file)
+    derive it from the committed footers on the first append and
+    persist it; compaction carries the contract into the new
+    generation, so drift keeps refusing with no footer re-read."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        append_index(_digests(spark, [(b, f"t{b}")]), idx, batch_id=b)
+    gen = store_current(idx)
+    os.remove(f"{gen}/SCHEMA")  # simulate a pre-contract store
+    append_index(_digests(spark, [(9, "heal")]), idx, batch_id=2)
+    assert os.path.exists(f"{gen}/SCHEMA")  # self-healed
+    compact_index(spark, idx, upto_batch=2)
+    new_gen = store_current(idx)
+    assert new_gen != gen and os.path.exists(f"{new_gen}/SCHEMA")
+    with pytest.raises(ValueError, match="schema drifted"):
+        append_index(
+            spark.createDataFrame(
+                [("x", 1)], "content_hash string, extra int"
+            ),
+            idx,
+            batch_id=3,
+        )
+    append_index(_digests(spark, [(10, "ok")]), idx, batch_id=3)
+    assert read_index(spark, idx).count() == 4
