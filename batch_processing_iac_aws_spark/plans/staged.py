@@ -19,12 +19,20 @@ Staged this round:
   md5 bucket family so DuckDB replays featurization, smoothing, and the
   weighted sum bit-exactly (the oracle template here is the one
   tests/test_selection.py proved against the pure-Python mirror).
+* ``dsir_gumbel`` — DSIR's PUBLISHED selection rule (Gumbel-top-k
+  sampling without replacement, deterministic salted-md5 noise), the
+  sampling head to ``dsir_select``'s zero-temperature limit; the oracle
+  parses the digest's first 12 hex chars with an exact strpos fold.
 * ``table_snapshot_asof`` — the generationed store's snapshot-read
   contract (operators/index_store.py:read_index(as_of_batch=...)):
   reproduce the corpus table exactly as it stood after ingest batch K,
   through a compaction that merged K's partition away, via the
   ``ingest_batch`` lineage column — plus the loud refusal when no
   lineage exists below the watermark.
+
+All three hash-matched DuckDB at sf0.001, sf0.01 (the suite's standing
+gate), and FULL sf0.1 when staged — the flip is proof-neutral at every
+gate SF.
 """
 
 from __future__ import annotations
@@ -240,4 +248,69 @@ def table_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "content_hash",
         F.col("ingest_batch").cast("int").alias("ingest_batch"),
+    )
+
+
+#: DuckDB replay of the salted-md5 Gumbel perturbation: the digest's
+#: first 12 hex chars parsed big-endian by a 12-term strpos fold (every
+#: product < 2^48, exact in doubles), matching Spark's
+#: conv(substring(md5, 1, 12), 16, 10) bit-for-bit.
+_HEX12_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1) "
+    f"* {16 ** (11 - i)}"
+    for i in range(12)
+)
+
+_GUMBEL_K = 48
+_GUMBEL_SALT = "r12"
+
+
+@staged_query(
+    "dsir_gumbel",
+    oracle=f"""
+WITH w AS ({DSIR_ORACLE_SQL.format(
+        raw=_DSIR_RAW, target=_DSIR_TARGET,
+        n_buckets=_DSIR_BUCKETS, alpha=1.0,
+    )}),
+keyed AS (
+    SELECT doc_id, dsir_weight,
+           round(dsir_weight
+                 - ln(-ln(({_HEX12_FOLD.format(
+        h=f"substr(md5('{_GUMBEL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 12)"
+    )} + 1)
+                          / {float(16 ** 12 + 2)})), 6) + 0 AS gumbel_key
+    FROM w
+)
+SELECT doc_id, dsir_weight, gumbel_key FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {_GUMBEL_K}
+""",
+)
+def dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's PUBLISHED selection rule as the registered head: sample
+    48 raw docs WITHOUT replacement proportional to ``exp(weight)`` via
+    the Gumbel-top-k identity, with deterministic engine-portable noise
+    (the corpus ops' shared salted-md5 digest -> uniform -> standard
+    Gumbel; salt ``"r12"`` is the re-draw lever). Same raw/target split
+    and portable md5 bucket family as the staged ``dsir_select`` — this
+    pair proves the sampling head end-to-end in DuckDB (digest parse,
+    uniform scaling, double-log Gumbel, 6dp-rounded perturbed key, the
+    deterministic tiebreak), where the top-k pair proves the
+    zero-temperature limit. Executes as TakeOrdered on the perturbed
+    key — no global sort (operators/selection.py:dsir_gumbel_sample)."""
+    from ..operators.selection import dsir_gumbel_sample
+    from .llm import _md5_lower60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    top = dsir_gumbel_sample(
+        raw, tgt, k=_GUMBEL_K, salt=_GUMBEL_SALT, temperature=1.0,
+        n_buckets=_DSIR_BUCKETS, alpha=1.0, token_hash=_md5_lower60,
+    )
+    # `+ 0.0` mirrors the oracle's `+ 0`: IEEE -0.0 + 0.0 = +0.0
+    return top.select(
+        "doc_id",
+        (F.col("dsir_weight") + F.lit(0.0)).alias("dsir_weight"),
+        (F.col("gumbel_key") + F.lit(0.0)).alias("gumbel_key"),
     )

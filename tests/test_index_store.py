@@ -866,3 +866,52 @@ def test_schema_contract_self_heals_and_survives_compaction(
         )
     append_index(_digests(spark, [(10, "ok")]), idx, batch_id=3)
     assert read_index(spark, idx).count() == 4
+
+
+def test_snapshot_asof_property_random_lifecycles(spark, tmp_path):
+    """Hypothesis-style randomized lifecycle (deterministic seeds, no
+    Spark-in-hypothesis flakiness): random batch contents, a random
+    compaction point, random snapshot horizons — every as_of_batch=K at
+    or above the watermark must equal the union of batches <= K of a
+    pure-Python model, before AND after compaction."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        idx = str(tmp_path / f"idx{seed}")
+        n_batches = rng.randint(3, 5)
+        model = {}
+        for b in range(n_batches):
+            rows = [
+                (b * 100 + i, f"s{seed}-b{b}-{rng.randint(0, 9)}")
+                for i in range(rng.randint(1, 4))
+            ]
+            model[b] = rows
+            append_index(_digests(spark, rows), idx, batch_id=b)
+
+        def snap(k):
+            import hashlib
+
+            return sorted(
+                hashlib.sha256(t.encode()).hexdigest()
+                for b in range(k + 1)
+                for _, t in model[b]
+            )
+
+        for k in range(n_batches):
+            got = sorted(
+                r["content_hash"]
+                for r in read_index(spark, idx, as_of_batch=k).collect()
+            )
+            assert got == snap(k), (seed, "pre-compact", k)
+        upto = rng.randint(0, n_batches - 1)
+        compact_index(spark, idx, upto_batch=upto)
+        for k in range(upto, n_batches):
+            got = sorted(
+                r["content_hash"]
+                for r in read_index(spark, idx, as_of_batch=k).collect()
+            )
+            assert got == snap(k), (seed, "post-compact", k)
+        if upto > 0:
+            with pytest.raises(ValueError, match="below this store"):
+                read_index(spark, idx, as_of_batch=upto - 1)

@@ -318,6 +318,10 @@ def test_staged_round12_registrations():
         STAGED_QUERIES,
     )
 
-    assert set(STAGED_QUERIES) == {"dsir_select", "table_snapshot_asof"}
+    assert set(STAGED_QUERIES) == {
+        "dsir_select",
+        "dsir_gumbel",
+        "table_snapshot_asof",
+    }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
