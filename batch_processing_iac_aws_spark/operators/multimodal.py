@@ -186,7 +186,9 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
     zlib inflate, per-scanline unfiltering (all five PNG filter types:
     None/Sub/Up/Average/Paeth, RFC 2083 §6), ITU-R 601-2 integer luma
     for color images, then ``feature_dim`` block-mean intensities in
-    [0, 1]. Supports the non-interlaced 8-bit gray / RGB / RGBA subset —
+    [0, 1]. Supports non-interlaced 8-bit gray / RGB / RGBA plus
+    PALETTE images at bit depths 1/2/4/8 (PLTE lookup; sub-byte rows
+    unpack MSB-first per RFC 2083 §2.3, filtering at bpp=1 byte) —
     enough to prove the codec seam on true image bits in a library-free
     sandbox; anything else raises NotImplementedError (fail loud, never
     fake). Pure Python per pixel: fine as the seam's integration test
@@ -200,6 +202,7 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
         raise NotImplementedError("decode_png_stdlib: not a PNG payload")
     pos, width, height, depth, color = 8, None, None, None, None
     idat = bytearray()
+    plte: "bytes | None" = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -209,43 +212,65 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+            supported = (depth == 8 and color in (0, 2, 6)) or (
+                color == 3 and depth in (1, 2, 4, 8)
+            )
+            if not supported or interlace != 0:
                 raise NotImplementedError(
                     "decode_png_stdlib supports non-interlaced 8-bit "
-                    f"gray/RGB/RGBA only (depth={depth}, color={color})"
+                    "gray/RGB/RGBA and 1/2/4/8-bit palette only "
+                    f"(depth={depth}, color={color}, "
+                    f"interlace={interlace})"
                 )
+        elif ctype == b"PLTE":
+            plte = bytes(body)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise NotImplementedError("decode_png_stdlib: missing IHDR/IDAT")
-    channels = {0: 1, 2: 3, 6: 4}[color]
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise NotImplementedError(
+                "decode_png_stdlib: palette image without a valid PLTE"
+            )
+        plte_luma = [
+            (299 * plte[3 * i] + 587 * plte[3 * i + 1]
+             + 114 * plte[3 * i + 2]) // 1000
+            for i in range(len(plte) // 3)
+        ]
+        stride = (width * depth + 7) // 8
+        bpp = 1  # filters operate on bytes; sub-byte pixels share them
+    else:
+        channels = {0: 1, 2: 3, 6: 4}[color]
+        stride = width * channels
+        bpp = channels
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
     if len(raw) != height * (stride + 1):
         raise NotImplementedError("decode_png_stdlib: truncated scanlines")
     prev = bytearray(stride)
     gray: list[int] = []
+    mask = (1 << depth) - 1
     for y in range(height):
         row_start = y * (stride + 1)
         ftype = raw[row_start]
         line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
         if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -255,11 +280,20 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
                 f"decode_png_stdlib: unknown filter type {ftype}"
             )
         prev = line
-        if channels == 1:
+        if color == 3:
+            for x in range(width):
+                off = x * depth
+                v = (line[off >> 3] >> (8 - depth - (off & 7))) & mask
+                if v >= len(plte_luma):
+                    raise NotImplementedError(
+                        "decode_png_stdlib: pixel index beyond PLTE"
+                    )
+                gray.append(plte_luma[v])
+        elif bpp == 1:
             gray.extend(line)
         else:
             for x in range(width):
-                o = x * channels
+                o = x * bpp
                 gray.append(
                     (299 * line[o] + 587 * line[o + 1] + 114 * line[o + 2])
                     // 1000

@@ -2229,3 +2229,152 @@ def test_decode_gif_property_random_frames():
         assert luma == [y[v] for v in idx]
 
     run()
+
+
+# --- PNG palette support + wild-file differential (round 11) ----------
+
+
+def _png_encode_palette(indexes, width, height, depth, palette, filters=None):
+    """Hand-built PALETTE PNG (test-side): PLTE chunk, MSB-first
+    sub-byte packing per RFC 2083 §2.3, per-row filter bytes."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    stride = (width * depth + 7) // 8
+    raw = bytearray()
+    filters = filters or [0] * height
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(stride)
+        for x in range(width):
+            off = x * depth
+            line[off >> 3] |= indexes[y * width + x] << (
+                8 - depth - (off & 7)
+            )
+        ftype = filters[y]
+        out = bytearray(line)
+        if ftype == 1:  # Sub, bpp = 1 byte
+            for i in range(stride - 1, 0, -1):
+                out[i] = (out[i] - out[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                out[i] = (out[i] - prev[i]) & 0xFF
+        raw.append(ftype)
+        raw.extend(out)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_stdlib_palette_subbyte_exact():
+    """Palette PNGs at sub-byte depths: MSB-first unpacking, PLTE->luma,
+    and byte-level filtering (Sub/Up at bpp=1) are all exact."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+    y = [0, 255, 76, 29]
+    idx = [0, 1, 2, 3, 3, 2,
+           1, 0, 1, 2, 3, 0,
+           2, 2, 1, 1, 0, 3]
+    for depth in (2, 4, 8):
+        for filters in ([0, 0, 0], [0, 1, 2]):
+            png = _png_encode_palette(idx, 6, 3, depth, pal, filters)
+            feats = decode_png_stdlib(png, feature_dim=18)
+            assert [round(v * 255) for v in feats] == [y[v] for v in idx], (
+                depth,
+                filters,
+            )
+    # depth 1, two-entry palette
+    bw = _png_encode_palette([0, 1, 1, 0, 1, 0, 0, 1], 8, 1, 1, pal[:2])
+    feats = decode_png_stdlib(bw, feature_dim=8)
+    assert [round(v * 255) for v in feats] == [0, 255, 255, 0, 255, 0, 0, 255]
+    # palette without PLTE refuses
+    import pytest
+
+    broken = bw.replace(b"PLTE", b"plTe")  # chunk walk no longer sees it
+    with pytest.raises(NotImplementedError, match="without a valid PLTE"):
+        decode_png_stdlib(broken, feature_dim=4)
+
+
+def test_decode_png_stdlib_matches_jvm_imageio_on_wild_pngs():
+    """Differential proof on wild-caught PNGs — the Spark mllib RGBA
+    samples plus the gitweb PALETTE files (bit depths 2 and 8): PNG is
+    lossless, so the bar is EXACT equality with the JVM ImageIO decode
+    (same bar as the GIF differential; JPEG alone gets IDCT
+    tolerance)."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    samples = [
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/BGRA.png",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/BGRA_alpha_60.png",
+        "/usr/share/gitweb/static/git-favicon.png",
+        "/usr/share/gitweb/static/git-logo.png",
+    ]
+    samples = [s for s in samples if os.path.exists(s)]
+    if len(samples) < 2 or not shutil.which("javac"):
+        pytest.skip("wild PNG samples or JDK not available")
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class PngRef {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+            int rgb = img.getRGB(x, y);
+            sb.append((299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+                       + 114 * (rgb & 255)) / 1000).append(' ');
+        }
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/PngRef.java", "w") as fh:
+            fh.write(src)
+        subprocess.run(
+            ["javac", "PngRef.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        for sample in samples:
+            ref_out = subprocess.run(
+                ["java", "PngRef", sample], cwd=td, check=True,
+                capture_output=True, text=True,
+            ).stdout.split()
+            rw, rh = int(ref_out[0]), int(ref_out[1])
+            ref = [int(v) for v in ref_out[2:]]
+            feats = decode_png_stdlib(
+                open(sample, "rb").read(), feature_dim=rw * rh
+            )
+            mine = [round(v * 255) for v in feats]
+            assert mine == ref, sample
