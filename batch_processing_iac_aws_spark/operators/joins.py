@@ -147,3 +147,75 @@ def interval_overlap_join(
     if extra is not None:
         cond = cond & extra
     return left.join(right, cond, how)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    text_col: str,
+    block_cols: "list[str]",
+    left_id: str,
+    right_id: str,
+    max_dist_frac: float = 0.3,
+    keep: str = "best",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Record linkage (entity resolution) as blocking + verify + select:
+    join two tables on a DIRTY text key. Candidate pairs must share
+    ``block_cols`` — an equi-join that shuffles on the blocking key,
+    never a cross join (the dedup_edit_distance discipline applied
+    cross-table; at 100 TB candidate volume is the sum of
+    |left-block| * |right-block|, tuned by the caller's bucket width) —
+    then exact ``levenshtein`` verifies each candidate against the
+    length-relative threshold ``max_dist_frac``, and ``keep`` selects:
+
+    - ``"best"``: the single lowest-distance right match per left row
+      (ties break on the right id ascending — deterministic), via a
+      per-left-id window over the CANDIDATE set, which is
+      blocking-bounded, never table-sized;
+    - ``"all"``: every verified match pair.
+
+    Returns ``(left_id, right_id, dist)`` with ``text_col`` from both
+    sides (right one suffixed). Rows with no verified match are absent —
+    compose with a left anti-join for the unmatched remainder.
+    Boundary-straddling matches are the documented blocking recall
+    trade; MinHash banding (dedup.py) is the recall-robust alternative
+    when the key is long text rather than a short dirty string."""
+    if keep not in ("best", "all"):
+        raise ValueError(f"fuzzy_join: keep must be 'best'/'all', not {keep!r}")
+    from fractions import Fraction
+
+    # integer-exact threshold: dist/maxlen <= frac cross-multiplies to
+    # dist * denom <= num * maxlen — float casts are an engine trap
+    # (Spark's double->int cast truncates, DuckDB's rounds, so the same
+    # SQL-looking predicate admits different pairs near the boundary)
+    frac = Fraction(max_dist_frac).limit_denominator(1000)
+    lt, rt = f"{text_col}", f"{text_col}{suffix}"
+    a = left.select(
+        F.col(left_id), F.col(text_col).alias(lt), *block_cols
+    )
+    b = right.select(
+        F.col(right_id), F.col(text_col).alias(rt), *block_cols
+    )
+    dist = F.levenshtein(lt, rt)
+    cand = (
+        a.join(b, block_cols)
+        .withColumn("dist", dist.cast("long"))
+        .filter(
+            F.col("dist") * F.lit(frac.denominator)
+            <= F.lit(frac.numerator)
+            * F.greatest(F.length(lt), F.length(rt))
+        )
+    )
+    if keep == "all":
+        return cand.select(left_id, right_id, "dist", lt, rt)
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("dist").asc(), F.col(right_id).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(left_id, right_id, "dist", lt, rt)
+    )

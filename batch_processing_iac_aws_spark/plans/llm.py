@@ -1989,8 +1989,8 @@ WITH b AS (
 )
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
-       levenshtein(a.text, c.text)
-         <= CAST(0.3 * greatest(length(a.text), length(c.text)) AS INT)
+       levenshtein(a.text, c.text) * 10
+         <= 3 * greatest(length(a.text), length(c.text))
          AS near
 FROM b a JOIN b c
   ON a.lang = c.lang AND a.source = c.source AND a.bkt = c.bkt
@@ -2004,7 +2004,12 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB). The blocking-then-verify shape is the scalable
     pattern: candidate volume is sum of C(block,2), tuned by bucket width;
     boundary-straddling near-dups are the documented recall tradeoff
-    (MinHash-LSH is the recall-robust alternative)."""
+    (MinHash-LSH is the recall-robust alternative). The 30%% threshold is
+    INTEGER cross-multiplied (dist * 10 <= 3 * maxlen) since round 11:
+    the earlier float-cast form was an engine trap — Spark's double->int
+    cast truncates where DuckDB's rounds, so the two sides only agreed
+    while no fixture distance landed between the two thresholds
+    (operators/joins.py:fuzzy_join applies the same rule cross-table)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", (F.col("n_chars") / 16).cast("long").alias("bkt")
     )
@@ -2023,8 +2028,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             dist.cast("long").alias("dist"),
             (
-                dist
-                <= (0.3 * F.greatest(F.length("t_a"), F.length("t_b"))).cast("int")
+                dist * F.lit(10)
+                <= F.lit(3) * F.greatest(F.length("t_a"), F.length("t_b"))
             ).alias("near"),
         )
     )

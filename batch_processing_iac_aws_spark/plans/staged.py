@@ -30,9 +30,14 @@ Staged this round:
   ``ingest_batch`` lineage column — plus the loud refusal when no
   lineage exists below the watermark.
 
-All three hash-matched DuckDB at sf0.001, sf0.01 (the suite's standing
-gate), and FULL sf0.1 when staged — the flip is proof-neutral at every
-gate SF.
+* ``join_fuzzy_match`` — record linkage (entity resolution) across two
+  tables on a dirty text key: blocking equi-join + integer-exact
+  levenshtein verify + deterministic best-match window
+  (operators/joins.py:fuzzy_join).
+
+All staged pairs hash-matched DuckDB at sf0.001, sf0.01 (the suite's
+standing gate), and FULL sf0.1 when staged — the flip is proof-neutral
+at every gate SF.
 """
 
 from __future__ import annotations
@@ -314,3 +319,72 @@ def dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dsir_weight") + F.lit(0.0)).alias("dsir_weight"),
         (F.col("gumbel_key") + F.lit(0.0)).alias("gumbel_key"),
     )
+
+
+@staged_query(
+    "join_fuzzy_match",
+    oracle="""
+WITH l AS (
+    SELECT doc_id, text, lang, source, length(text) // 16 AS bkt
+    FROM documents WHERE doc_id % 4 = 1
+), r AS (
+    SELECT doc_id + 1000000 AS rid, text || '.' AS text, lang, source,
+           length(text || '.') // 16 AS bkt
+    FROM documents WHERE doc_id % 4 IN (1, 2)
+), cand AS (
+    SELECT l.doc_id, r.rid,
+           CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist,
+           length(l.text) AS len_l, length(r.text) AS len_r
+    FROM l JOIN r
+      ON l.lang = r.lang AND l.source = r.source AND l.bkt = r.bkt
+), verified AS (
+    SELECT doc_id, rid, dist FROM cand
+    WHERE dist * 10 <= 3 * greatest(len_l, len_r)
+)
+SELECT doc_id, rid AS match_id, dist FROM verified
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, rid) = 1
+""",
+)
+def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) across two tables on a DIRTY
+    text key — the blocking + levenshtein-verify + best-match-select
+    composition (operators/joins.py:fuzzy_join). The right table is a
+    perturbed re-publication of part of the corpus: every doc_id % 4 in
+    {1, 2} re-enters under id + 1,000,000 with one appended character
+    (a re-crawl with trailing noise); the left side is the %4 == 1
+    subset, so half the right rows are its true twins and half are
+    decoys. Blocking on (lang, source, own-length bucket) makes the
+    candidate join an equi-join — never a cross join; at 100 TB
+    candidate volume is per-block |L| x |R|, the caller's bucket-width
+    knob — and the verify threshold is INTEGER-exact
+    (dist * 10 <= 3 * maxlen cross-multiplication: Spark's double->int
+    cast truncates where DuckDB's rounds, so the float form admits
+    different boundary pairs per engine). Best-match selection is a
+    row_number window over the candidate set (blocking-bounded, never
+    table-sized) with the deterministic (dist, right-id) tie order.
+    Twins whose one-char growth crosses a 16-char bucket boundary are
+    the documented blocking recall trade — identical in both engines,
+    so the oracle proves the trade rather than hiding it."""
+    from ..operators.joins import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 4 == 1).select(
+        "doc_id", "text", "lang", "source",
+        (F.length("text") / 16).cast("long").alias("bkt"),
+    )
+    right = (
+        docs.filter((F.col("doc_id") % 4).isin(1, 2))
+        .select(
+            (F.col("doc_id") + 1000000).alias("rid"),
+            F.concat(F.col("text"), F.lit(".")).alias("text"),
+            "lang", "source",
+        )
+        .withColumn("bkt", (F.length("text") / 16).cast("long"))
+    )
+    m = fuzzy_join(
+        left, right,
+        text_col="text", block_cols=["lang", "source", "bkt"],
+        left_id="doc_id", right_id="rid", max_dist_frac=0.3,
+        keep="best",
+    )
+    return m.select("doc_id", F.col("rid").alias("match_id"), "dist")

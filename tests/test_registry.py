@@ -322,6 +322,7 @@ def test_staged_round12_registrations():
         "dsir_select",
         "dsir_gumbel",
         "table_snapshot_asof",
+        "join_fuzzy_match",
     }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
