@@ -72,6 +72,12 @@ FEATURE_SCHEMA = StructType(
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 interlace grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
 
 def decode_image_real(
     payload: bytes,
@@ -186,14 +192,17 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
     zlib inflate, per-scanline unfiltering (all five PNG filter types:
     None/Sub/Up/Average/Paeth, RFC 2083 §6), ITU-R 601-2 integer luma
     for color images, then ``feature_dim`` block-mean intensities in
-    [0, 1]. Supports non-interlaced 8-bit gray / RGB / RGBA plus
-    PALETTE images at bit depths 1/2/4/8 (PLTE lookup; sub-byte rows
-    unpack MSB-first per RFC 2083 §2.3, filtering at bpp=1 byte) —
-    enough to prove the codec seam on true image bits in a library-free
-    sandbox; anything else raises NotImplementedError (fail loud, never
-    fake). Pure Python per pixel: fine as the seam's integration test
-    and for thumbnail-sized payloads; at corpus scale ship PIL to the
-    executors and the identical mapInPandas plan runs unchanged."""
+    [0, 1]. Supports 8-bit gray / RGB / RGBA plus PALETTE images at bit
+    depths 1/2/4/8 (PLTE lookup; sub-byte rows unpack MSB-first per
+    RFC 2083 §2.3, filtering at bpp=1 byte), each in BOTH progressive
+    orders — sequential and Adam7 interlaced (seven sub-images, each
+    with its own scanline filtering at its own stride, scattered onto
+    the canvas by the pass grid) — enough to prove the codec seam on
+    true image bits in a library-free sandbox; anything else raises
+    NotImplementedError (fail loud, never fake). Pure Python per pixel:
+    fine as the seam's integration test and for thumbnail-sized
+    payloads; at corpus scale ship PIL to the executors and the
+    identical mapInPandas plan runs unchanged."""
     import struct
     import zlib
 
@@ -215,11 +224,11 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
             supported = (depth == 8 and color in (0, 2, 6)) or (
                 color == 3 and depth in (1, 2, 4, 8)
             )
-            if not supported or interlace != 0:
+            if not supported or interlace not in (0, 1):
                 raise NotImplementedError(
-                    "decode_png_stdlib supports non-interlaced 8-bit "
-                    "gray/RGB/RGBA and 1/2/4/8-bit palette only "
-                    f"(depth={depth}, color={color}, "
+                    "decode_png_stdlib supports 8-bit gray/RGB/RGBA "
+                    "and 1/2/4/8-bit palette (sequential or Adam7) "
+                    f"only (depth={depth}, color={color}, "
                     f"interlace={interlace})"
                 )
         elif ctype == b"PLTE":
@@ -230,6 +239,7 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
             break
     if width is None or not idat:
         raise NotImplementedError("decode_png_stdlib: missing IHDR/IDAT")
+    plte_luma: "list[int] | None" = None
     if color == 3:
         if plte is None or len(plte) % 3:
             raise NotImplementedError(
@@ -240,64 +250,87 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
              + 114 * plte[3 * i + 2]) // 1000
             for i in range(len(plte) // 3)
         ]
-        stride = (width * depth + 7) // 8
-        bpp = 1  # filters operate on bytes; sub-byte pixels share them
+        channels = 1
     else:
         channels = {0: 1, 2: 3, 6: 4}[color]
-        stride = width * channels
-        bpp = channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise NotImplementedError("decode_png_stdlib: truncated scanlines")
-    prev = bytearray(stride)
-    gray: list[int] = []
+    gray = [0] * (width * height)
     mask = (1 << depth) - 1
-    for y in range(height):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise NotImplementedError(
-                f"decode_png_stdlib: unknown filter type {ftype}"
-            )
-        prev = line
+    # Adam7 scatters seven independently-filtered sub-images onto the
+    # (x0 + i*dx, y0 + j*dy) grid; sequential is the single (0,0,1,1)
+    # pass of the same walk
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _PNG_ADAM7
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = 0 if width <= x0 else (width - x0 + dx - 1) // dx
+        ph = 0 if height <= y0 else (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue  # empty pass stores no scanlines (RFC 2083 §2.6)
         if color == 3:
-            for x in range(width):
-                off = x * depth
-                v = (line[off >> 3] >> (8 - depth - (off & 7))) & mask
-                if v >= len(plte_luma):
-                    raise NotImplementedError(
-                        "decode_png_stdlib: pixel index beyond PLTE"
-                    )
-                gray.append(plte_luma[v])
-        elif bpp == 1:
-            gray.extend(line)
+            stride = (pw * depth + 7) // 8
+            bpp = 1  # filters act on bytes; sub-byte pixels share them
         else:
-            for x in range(width):
-                o = x * bpp
-                gray.append(
-                    (299 * line[o] + 587 * line[o + 1] + 114 * line[o + 2])
-                    // 1000
+            stride = pw * channels
+            bpp = channels
+        prev = bytearray(stride)
+        for j in range(ph):
+            if off + 1 + stride > len(raw):
+                raise NotImplementedError(
+                    "decode_png_stdlib: truncated scanlines"
                 )
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise NotImplementedError(
+                    f"decode_png_stdlib: unknown filter type {ftype}"
+                )
+            prev = line
+            if color == 3:
+                vals = []
+                for x in range(pw):
+                    o = x * depth
+                    v = (line[o >> 3] >> (8 - depth - (o & 7))) & mask
+                    if v >= len(plte_luma):
+                        raise NotImplementedError(
+                            "decode_png_stdlib: pixel index beyond PLTE"
+                        )
+                    vals.append(plte_luma[v])
+            elif bpp == 1:
+                vals = list(line)
+            else:
+                vals = [
+                    (299 * line[x * bpp] + 587 * line[x * bpp + 1]
+                     + 114 * line[x * bpp + 2]) // 1000
+                    for x in range(pw)
+                ]
+            row = (y0 + j * dy) * width
+            for i, v in enumerate(vals):
+                gray[row + x0 + i * dx] = v
+    if off != len(raw):
+        raise NotImplementedError("decode_png_stdlib: truncated scanlines")
     # feature_dim block means over the row-major intensity sequence —
     # deterministic integer arithmetic until the single final division
     n = len(gray)
@@ -1415,7 +1448,8 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
     integer PCM (format 1) at 8-bit unsigned and 16-bit signed, any
     channel count (channels mix to mono by mean — the standard
     downmix); unknown RIFF chunks (LIST, fact, cue, ...) are skipped by
-    their declared size exactly as the spec intends. IEEE-float (3),
+    their declared size exactly as the spec intends. IEEE-float (format
+    3, 32/64-bit — round 11) decodes too, samples already in [-1, 1];
     A-law/mu-law (6/7), extensible (0xFFFE), and other bit depths raise
     NotImplementedError (fail loud, never fake), as do truncated
     headers/chunks."""
@@ -1451,14 +1485,27 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
             "decode_wav_stdlib: missing fmt or data chunk"
         )
     audio_format, n_ch, rate, _brate, _balign, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 3):
         raise NotImplementedError(
-            f"decode_wav_stdlib: non-PCM audio format {audio_format} "
-            "(IEEE-float/A-law/mu-law/extensible need a real library)"
+            f"decode_wav_stdlib: audio format {audio_format} "
+            "(A-law/mu-law/extensible need a real library)"
         )
     if n_ch < 1:
         raise NotImplementedError("decode_wav_stdlib: zero channels")
-    if bits == 16:
+    if audio_format == 3:  # IEEE float (round 11): already in [-1, 1]
+        if bits == 32:
+            n = len(frames) // 4
+            ints = struct.unpack(f"<{n}f", frames[: 4 * n])
+        elif bits == 64:
+            n = len(frames) // 8
+            ints = struct.unpack(f"<{n}d", frames[: 8 * n])
+        else:
+            raise NotImplementedError(
+                f"decode_wav_stdlib: {bits}-bit IEEE float "
+                "(32/64 supported)"
+            )
+        scale = 1.0
+    elif bits == 16:
         n = len(frames) // 2
         ints = struct.unpack(f"<{n}h", frames[: 2 * n])
         scale = 32768.0

@@ -1764,11 +1764,17 @@ def test_decode_wav_stdlib_refusals_are_loud():
     with pytest.raises(NotImplementedError, match="not a RIFF"):
         decode_wav_stdlib(b"\x89PNG not audio")
     ok = _wav_encode_test([[0, 100, -100, 50]], 8000)
-    # IEEE-float format code
+    # IEEE-float format code decodes since round 11 — but only at the
+    # spec bit depths; a 16-bit float claim refuses loudly
     floaty = bytearray(ok)
     floaty[20:22] = struct.pack("<H", 3)
-    with pytest.raises(NotImplementedError, match="non-PCM"):
+    with pytest.raises(NotImplementedError, match="16-bit IEEE float"):
         decode_wav_stdlib(bytes(floaty))
+    # A-law format code
+    alaw = bytearray(ok)
+    alaw[20:22] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="audio format 6"):
+        decode_wav_stdlib(bytes(alaw))
     # 24-bit depth
     deep = bytearray(ok)
     deep[34:36] = struct.pack("<H", 24)
@@ -2378,3 +2384,177 @@ public class PngRef {
             )
             mine = [round(v * 255) for v in feats]
             assert mine == ref, sample
+
+
+# --- Adam7 interlaced PNG (round 11) ----------------------------------
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_encode_adam7_gray(pixels, width, height, filters_by_pass=None):
+    """Hand-built Adam7 GRAYSCALE PNG (test-side): seven sub-images,
+    each with its own scanline filter bytes, gathered by the pass
+    grid."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    raw = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = 0 if width <= x0 else (width - x0 + dx - 1) // dx
+        ph = 0 if height <= y0 else (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        ftype = (filters_by_pass or {}).get(p, 0)
+        prev = bytearray(pw)
+        for j in range(ph):
+            line = bytearray(
+                pixels[(y0 + j * dy) * width + x0 + i * dx]
+                for i in range(pw)
+            )
+            out = bytearray(line)
+            if ftype == 1:  # Sub
+                for i in range(pw - 1, 0, -1):
+                    out[i] = (out[i] - out[i - 1]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(pw):
+                    out[i] = (out[i] - prev[i]) & 0xFF
+            raw.append(ftype)
+            raw.extend(out)
+            prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_equals_sequential():
+    """An Adam7 encoding of the same pixels decodes identically to the
+    sequential encoding — per-pass filtering (None/Sub/Up at per-pass
+    strides) and the scatter grid are exact; covers non-multiple-of-8
+    dimensions where late passes dominate and early passes are tiny."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    for w, h in [(11, 7), (8, 8), (3, 2), (1, 1), (16, 5)]:
+        pixels = [(x * 31 + y * 17 + x * y) % 256
+                  for y in range(h) for x in range(w)]
+        plain = _png_encode(pixels, w, h, color=0)
+        inter = _png_encode_adam7_gray(pixels, w, h)
+        assert inter != plain
+        n = w * h
+        assert decode_png_stdlib(inter, feature_dim=n) == decode_png_stdlib(
+            plain, feature_dim=n
+        ), (w, h)
+        filt = _png_encode_adam7_gray(
+            pixels, w, h, filters_by_pass={5: 1, 6: 2}
+        )
+        assert decode_png_stdlib(filt, feature_dim=n) == decode_png_stdlib(
+            plain, feature_dim=n
+        ), (w, h, "filtered")
+
+
+def test_decode_png_adam7_matches_jvm_imageio():
+    """The hand-built Adam7 file is also decoded by JVM ImageIO — the
+    independent reference proves the ENCODER is real Adam7 and the
+    decoder gathers it exactly (not just self-consistency)."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    if not shutil.which("javac"):
+        pytest.skip("JDK not available")
+    w, h = 13, 9
+    pixels = [(x * 29 + y * 43) % 256 for y in range(h) for x in range(w)]
+    png = _png_encode_adam7_gray(pixels, w, h, filters_by_pass={6: 1})
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class A7Ref {
+    public static void main(String[] args) throws Exception {
+        // RAW raster, not getRGB: gray -> sRGB gamma would lift every
+        // sample (the progressive-JPEG differential hit the same trap)
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+            sb.append(img.getRaster().getSample(x, y, 0)).append(' ');
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/A7Ref.java", "w") as fh:
+            fh.write(src)
+        with open(f"{td}/a7.png", "wb") as fh:
+            fh.write(png)
+        subprocess.run(
+            ["javac", "A7Ref.java"], cwd=td, check=True, capture_output=True
+        )
+        out = subprocess.run(
+            ["java", "A7Ref", "a7.png"], cwd=td, check=True,
+            capture_output=True, text=True,
+        ).stdout.split()
+        assert (int(out[0]), int(out[1])) == (w, h)
+        ref = [int(v) for v in out[2:]]
+    assert ref == pixels  # ImageIO agrees the file holds these pixels
+    feats = decode_png_stdlib(png, feature_dim=w * h)
+    assert [round(v * 255) for v in feats] == pixels
+
+
+def test_decode_wav_stdlib_ieee_float():
+    """IEEE-float WAV (format 3, 32- and 64-bit): samples pass through
+    unscaled, so the envelope equals the numpy computation exactly and
+    a float re-encode of an integer recording keeps its envelope."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_wav_stdlib,
+    )
+
+    rate, n = 8000, 320
+    mono = [0.6 * math.sin(2 * math.pi * 330 * i / rate) for i in range(n)]
+    for bits, code in ((32, "f"), (64, "d")):
+        body = struct.pack(f"<{n}{code}", *mono)
+        fmt = struct.pack(
+            "<HHIIHH", 3, 1, rate, rate * bits // 8, bits // 8, bits
+        )
+        wav = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 16 + 8 + len(body) + 8)
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        got = decode_wav_stdlib(wav, feature_dim=4)
+        arr = np.array(mono, dtype=np.float32 if bits == 32 else np.float64)
+        want = [
+            float(np.sqrt(np.mean(arr[j * 80 : (j + 1) * 80].astype(np.float64) ** 2)))
+            for j in range(4)
+        ]
+        assert all(abs(g - w) < 1e-7 for g, w in zip(got, want)), bits
