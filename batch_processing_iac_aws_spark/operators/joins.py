@@ -184,6 +184,22 @@ def fuzzy_join(
     when the key is long text rather than a short dirty string."""
     if keep not in ("best", "all"):
         raise ValueError(f"fuzzy_join: keep must be 'best'/'all', not {keep!r}")
+    if not block_cols:
+        raise ValueError(
+            "fuzzy_join: block_cols must be non-empty — an unblocked "
+            "fuzzy join is a cross join (|L| x |R| levenshtein calls), "
+            "the exact shape blocking exists to prevent"
+        )
+    # identical id names (or an empty suffix collapsing the two text
+    # columns) would surface as a cryptic AMBIGUOUS_REFERENCE deep in
+    # the plan — refuse here with the function's own error instead
+    if left_id == right_id:
+        raise ValueError(
+            f"fuzzy_join: left_id and right_id must differ (both "
+            f"{left_id!r}) — alias one side before joining"
+        )
+    if not suffix:
+        raise ValueError("fuzzy_join: suffix must be non-empty")
     from fractions import Fraction
 
     # integer-exact threshold: dist/maxlen <= frac cross-multiplies to

@@ -24,6 +24,7 @@ set spark.sql.execution.arrow.maxRecordsPerBatch to bound it for large blobs.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 from collections.abc import Iterator
 
@@ -77,6 +78,32 @@ _PNG_ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
+
+
+def _block_means(vals, feature_dim: int, scale: float = 255.0) -> "list[float]":
+    """THE shared block-mean fold every image/frame kernel emits — one
+    implementation so the cross-codec comparability guarantee ("same
+    feature family, same [0, 1] scale") cannot drift per codec: a tweak
+    to the empty-block fallback or the division grouping in one copy
+    would silently split the feature family."""
+    n = len(vals)
+    feats = []
+    for j in range(feature_dim):
+        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
+        block = vals[lo:hi]
+        feats.append(sum(block) / (len(block) * scale) if block else 0.0)
+    return feats
+
+
+def _rgb_triples_luma(raw: bytes) -> "list[int]":
+    """Color table -> ITU-R 601-2 integer luma per entry — shared by the
+    PNG PLTE and GIF color-table paths (the same 299/587/114 rule every
+    image kernel here uses)."""
+    return [
+        (299 * raw[3 * i] + 587 * raw[3 * i + 1] + 114 * raw[3 * i + 2])
+        // 1000
+        for i in range(len(raw) // 3)
+    ]
 
 
 def decode_image_real(
@@ -245,11 +272,7 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
             raise NotImplementedError(
                 "decode_png_stdlib: palette image without a valid PLTE"
             )
-        plte_luma = [
-            (299 * plte[3 * i] + 587 * plte[3 * i + 1]
-             + 114 * plte[3 * i + 2]) // 1000
-            for i in range(len(plte) // 3)
-        ]
+        plte_luma = _rgb_triples_luma(plte)
         channels = 1
     else:
         channels = {0: 1, 2: 3, 6: 4}[color]
@@ -331,15 +354,8 @@ def decode_png_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
                 gray[row + x0 + i * dx] = v
     if off != len(raw):
         raise NotImplementedError("decode_png_stdlib: truncated scanlines")
-    # feature_dim block means over the row-major intensity sequence —
-    # deterministic integer arithmetic until the single final division
-    n = len(gray)
-    feats = []
-    for j in range(feature_dim):
-        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
-        block = gray[lo:hi] or [0]
-        feats.append(sum(block) / (len(block) * 255.0))
-    return feats
+    # deterministic integer arithmetic until _block_means' one division
+    return _block_means(gray, feature_dim)
 
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
@@ -1115,13 +1131,7 @@ def decode_jpeg_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
     and thumbnail-scale path; at corpus scale ship PIL to the executors
     and the identical mapInPandas plan runs unchanged."""
     _w, _h, luma = _jpeg_decode_luma(payload or b"")
-    n = len(luma)
-    feats = []
-    for j in range(feature_dim):
-        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
-        block = luma[lo:hi] or [0]
-        feats.append(sum(block) / (len(block) * 255.0))
-    return feats
+    return _block_means(luma, feature_dim)
 
 
 def decode_jpeg_rgb_stdlib(
@@ -1492,7 +1502,7 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
         )
     if n_ch < 1:
         raise NotImplementedError("decode_wav_stdlib: zero channels")
-    if audio_format == 3:  # IEEE float (round 11): already in [-1, 1]
+    if audio_format == 3:  # IEEE float (round 11): nominally [-1, 1]
         if bits == 32:
             n = len(frames) // 4
             ints = struct.unpack(f"<{n}f", frames[: 4 * n])
@@ -1504,6 +1514,17 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
                 f"decode_wav_stdlib: {bits}-bit IEEE float "
                 "(32/64 supported)"
             )
+        # integer PCM can never produce these, so only the float path
+        # guards: non-finite samples poison every downstream feature
+        # (NaN comparisons are silently False in ahash voting) — fail
+        # loud; legal-but-unclipped masters (|v| > 1) clip to full
+        # scale, exactly as playback would, keeping the [0, 1] feature
+        # contract
+        if any(v != v or v in (float("inf"), float("-inf")) for v in ints):
+            raise NotImplementedError(
+                "decode_wav_stdlib: non-finite IEEE-float samples"
+            )
+        ints = [1.0 if v > 1.0 else (-1.0 if v < -1.0 else v) for v in ints]
         scale = 1.0
     elif bits == 16:
         n = len(frames) // 2
@@ -1656,14 +1677,7 @@ def _gif_subblocks(data: bytes, pos: int) -> "tuple[bytes, int]":
         pos += n
 
 
-def _gif_palette_luma(raw: bytes) -> "list[int]":
-    """Color table -> ITU-R 601-2 integer luma per entry (the same
-    299/587/114 rule every image kernel here uses)."""
-    return [
-        (299 * raw[3 * i] + 587 * raw[3 * i + 1] + 114 * raw[3 * i + 2])
-        // 1000
-        for i in range(len(raw) // 3)
-    ]
+# (palette -> luma lives in the shared _rgb_triples_luma near the top)
 
 
 def decode_gif_frames(
@@ -1702,7 +1716,7 @@ def decode_gif_frames(
             raise NotImplementedError(
                 "decode_gif_stdlib: truncated global color table"
             )
-        gct_luma = _gif_palette_luma(data[pos : pos + 3 * n])
+        gct_luma = _rgb_triples_luma(data[pos : pos + 3 * n])
         pos += 3 * n
     bg_luma = (
         gct_luma[bg_index]
@@ -1760,7 +1774,7 @@ def decode_gif_frames(
                 raise NotImplementedError(
                     "decode_gif_stdlib: truncated local color table"
                 )
-            luma = _gif_palette_luma(data[pos : pos + 3 * n])
+            luma = _rgb_triples_luma(data[pos : pos + 3 * n])
             pos += 3 * n
         if luma is None:
             raise NotImplementedError(
@@ -1818,13 +1832,7 @@ def decode_gif_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
     near-dup plan as PNG/JPEG ones (same feature family, same [0,1]
     scale, comparable only within one pinned kernel)."""
     w, h, luma = decode_gif_frames(payload, max_frames=1)[0]
-    n = len(luma)
-    feats = []
-    for j in range(feature_dim):
-        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
-        block = luma[lo:hi] or [0]
-        feats.append(sum(block) / (len(block) * 255.0))
-    return feats
+    return _block_means(luma, feature_dim)
 
 
 #: tiny deterministic gray-frame container for FRAME_SCHEMA payloads:
@@ -1858,13 +1866,12 @@ def gray_frame_features(frame: bytes, *, feature_dim: int = 8) -> list[float]:
     luma = data[12 : 12 + w * h]
     if len(luma) != w * h:
         raise NotImplementedError("gray_frame_features: truncated frame")
-    n = len(luma)
-    feats = []
-    for j in range(feature_dim):
-        lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
-        block = luma[lo:hi] or b"\x00"
-        feats.append(sum(block) / (len(block) * 255.0))
-    return feats
+    return _block_means(luma, feature_dim)
+
+
+@_functools.lru_cache(maxsize=4)
+def _gif_frames_cached(payload: bytes):
+    return decode_gif_frames(payload)
 
 
 def gif_frame_fn(payload: bytes, idx: int) -> bytes:
@@ -1873,10 +1880,12 @@ def gif_frame_fn(payload: bytes, idx: int) -> bytes:
     longer than the animation holds the LAST frame (the standard
     video-sampler behavior for clips shorter than the grid — and what
     a GIF viewer shows after playback stops); a non-GIF payload still
-    refuses loudly through decode_gif_frames. Decoding per (payload,
-    idx) keeps the seam signature; for long grids decode once per
-    payload and slice — the mapInPandas batch shape already groups
-    frames by media id."""
-    frames = decode_gif_frames(payload, max_frames=idx + 1)
+    refuses loudly through decode_gif_frames. The seam signature is
+    per (payload, idx), but the decode is memoized per payload (small
+    per-process LRU — sample_frames emits a media item's frames
+    consecutively, so each payload decodes ONCE per executor instead of
+    once per sampled frame; without the memo an n-frame grid costs a
+    quadratic 1+2+...+n composition passes)."""
+    frames = _gif_frames_cached(bytes(payload or b""))
     w, h, luma = frames[min(idx, len(frames) - 1)]
     return pack_gray_frame(w, h, luma)

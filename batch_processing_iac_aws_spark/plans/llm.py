@@ -2004,7 +2004,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB). The blocking-then-verify shape is the scalable
     pattern: candidate volume is sum of C(block,2), tuned by bucket width;
     boundary-straddling near-dups are the documented recall tradeoff
-    (MinHash-LSH is the recall-robust alternative). The 30%% threshold is
+    (MinHash-LSH is the recall-robust alternative). The 30% threshold is
     INTEGER cross-multiplied (dist * 10 <= 3 * maxlen) since round 11:
     the earlier float-cast form was an engine trap — Spark's double->int
     cast truncates where DuckDB's rounds, so the two sides only agreed

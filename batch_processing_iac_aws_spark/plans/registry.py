@@ -55,6 +55,25 @@ def fixture_path(*parts: str) -> str:
     return os.path.join(os.path.dirname(pkg), "fixtures", *parts)
 
 
+def _wrap_for_registry(fn: QueryFn) -> QueryFn:
+    """The shared registration wrapper: ship the package to executor
+    Python workers once per session — UDF closures referencing module
+    helpers pickle by reference, and a driver launched outside the repo
+    root has no other way to satisfy the worker-side import
+    (session.ensure_worker_imports)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``name`` with an optional DuckDB oracle twin.
 
@@ -64,20 +83,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # ship the package to executor Python workers once per
-            # session: UDF closures referencing module helpers pickle by
-            # reference, and a driver launched outside the repo root has
-            # no other way to satisfy the worker-side import
-            # (session.ensure_worker_imports)
-            from ..session import ensure_worker_imports
-
-            ensure_worker_imports(spark)
-            return fn(spark, sf_dir)
-
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        wrapped.__wrapped__ = fn
+        if name in QUERIES:
+            raise ValueError(f"query name registered twice: {name}")
+        wrapped = _wrap_for_registry(fn)
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -110,17 +118,11 @@ def staged_query(
     note). Name collisions with live registrations are a bug."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from ..session import ensure_worker_imports
-
-            ensure_worker_imports(spark)
-            return fn(spark, sf_dir)
-
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        wrapped.__wrapped__ = fn
-        if name in QUERIES:
+        # a duplicate staged name would silently shadow its twin and
+        # drop one pair from the every-suite-run differential proof
+        if name in QUERIES or name in STAGED_QUERIES:
             raise ValueError(f"staged name already registered: {name}")
+        wrapped = _wrap_for_registry(fn)
         STAGED_QUERIES[name] = wrapped
         if oracle is not None:
             STAGED_ORACLES[name] = oracle

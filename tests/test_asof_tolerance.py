@@ -141,3 +141,17 @@ def test_fuzzy_join_integer_threshold_boundary(spark):
         left_id="id", right_id="rid", max_dist_frac=0.3, keep="all",
     ).collect()
     assert [(r["rid"], r["dist"]) for r in got] == [(10, 3)]
+
+
+def test_fuzzy_join_refuses_unblocked(spark):
+    """No blocking keys = a cross join in disguise — refuse loudly."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.joins import fuzzy_join
+
+    left, right = _link_frames(spark)
+    with pytest.raises(ValueError, match="block_cols must be non-empty"):
+        fuzzy_join(
+            left, right, text_col="name", block_cols=[],
+            left_id="id", right_id="rid",
+        )

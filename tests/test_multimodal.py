@@ -2558,3 +2558,34 @@ def test_decode_wav_stdlib_ieee_float():
             for j in range(4)
         ]
         assert all(abs(g - w) < 1e-7 for g, w in zip(got, want)), bits
+
+
+def test_decode_wav_stdlib_float_guards():
+    """Only the float path can smuggle non-finite or out-of-range
+    samples (integer PCM cannot): NaN/inf refuse loudly — a NaN feature
+    silently poisons aHash voting downstream — and unclipped masters
+    clip to full scale, keeping the [0, 1] feature contract."""
+    import struct
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_wav_stdlib,
+    )
+
+    def fwav(samples):
+        body = struct.pack(f"<{len(samples)}f", *samples)
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+
+    with pytest.raises(NotImplementedError, match="non-finite"):
+        decode_wav_stdlib(fwav([0.1, float("nan"), 0.2, 0.3]))
+    with pytest.raises(NotImplementedError, match="non-finite"):
+        decode_wav_stdlib(fwav([0.1, float("inf"), 0.2, 0.3]))
+    # unclipped master: |v| > 1 clips to full scale, envelope stays <= 1
+    got = decode_wav_stdlib(fwav([4.0, -4.0, 4.0, -4.0]), feature_dim=2)
+    assert got == [1.0, 1.0]
