@@ -190,8 +190,14 @@ def read_index(
     if lineage_col is not None:
         # Exact for every row (lineage == batch id at append time and
         # survives compaction untouched); batch_seq still prunes all
-        # partitions newer than the snapshot horizon.
-        horizon = max(as_of_batch, watermark or as_of_batch)
+        # partitions newer than the snapshot horizon. Explicit None
+        # check: a legitimate watermark of 0 is falsy, and `watermark
+        # or as_of_batch` would silently fall back — coincidentally
+        # harmless today (0 never exceeds a non-negative as_of_batch)
+        # but an off-by-one trap if batch-id semantics ever shift.
+        horizon = (
+            as_of_batch if watermark is None else max(as_of_batch, watermark)
+        )
         return df.filter(
             (F.col("batch_seq") <= F.lit(horizon))
             & (F.col(lineage_col) <= F.lit(as_of_batch))
@@ -278,9 +284,19 @@ def assert_append_schema(df: DataFrame, gen_dir: str) -> None:
     except FileNotFoundError:
         # pre-contract store: derive from the committed data once and
         # persist — the footer read costs one Spark-metadata pass, paid
-        # only on the first post-upgrade append
+        # only on the first post-upgrade append. mergeSchema=true reads
+        # ALL footers, not one sampled footer: if the pre-contract tree
+        # already accreted heterogeneous partition schemas (exactly the
+        # condition this guard exists for), a single-footer derivation
+        # would bake a nondeterministic contract — which appends get
+        # refused would depend on which footer Spark happened to sample.
+        # The merged view surfaces the drift instead: a column only some
+        # partitions carry heals into the contract as present, and the
+        # next short append refuses loudly with the column named.
         want = _schema_contract(
-            df.sparkSession.read.parquet(f"{gen_dir}/data")
+            df.sparkSession.read.option("mergeSchema", "true").parquet(
+                f"{gen_dir}/data"
+            )
         )
         _write_schema_contract(gen_dir, want)
     if got != want:

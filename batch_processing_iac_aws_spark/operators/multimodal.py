@@ -1870,8 +1870,16 @@ def gray_frame_features(frame: bytes, *, feature_dim: int = 8) -> list[float]:
 
 
 @_functools.lru_cache(maxsize=4)
-def _gif_frames_cached(payload: bytes):
-    return decode_gif_frames(payload)
+def _gif_frames_cached(payload: bytes) -> "tuple[bytes, ...]":
+    # cache PACKED GRY8 containers, not int lists: a composed frame as a
+    # Python list costs ~28 bytes/pixel pinned per executor process for
+    # the cache's lifetime, so 4 cached 500x500x100-frame animations
+    # would hold ~2.8 GB; as bytes the same residency is ~100 MB, and
+    # gif_frame_fn returns the cached object without re-packing
+    return tuple(
+        pack_gray_frame(w, h, luma)
+        for w, h, luma in decode_gif_frames(payload)
+    )
 
 
 def gif_frame_fn(payload: bytes, idx: int) -> bytes:
@@ -1882,10 +1890,9 @@ def gif_frame_fn(payload: bytes, idx: int) -> bytes:
     a GIF viewer shows after playback stops); a non-GIF payload still
     refuses loudly through decode_gif_frames. The seam signature is
     per (payload, idx), but the decode is memoized per payload (small
-    per-process LRU — sample_frames emits a media item's frames
-    consecutively, so each payload decodes ONCE per executor instead of
-    once per sampled frame; without the memo an n-frame grid costs a
-    quadratic 1+2+...+n composition passes)."""
+    per-process LRU of packed byte frames — sample_frames emits a media
+    item's frames consecutively, so each payload decodes ONCE per
+    executor instead of once per sampled frame; without the memo an
+    n-frame grid costs a quadratic 1+2+...+n composition passes)."""
     frames = _gif_frames_cached(bytes(payload or b""))
-    w, h, luma = frames[min(idx, len(frames) - 1)]
-    return pack_gray_frame(w, h, luma)
+    return frames[min(idx, len(frames) - 1)]

@@ -18,9 +18,10 @@ from . import stream_windows  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
-# staged (next-round) registrations: suite-proven now via
-# tests/test_oracle.py's live+staged union, invisible to
-# queries()/oracle_sql() until the round-12 flip (registry.staged_query)
+# staged.py holds the round-11 pairs flipped LIVE in round 12 plus any
+# next-round staging (registry.staged_query): staged pairs are
+# suite-proven via tests/test_oracle.py's live+staged union but
+# invisible to queries()/oracle_sql() until their flip round
 from . import staged  # noqa: E402,F401
 
 # The correctness driver hard-checks the FIRST 50 registered queries in
@@ -352,69 +353,26 @@ from . import staged  # noqa: E402,F401
 #       head _ROUND12_QUEUE and the freshness histogram after this
 #       round has no entry below r7 (the r9 brief's criterion, now met
 #       structurally).
+#   round 12 window (this one) — the r11-pinned plan: flip the four
+#     round-11 staged pairs live (plans/staged.py — dsir_select,
+#     dsir_gumbel, table_snapshot_asof, join_fuzzy_match, all
+#     hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so
+#     the flip is proof-neutral and the driver row is the first
+#     INDEPENDENT confirmation) + rotate the r7-stale cohort that heads
+#     the queue. The 4 news displace the queue's alphabetical tail
+#     (udaf_geomean, udtf_chunk_words, window_ntile, zorder_roundtrip),
+#     which heads _ROUND13_QUEUE — bounded, ledgered, and still
+#     suite-proven every run.
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
-    #    enter the window) --
-    "streaming_autocompact_ingest",
-    # -- the whole r6-stale cohort, oldest cohort in the registry --
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_string_concat",
-    "array_hof_funcs",
-    "date_funcs",
-    "dedup_bloom_prefilter",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_capped",
-    "distinct_set",
-    "docs_balanced_shards",
-    "docs_pack_sequences",
-    "docs_prep_pipeline",
-    "histogram_prices",
-    "join_cross",
-    "join_right",
-    "join_skew_salted",
-    "json_expand",
-    "merge_upsert",
-    "multimodal_features",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_relationship",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "scd2_history",
-    "set_except_all",
-    "similarity_incremental",
-    "similarity_topk",
-    "sort_limit",
-    "streaming_incremental_ann",
-    "string_funcs",
-    "text_decontaminate",
-    "text_lang_profile",
-    "text_pii_scrub",
-    "text_quality",
-    "text_token_topk",
-    "union_all",
-    "window_ntile_scalable",
-    "window_rank",
-    "window_running",
-]
-
-#: Round-12 rotation queue, pinned now so a typo cannot silently drop a
-#: query from rotation (tests/test_registry.py asserts every name
-#: exists): the ENTIRE r7-stale cohort — after round 11 drains the r6
-#: cohort these 50 are the oldest driver-greens in the registry, so the
-#: structural oldest-first invariant picks exactly them (round 12's news
-#: enter first and displace the alphabetical tail).
-_ROUND12_QUEUE = [
+    #    enter the window): the four round-11 staged pairs, flipped --
+    "dsir_gumbel",
+    "dsir_select",
+    "join_fuzzy_match",
+    "table_snapshot_asof",
+    # -- the r7-stale cohort, oldest driver-greens in the registry
+    #    (oldest-first structural invariant; alphabetical within the
+    #    cohort tie) --
     "agg_higher_moments",
     "agg_mode",
     "agg_quantile_bins",
@@ -461,11 +419,21 @@ _ROUND12_QUEUE = [
     "text_pmi_pairs",
     "text_rolling_hash",
     "text_tfidf_topk",
+]
+
+#: Round-13 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name
+#: exists and that the queue equals the next-oldest cohort): the 4
+#: r7-stale names the round-12 news displaced — the only queries whose
+#: last driver green will predate r8 after this round. The r8 cohort
+#: follows them under the structural oldest-first invariant.
+_ROUND13_QUEUE = [
     "udaf_geomean",
     "udtf_chunk_words",
     "window_ntile",
     "zorder_roundtrip",
 ]
+
 
 
 def _reorder() -> None:

@@ -83,7 +83,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        # symmetric to staged_query's guard: a live registration reusing
+        # a STAGED name would otherwise pass silently, and the dict-merge
+        # union in tests/test_oracle.py would let one pair shadow the
+        # other — silently dropping a pair from the differential proof
+        if name in QUERIES or name in STAGED_QUERIES:
             raise ValueError(f"query name registered twice: {name}")
         wrapped = _wrap_for_registry(fn)
         QUERIES[name] = wrapped

@@ -1,18 +1,15 @@
-"""Round-12 staged registrations — finished (query, oracle) pairs the
-driver-window invariant keeps out of THIS round's registry.
+"""Round-11 staged registrations, FLIPPED LIVE in round 12.
 
-The 50-slot driver window is structural oldest-first with
-never-driver-seen queries entering first (plans/__init__.py), so any
-new registration displaces a stale query from the window. Round 11's
-window budget is exactly spoken for — one new slot
-(streaming_autocompact_ingest) plus the entire 49-name r6-stale cohort,
-the r10 verdict's rotation-repair done-criterion — so the round's other
-new operators stage here instead: proven by the suite NOW (
-tests/test_oracle.py runs the union of live and staged pairs against
-DuckDB at sf0.01 every run), registered next round by swapping
-``staged_query`` for ``query``.
+These four (query, oracle) pairs were finished in round 11 but the
+50-slot driver window's budget was spoken for (one new slot plus the
+entire 49-name r6-stale rotation-repair cohort), so they staged here —
+held to the SAME differential bar as live registrations every suite run
+via tests/test_oracle.py's live+staged union, and hash-matched against
+DuckDB at sf0.001, sf0.01 AND full sf0.1 before staging. The round-12
+flip (``staged_query`` -> ``query``) is therefore proof-neutral: the
+driver row is the first INDEPENDENT confirmation, not the first proof.
 
-Staged this round:
+Live as of round 12:
 
 * ``dsir_select`` — the DSIR data-selection head over the documents
   corpus (operators/selection.py, Xie et al. NeurIPS 2023), portable
@@ -29,15 +26,15 @@ Staged this round:
   through a compaction that merged K's partition away, via the
   ``ingest_batch`` lineage column — plus the loud refusal when no
   lineage exists below the watermark.
-
 * ``join_fuzzy_match`` — record linkage (entity resolution) across two
   tables on a dirty text key: blocking equi-join + integer-exact
   levenshtein verify + deterministic best-match window
   (operators/joins.py:fuzzy_join).
 
-All staged pairs hash-matched DuckDB at sf0.001, sf0.01 (the suite's
-standing gate), and FULL sf0.1 when staged — the flip is proof-neutral
-at every gate SF.
+Round-13 staging area: pairs finished in round 12 that the round-12
+window could not absorb (every live registration displaces a stale
+rotation slot) register below with ``staged_query`` under the same
+every-suite-run differential gate.
 """
 
 from __future__ import annotations
@@ -46,7 +43,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from .registry import scratch_dir, staged_query
+from .registry import query, scratch_dir, staged_query  # noqa: F401
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -110,7 +107,7 @@ _DSIR_K = 64
 _DSIR_BUCKETS = 1024
 
 
-@staged_query(
+@query(
     "dsir_select",
     oracle=f"""
 SELECT doc_id, dsir_weight FROM ({DSIR_ORACLE_SQL.format(
@@ -155,7 +152,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "table_snapshot_asof",
     oracle="""
 WITH src AS (
@@ -222,21 +219,33 @@ def table_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy2(f, src)
     run_streaming_ingest_dedup(spark, src, table, index, ckpt)
 
-    def _rows(df):
-        return sorted(
-            (r["doc_id"], r["content_hash"], r["ingest_batch"])
-            for r in df.select(
-                "doc_id", "content_hash", "ingest_batch"
-            ).collect()
-        )
+    # gate audits are AGGREGATES, never table collects (the
+    # layout_audit discipline): the invariance compare is a count +
+    # decimal-summed xxhash64 digest — two scalar rows on the driver at
+    # any corpus size — and the prefix property is an exceptAll count
+    # (snapshot-0 rows minus snapshot-1 rows must be the empty set).
+    def _digest(df: DataFrame) -> "tuple[int, int]":
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(
+                    F.struct("doc_id", "content_hash", "ingest_batch")
+                ).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"] if r["h"] is not None else 0)
 
-    asof1_before = _rows(
+    _cols = ["doc_id", "content_hash", "ingest_batch"]
+
+    asof1_before = _digest(
         read_table(spark, table, as_of_batch=1, lineage_col="ingest_batch")
+        .select(_cols)
     )
     compact_table(spark, table, upto_batch=1)
-    asof1_after = _rows(
-        read_table(spark, table, as_of_batch=1, lineage_col="ingest_batch")
-    )
+    asof1 = read_table(
+        spark, table, as_of_batch=1, lineage_col="ingest_batch"
+    ).select(_cols)
+    asof1_after = _digest(asof1)
     refused = False
     try:
         read_table(spark, table, as_of_batch=0)
@@ -245,7 +254,7 @@ def table_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap0 = read_table(
         spark, table, as_of_batch=0, lineage_col="ingest_batch"
     )
-    prefix_ok = set(_rows(snap0)) <= set(asof1_after)
+    prefix_ok = snap0.select(_cols).exceptAll(asof1).count() == 0
     ok = bool(
         refused and asof1_before == asof1_after and prefix_ok
     )
@@ -270,7 +279,7 @@ _GUMBEL_K = 48
 _GUMBEL_SALT = "r12"
 
 
-@staged_query(
+@query(
     "dsir_gumbel",
     oracle=f"""
 WITH w AS ({DSIR_ORACLE_SQL.format(
@@ -321,7 +330,7 @@ def dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "join_fuzzy_match",
     oracle="""
 WITH l AS (

@@ -1132,11 +1132,25 @@ def streaming_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     refused = refused and layout_audit(read_table(spark, table)) == pre
     # gate 3: crash-replay of batch 2 (policy check + batch-keyed
     # overwrite, exactly foreachBatch(2)'s replay) is a fixpoint: the
-    # policy no-ops at the watermark and the overwrite lands identical
-    survivors_pre = sorted(
-        (r["doc_id"], r["content_hash"], r["ingest_batch"])
-        for r in read_table(spark, table).collect()
-    )
+    # policy no-ops at the watermark and the overwrite lands identical.
+    # The before/after survivor compare is an order-insensitive hash
+    # AGGREGATE (count + decimal-summed xxhash64 of the row struct —
+    # decimal so a 100 TB corpus's sum cannot overflow the ANSI long),
+    # never a table collect: the audit stays two scalar rows on the
+    # driver at any corpus size, the layout_audit discipline every
+    # sibling composition row follows.
+    def _survivor_digest(df: DataFrame) -> "tuple[int, int]":
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(
+                    F.struct("doc_id", "content_hash", "ingest_batch")
+                ).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"] if r["h"] is not None else 0)
+
+    survivors_pre = _survivor_digest(read_table(spark, table))
     replay_noop = (
         compact_if_needed(
             spark, table, committed_upto=1, max_batches=1
@@ -1151,10 +1165,7 @@ def streaming_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(files[2]), 2,
         table_dir=table, index_dir=index,
     )
-    survivors_post = sorted(
-        (r["doc_id"], r["content_hash"], r["ingest_batch"])
-        for r in read_table(spark, table).collect()
-    )
+    survivors_post = _survivor_digest(read_table(spark, table))
     fixpoint = (
         replay_noop
         and survivors_pre == survivors_post

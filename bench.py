@@ -150,6 +150,15 @@ HEADLINE = [
     # mid-stream, + the refusal and crash-replay fixpoint probes per
     # call under the wiped scratch_dir; source cached)
     "streaming_autocompact_ingest",
+    # round 12: the four round-11 staged pairs flipped live — DSIR
+    # importance resampling (top-k head + published Gumbel-top-k
+    # sampling head), the store's snapshot-read contract (full
+    # 3-batch ingest + compaction + as-of reads per call under the
+    # wiped scratch_dir; source cached), and blocked record linkage
+    "dsir_select",
+    "dsir_gumbel",
+    "table_snapshot_asof",
+    "join_fuzzy_match",
 ]
 
 # FROZEN core yardstick (round 10, verdict item 5): the headline set grew

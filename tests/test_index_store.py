@@ -868,6 +868,38 @@ def test_schema_contract_self_heals_and_survives_compaction(
     assert read_index(spark, idx).count() == 4
 
 
+def test_precontract_heterogeneous_footers_heal_deterministically(
+    spark, tmp_path
+):
+    """The pre-contract self-heal derives the contract with
+    mergeSchema=true — ALL footers, not one sampled footer: a
+    pre-contract tree that already accreted heterogeneous partition
+    schemas (exactly the hazard the guard exists for) must heal into
+    ONE deterministic union contract, so which future appends refuse is
+    decided by the drift itself, not by which footer Spark happened to
+    sample at heal time."""
+    import json
+    import os
+
+    idx = str(tmp_path / "idx")
+    append_index(_digests(spark, [(1, "a")]), idx, batch_id=0)
+    gen = store_current(idx)
+    # accrete a drifted partition the way a pre-contract writer would —
+    # directly into the tree, bypassing the (then-nonexistent) guard
+    spark.createDataFrame(
+        [("b", 7)], "content_hash string, extra int"
+    ).write.parquet(f"{gen}/data/batch_seq=1")
+    os.remove(f"{gen}/SCHEMA")  # simulate a pre-contract store
+    # the heal must see BOTH footers: a narrow append refuses with the
+    # drifted column NAMED (a single sampled footer would instead admit
+    # it or refuse the wide twin, nondeterministically per run)
+    with pytest.raises(ValueError, match=r"missing=\['extra'\]"):
+        append_index(_digests(spark, [(2, "c")]), idx, batch_id=2)
+    with open(f"{gen}/SCHEMA") as fh:
+        contract = json.load(fh)
+    assert set(contract) == {"content_hash", "extra"}
+
+
 def test_snapshot_asof_property_random_lifecycles(spark, tmp_path):
     """Hypothesis-style randomized lifecycle (deterministic seeds, no
     Spark-in-hypothesis flakiness): random batch contents, a random

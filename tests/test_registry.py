@@ -11,7 +11,7 @@ from batch_processing_iac_aws_spark.plans import (
     ORACLES,
     QUERIES,
     _PRIORITY,
-    _ROUND12_QUEUE,
+    _ROUND13_QUEUE,
 )
 
 # EMPTY since round 10: the last two rows-only registrations
@@ -28,8 +28,8 @@ ROWS_ONLY: set[str] = set()
 
 
 def test_counts():
-    assert len(QUERIES) == 207
-    assert len(ORACLES) == 207
+    assert len(QUERIES) == 211
+    assert len(ORACLES) == 211
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -60,7 +60,7 @@ def _ever_driver_confirmed() -> set[str]:
 #: makes the window fresh), so the structural check recomputes staleness
 #: from rounds <= this constant only. Bump it when re-pinning _PRIORITY
 #: for the next round.
-_PIN_ROUND = 10
+_PIN_ROUND = 11
 
 
 def _last_driver_green() -> "dict[str, int]":
@@ -110,17 +110,16 @@ def test_priority_window_is_oldest_first():
     assert not {n for n in QUERIES if n not in last} - window - ROWS_ONLY
 
 
-def test_first_50_is_the_round11_rotation_window():
-    """Rotation policy: the round-11 window = the one query new this
-    round (streaming_autocompact_ingest — the in-band threshold-gated
-    auto-compaction policy graduated from pytest to a driver row, gated
-    on the policy firing mid-stream on both stores + the
-    before-any-write replay refusal + the crash-replay fixpoint) + the
-    ENTIRE 49-name r6-stale cohort, the registry's oldest driver greens
-    (the r10 verdict's rotation repair — the r9/r10 positional queues
-    had replayed recent windows over them for four rounds). The 50
-    r7-stale names head _ROUND12_QUEUE; after this round the freshness
-    histogram has no entry below r7."""
+def test_first_50_is_the_round12_rotation_window():
+    """Rotation policy: the round-12 window = the queries new this
+    round (the four round-11 staged pairs flipped live — dsir_select,
+    dsir_gumbel, table_snapshot_asof, join_fuzzy_match, each already
+    hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so the
+    driver row is the first INDEPENDENT confirmation, not the first
+    proof) + the head of the r7-stale cohort, the registry's oldest
+    driver greens. The news displace the cohort's alphabetical tail,
+    which heads _ROUND13_QUEUE; after this round the freshness
+    histogram has at most |_ROUND13_QUEUE| entries below r8."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -138,16 +137,16 @@ def test_first_50_is_the_round11_rotation_window():
     assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"
 
 
-def test_round12_queue_names_are_registered():
+def test_round13_queue_names_are_registered():
     """The pinned next-round rotation queue must name only real queries —
     a typo'd entry would silently never rotate in (the r6 lesson applied
     to the queue itself, not just the window) — and must be exactly the
     cohort the structural invariant will pick next: the queries whose
     last driver green is the oldest remaining round."""
-    missing = [n for n in _ROUND12_QUEUE if n not in QUERIES]
+    missing = [n for n in _ROUND13_QUEUE if n not in QUERIES]
     assert not missing, f"queue names not in QUERIES: {missing}"
-    assert len(set(_ROUND12_QUEUE)) == len(_ROUND12_QUEUE)
-    assert not set(_ROUND12_QUEUE) & set(_PRIORITY)
+    assert len(set(_ROUND13_QUEUE)) == len(_ROUND13_QUEUE)
+    assert not set(_ROUND13_QUEUE) & set(_PRIORITY)
     # structurally: the queue is the oldest-green cohort outside the
     # current window (ties broken within one round are immaterial — the
     # whole cohort is queued)
@@ -155,10 +154,10 @@ def test_round12_queue_names_are_registered():
     outside = set(QUERIES) - set(_PRIORITY)
     oldest = min(last.get(n, 0) for n in outside)
     cohort = {n for n in outside if last.get(n, 0) == oldest}
-    assert set(_ROUND12_QUEUE) == cohort, (
+    assert set(_ROUND13_QUEUE) == cohort, (
         "queue must equal the next-oldest cohort: "
-        f"missing {cohort - set(_ROUND12_QUEUE)}, "
-        f"extra {set(_ROUND12_QUEUE) - cohort}"
+        f"missing {cohort - set(_ROUND13_QUEUE)}, "
+        f"extra {set(_ROUND13_QUEUE) - cohort}"
     )
 
 def test_scratch_source_cache_reuse_and_partial_build_wipe(tmp_path, monkeypatch):
@@ -308,21 +307,63 @@ def test_package_imports_from_worker_zip(tmp_path):
     assert "WORKERZIP_OK" in out.stdout, out.stderr[-2000:]
 
 
-def test_staged_round12_registrations():
-    """The round-12 staging area (plans/registry.py:STAGED_QUERIES):
+def test_staged_round13_registrations():
+    """The round-13 staging area (plans/registry.py:STAGED_QUERIES):
     exactly this round's deferred registrations, every one oracled,
-    none leaking into the live registry (the driver window budget is
-    spoken for — the rotation repair's done-criterion)."""
+    none leaking into the live registry. The four round-11 staged pairs
+    flipped LIVE in round 12 (plans/staged.py) and must now be in the
+    live registry, not here."""
     from batch_processing_iac_aws_spark.plans.registry import (
         STAGED_ORACLES,
         STAGED_QUERIES,
     )
 
-    assert set(STAGED_QUERIES) == {
+    flipped = {
         "dsir_select",
         "dsir_gumbel",
         "table_snapshot_asof",
         "join_fuzzy_match",
     }
+    assert flipped <= set(QUERIES)
+    assert flipped <= set(ORACLES)
+    assert set(STAGED_QUERIES) == set()
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
+
+
+def test_registration_guards_are_symmetric():
+    """query() and staged_query() must each refuse a name the OTHER
+    registry already holds: tests/test_oracle.py proves the dict-merge
+    union of both registries, so a live/staged name collision would let
+    one pair silently shadow the other and drop it from the
+    differential proof."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.plans.registry import (
+        STAGED_QUERIES,
+        query,
+        staged_query,
+    )
+
+    probe = "___collision_probe"
+    try:
+
+        @staged_query(probe)
+        def _s(spark, sf_dir):  # pragma: no cover - never invoked
+            raise AssertionError
+
+        with pytest.raises(ValueError, match="registered twice"):
+
+            @query(probe)
+            def _q(spark, sf_dir):  # pragma: no cover - never invoked
+                raise AssertionError
+
+        assert probe not in QUERIES
+    finally:
+        STAGED_QUERIES.pop(probe, None)
+    live = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="already registered"):
+
+        @staged_query(live)
+        def _q2(spark, sf_dir):  # pragma: no cover - never invoked
+            raise AssertionError
