@@ -39,30 +39,116 @@ import shutil
 from pyspark.sql import DataFrame, functions as F
 
 
-def store_commit(index_dir: str, gen_name: str) -> None:
-    """Atomically flip the store's CURRENT pointer to ``gen_name``.
-    ``os.replace`` is atomic on POSIX; on an object store use a
-    conditional put of the pointer object."""
-    tmp = f"{index_dir}/CURRENT.tmp"
-    with open(tmp, "w") as fh:
-        fh.write(gen_name)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, f"{index_dir}/CURRENT")
-    # fsync the directory too: os.replace orders the rename in the page
-    # cache, but only a dir fsync makes it durable — without it a power
-    # loss can surface an EMPTY (pre-rename) CURRENT, and the store would
-    # then fail with a confusing parquet-path error instead of the loud
-    # first-batch / foreign-layout signals. Best-effort: some filesystems
-    # refuse O_RDONLY dir fsync (EINVAL) — ordering is still preserved.
-    try:
-        dfd = os.open(index_dir, os.O_RDONLY)
+class StoreBackend:
+    """Storage-client seam for the store's CONTROL PLANE — the five
+    small pointer/metadata operations every store function routes
+    through. The data plane (parquet partitions) stays with Spark,
+    whose Hadoop filesystem layer already speaks any store; it is only
+    these driver-side probes and pointer flips that would otherwise
+    hard-code POSIX. An object-store port implements exactly this
+    protocol with the client's primitives — ``put_small_atomic`` as a
+    conditional put (the Delta/Iceberg pointer trick), the listings as
+    prefix listings, ``is_dir`` as a prefix existence check — and the
+    whole lifecycle (commit, read, watermark, trigger, migration)
+    follows with no further changes."""
+
+    def read_small(self, path: str) -> str:
+        """Full text of a small control file; FileNotFoundError when
+        absent (the signal several callers branch on)."""
+        raise NotImplementedError
+
+    def put_small_atomic(self, path: str, text: str) -> None:
+        """Write a small control file so readers see the OLD or the NEW
+        content, never a torn middle — the commit primitive."""
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_names(self, path: str) -> "list[str]":
+        """Immediate child names (files and dirs); FileNotFoundError
+        when the path itself is absent."""
+        raise NotImplementedError
+
+    def list_files(self, path: str) -> "list[str]":
+        """Immediate child FILE names only (metadata-only trigger
+        counting); FileNotFoundError when the path is absent."""
+        raise NotImplementedError
+
+    def remove_tree(self, path: str) -> None:
+        """Best-effort recursive removal (generation pruning)."""
+        raise NotImplementedError
+
+
+class LocalStoreBackend(StoreBackend):
+    """POSIX default: atomic pointer flips via tmp + fsync +
+    ``os.replace`` + best-effort directory fsync."""
+
+    def read_small(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def put_small_atomic(self, path: str, text: str) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        # fsync the directory too: os.replace orders the rename in the
+        # page cache, but only a dir fsync makes it durable — without it
+        # a power loss can surface an EMPTY (pre-rename) pointer, and
+        # the store would then fail with a confusing parquet-path error
+        # instead of the loud first-batch / foreign-layout signals.
+        # Best-effort: some filesystems refuse O_RDONLY dir fsync
+        # (EINVAL) — ordering is still preserved.
         try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-    except OSError:
-        pass
+            dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_names(self, path: str) -> "list[str]":
+        return os.listdir(path)
+
+    def list_files(self, path: str) -> "list[str]":
+        with os.scandir(path) as it:
+            return [e.name for e in it if e.is_file()]
+
+    def remove_tree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+#: Process-wide control-plane client. Swap with set_store_backend for an
+#: object-store port (or a fake in tests); module-global because store
+#: paths, not store handles, are the API every caller already holds.
+_STORE_BACKEND: StoreBackend = LocalStoreBackend()
+
+
+def store_backend() -> StoreBackend:
+    return _STORE_BACKEND
+
+
+def set_store_backend(backend: StoreBackend) -> StoreBackend:
+    """Install a control-plane client; returns the previous one so
+    tests/ports can restore it."""
+    global _STORE_BACKEND
+    prev = _STORE_BACKEND
+    _STORE_BACKEND = backend
+    return prev
+
+
+def store_commit(index_dir: str, gen_name: str) -> None:
+    """Atomically flip the store's CURRENT pointer to ``gen_name``
+    (backend ``put_small_atomic`` — POSIX rename locally, conditional
+    put on an object store)."""
+    _STORE_BACKEND.put_small_atomic(f"{index_dir}/CURRENT", gen_name)
 
 
 def store_current(index_dir: str) -> str:
@@ -72,8 +158,7 @@ def store_current(index_dir: str) -> str:
     FileNotFoundError specifically; any OTHER read failure — storage
     error, corrupted footer — keeps raising through the parquet scan.)"""
     try:
-        with open(f"{index_dir}/CURRENT") as fh:
-            gen = fh.read().strip()
+        gen = _STORE_BACKEND.read_small(f"{index_dir}/CURRENT").strip()
     except FileNotFoundError as exc:
         _assert_store_layout(index_dir)
         raise FileNotFoundError(
@@ -83,13 +168,12 @@ def store_current(index_dir: str) -> str:
     # Validate the pointer names a real generation dir: a torn/empty
     # CURRENT (crash between create and fsync on a non-ordering
     # filesystem) must fail HERE with a descriptive store error, not
-    # three frames later as a baffling parquet path-not-found.
-    # Local-filesystem seam: the isdir probe (like store_commit's
-    # os.replace and layout_counts_meta's scandir) assumes a POSIX dir
-    # tree; an object-store port replaces it with the client's prefix
-    # existence check alongside the conditional-put pointer write —
-    # keep the gen-* name check either way.
-    if not gen.startswith("gen-") or not os.path.isdir(f"{index_dir}/{gen}"):
+    # three frames later as a baffling parquet path-not-found. The
+    # probe routes through the StoreBackend seam (prefix existence
+    # check on an object store) — keep the gen-* name check either way.
+    if not gen.startswith("gen-") or not _STORE_BACKEND.is_dir(
+        f"{index_dir}/{gen}"
+    ):
         raise ValueError(
             f"corrupt CURRENT pointer at {index_dir}: {gen!r} does not "
             "name an existing gen-* directory — the pointer file is torn "
@@ -111,7 +195,7 @@ def _assert_store_layout(index_dir: str) -> None:
     surfaced. Refuse loudly instead; such trees need a one-time
     migration (append each old partition via :func:`append_index`)."""
     try:
-        entries = os.listdir(index_dir)
+        entries = _STORE_BACKEND.list_names(index_dir)
     except FileNotFoundError:
         return
     foreign = [
@@ -131,8 +215,9 @@ def _assert_store_layout(index_dir: str) -> None:
 def store_watermark(gen_dir: str) -> "int | None":
     """The generation's persisted compaction watermark, if any."""
     try:
-        with open(f"{gen_dir}/COMPACTED_UPTO") as fh:
-            return int(fh.read().strip())
+        return int(
+            _STORE_BACKEND.read_small(f"{gen_dir}/COMPACTED_UPTO").strip()
+        )
     except FileNotFoundError:
         return None
 
@@ -141,9 +226,9 @@ def prune_store_generations(index_dir: str) -> None:
     """Best-effort removal of non-current generation dirs (a crash
     between commit and prune leaves garbage, never corruption)."""
     keep = os.path.basename(store_current(index_dir))
-    for name in os.listdir(index_dir):
+    for name in _STORE_BACKEND.list_names(index_dir):
         if name.startswith("gen-") and name != keep:
-            shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
+            _STORE_BACKEND.remove_tree(f"{index_dir}/{name}")
 
 
 def read_index(
@@ -255,8 +340,9 @@ def _schema_contract(df: DataFrame) -> "dict[str, str]":
 def _write_schema_contract(gen_dir: str, contract: "dict[str, str]") -> None:
     import json
 
-    with open(f"{gen_dir}/SCHEMA", "w") as fh:
-        json.dump(contract, fh, sort_keys=True)
+    _STORE_BACKEND.put_small_atomic(
+        f"{gen_dir}/SCHEMA", json.dumps(contract, sort_keys=True)
+    )
 
 
 def assert_append_schema(df: DataFrame, gen_dir: str) -> None:
@@ -279,8 +365,7 @@ def assert_append_schema(df: DataFrame, gen_dir: str) -> None:
 
     got = _schema_contract(df)
     try:
-        with open(f"{gen_dir}/SCHEMA") as fh:
-            want = json.load(fh)
+        want = json.loads(_STORE_BACKEND.read_small(f"{gen_dir}/SCHEMA"))
     except FileNotFoundError:
         # pre-contract store: derive from the committed data once and
         # persist — the footer read costs one Spark-metadata pass, paid
@@ -515,8 +600,9 @@ def compact_index(
         .partitionBy("batch_seq")
         .parquet(f"{new_gen}/data")
     )
-    with open(f"{new_gen}/COMPACTED_UPTO", "w") as fh:
-        fh.write(str(upto_batch))
+    _STORE_BACKEND.put_small_atomic(
+        f"{new_gen}/COMPACTED_UPTO", str(upto_batch)
+    )
     # the schema contract travels with the generation (compaction never
     # changes the payload schema — derive from the rows just rewritten)
     _write_schema_contract(new_gen, _schema_contract(df))
@@ -578,13 +664,13 @@ def migrate_bare_tree(spark, index_dir: str) -> "dict[str, int | bool]":
     ``rows_before/rows_after`` (must match), ``files_after``,
     ``batches`` (count migrated), ``noop_replay``."""
     try:
-        entries = os.listdir(index_dir)
+        entries = _STORE_BACKEND.list_names(index_dir)
     except FileNotFoundError:
         raise ValueError(
             f"nothing to migrate at {index_dir}: directory does not exist"
         ) from None
     bare = sorted(e for e in entries if e.startswith("batch_seq="))
-    if os.path.exists(f"{index_dir}/CURRENT"):
+    if "CURRENT" in entries:
         if not bare:
             raise ValueError(
                 f"{index_dir} is already a committed generationed store "
@@ -595,7 +681,7 @@ def migrate_bare_tree(spark, index_dir: str) -> "dict[str, int | bool]":
         gen = store_current(index_dir)
         rows, files, batches = layout_audit(read_index(spark, index_dir))
         for d in bare:
-            shutil.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+            _STORE_BACKEND.remove_tree(f"{index_dir}/{d}")
         return {
             "rows_before": rows, "rows_after": rows,
             "files_after": files, "batches": batches,
@@ -636,7 +722,7 @@ def migrate_bare_tree(spark, index_dir: str) -> "dict[str, int | bool]":
             "generation — bare source left in place for inspection"
         )
     for d in bare:
-        shutil.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+        _STORE_BACKEND.remove_tree(f"{index_dir}/{d}")
     return {
         "rows_before": rows_before, "rows_after": rows_after,
         "files_after": files_after, "batches": batches,
@@ -646,32 +732,30 @@ def migrate_bare_tree(spark, index_dir: str) -> "dict[str, int | bool]":
 
 def layout_counts_meta(gen_dir: str) -> "tuple[int, int]":
     """(files, batches) of a committed generation from DIRECTORY LISTING
-    only — one ``os.scandir`` per batch partition, no Spark job, no data
+    only — one listing per batch partition, no Spark job, no data
     read. This is the trigger-side twin of :func:`layout_audit`: the
     threshold policy only needs file/batch counts, which are metadata,
     while the row count (which NEEDS a scan) belongs in
     :func:`compact_index`'s before/after proof. At a 100 TB rolling
     corpus the distinction is the whole point — a per-micro-batch
     trigger that aggregated the full table would cost more than the
-    ingest it maintains. Same local-filesystem seam as the pointer
-    probes (see :func:`store_current`): replace the scandir with the
-    object-store client's prefix listing when porting."""
+    ingest it maintains. Listings route through the StoreBackend seam
+    (prefix listings on an object store)."""
     files = 0
     batches = 0
     try:
-        it = os.scandir(f"{gen_dir}/data")
+        names = _STORE_BACKEND.list_names(f"{gen_dir}/data")
     except FileNotFoundError:
         return 0, 0
-    with it:
-        for entry in it:
-            if entry.is_dir() and entry.name.startswith("batch_seq="):
-                batches += 1
-                with os.scandir(entry.path) as inner:
-                    files += sum(
-                        1
-                        for f in inner
-                        if f.is_file() and f.name.endswith(".parquet")
-                    )
+    for name in names:
+        part = f"{gen_dir}/data/{name}"
+        if name.startswith("batch_seq=") and _STORE_BACKEND.is_dir(part):
+            batches += 1
+            files += sum(
+                1
+                for f in _STORE_BACKEND.list_files(part)
+                if f.endswith(".parquet")
+            )
     return files, batches
 
 

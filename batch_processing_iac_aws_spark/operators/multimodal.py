@@ -1896,3 +1896,181 @@ def gif_frame_fn(payload: bytes, idx: int) -> bytes:
     n-frame grid costs a quadratic 1+2+...+n composition passes)."""
     frames = _gif_frames_cached(bytes(payload or b""))
     return frames[min(idx, len(frames) - 1)]
+
+
+def _gif_lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
+    """GIF-flavored LZW COMPRESSOR (the sink twin of
+    :func:`_gif_lzw_decode`): greedy longest-match dictionary build,
+    variable code width 3..12 bits with the canonical grow rule (width
+    bumps when the just-assigned code fills it), LSB-first bit packing,
+    and the spec's 12-bit ceiling handled deferred-clear style — at
+    code 4096 the dictionary FREEZES and matching continues against the
+    frozen table (GIF89a spec appendix F; decoders, including ours,
+    stop adding at 4096 for exactly this case). Thumbnail-scale frames
+    never reach the ceiling, but a correct sink must honor it."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table: "dict[tuple[int, ...], int]" = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    emit(clear, width)
+    prev: "tuple[int, ...]" = ()
+    for v in indexes:
+        if not 0 <= v < clear:
+            raise ValueError(
+                f"encode_gif: palette index {v} outside the "
+                f"{clear}-color table"
+            )
+        cur = prev + (v,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == 1 << width and width < 12:
+                width += 1
+            next_code += 1
+        prev = (v,)
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    screen_w: int,
+    screen_h: int,
+    palette_rgb: "list[tuple[int, int, int]]",
+    frames: "list[tuple[int, int, int, int, list[int], dict]]",
+    *,
+    bg_index: int = 0,
+) -> bytes:
+    """Animated-GIF SINK for palette-indexed frame sequences — the
+    write half of the multimodal codec family (GIF89a: logical screen +
+    global color table, per-frame graphic-control extensions for
+    disposal/transparency, image descriptors with optional interlace,
+    LZW-compressed sub-blocks, trailer). ``frames`` entries are
+    ``(left, top, w, h, row_major_indexes, opts)`` with opts keys
+    ``disposal`` (0-3), ``transparent`` (palette index or None), and
+    ``interlace`` (bool) — the exact vocabulary
+    :func:`decode_gif_frames` composes, so a sampled-frame pipeline can
+    round-trip sink -> source bit-losslessly (GIF is lossless on
+    indexed pixels). Validation is loud: rects must sit inside the
+    logical screen and indexes inside the palette. Pure Python per
+    pixel — the documented thumbnail-scale stdlib trade shared by every
+    codec here; the Spark-side plumbing (mapInPandas batch shape)
+    carries any drop-in encoder unchanged."""
+    import struct
+
+    if screen_w <= 0 or screen_h <= 0:
+        raise ValueError("encode_gif: empty logical screen")
+    if not 2 <= len(palette_rgb) <= 256:
+        raise ValueError("encode_gif: palette must hold 2..256 colors")
+    depth = 1
+    while (2 << (depth - 1)) < len(palette_rgb):
+        depth += 1
+    n_colors = 2 << (depth - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", screen_w, screen_h)
+    out.append(0x80 | (depth - 1))  # GCT present, size = 2^(depth)
+    out.append(bg_index)
+    out.append(0)  # pixel aspect ratio: unspecified
+    for i in range(n_colors):
+        r, g, b = palette_rgb[i] if i < len(palette_rgb) else (0, 0, 0)
+        out += bytes((r, g, b))
+    for left, top, w, h, idx, opts in frames:
+        if w <= 0 or h <= 0 or left + w > screen_w or top + h > screen_h:
+            raise ValueError("encode_gif: frame rect outside the screen")
+        if len(idx) != w * h:
+            raise ValueError("encode_gif: index count != rect size")
+        disposal = int(opts.get("disposal", 0))
+        transparent = opts.get("transparent")
+        if disposal or transparent is not None:
+            out += bytes([0x21, 0xF9, 4])  # graphic control extension
+            out.append(
+                ((disposal & 0x07) << 2)
+                | (1 if transparent is not None else 0)
+            )
+            out += struct.pack("<H", 0)  # delay: unspecified
+            out.append(int(transparent) if transparent is not None else 0)
+            out.append(0)
+        out.append(0x2C)  # image descriptor
+        out += struct.pack("<HHHH", left, top, w, h)
+        interlace = bool(opts.get("interlace"))
+        out.append(0x40 if interlace else 0x00)
+        if interlace:
+            rows = [
+                r
+                for first, step in _GIF_INTERLACE
+                for r in range(first, h, step)
+            ]
+            idx = [v for r in rows for v in idx[r * w : (r + 1) * w]]
+        mcs = max(2, depth)
+        out.append(mcs)
+        lzw = _gif_lzw_encode(mcs, list(idx))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # sub-block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def encode_wav(
+    channels: "list[list[int]]", *, rate: int = 8000, bits: int = 16
+) -> bytes:
+    """PCM-WAV SINK (RIFF/WAVE format 1) — the audio twin of
+    :func:`encode_gif`: interleaves equal-length integer sample
+    channels into one canonical fmt+data stream the decoder (and any
+    player) reads back exactly. 16-bit signed and 8-bit unsigned PCM,
+    any channel count; range violations and ragged channels refuse
+    loudly. Pure Python, thumbnail-scale payloads — the documented
+    stdlib-kernel trade."""
+    import struct
+
+    if not channels or not all(
+        len(c) == len(channels[0]) for c in channels
+    ):
+        raise ValueError("encode_wav: channels must be equal-length")
+    n_ch, n_frames = len(channels), len(channels[0])
+    if bits == 16:
+        lo, hi, fmt_char, off = -32768, 32767, "h", 0
+    elif bits == 8:
+        lo, hi, fmt_char, off = 0, 255, "B", 0
+    else:
+        raise ValueError(f"encode_wav: {bits}-bit PCM (8/16 supported)")
+    inter = []
+    for i in range(n_frames):
+        for c in channels:
+            v = c[i]
+            if not lo <= v <= hi:
+                raise ValueError(
+                    f"encode_wav: sample {v} outside {bits}-bit range"
+                )
+            inter.append(v + off)
+    frames = struct.pack(f"<{len(inter)}{fmt_char}", *inter)
+    block_align = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+        + (b"\x00" if len(frames) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -358,17 +358,24 @@ from . import staged  # noqa: E402,F401
 #     dsir_gumbel, table_snapshot_asof, join_fuzzy_match, all
 #     hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so
 #     the flip is proof-neutral and the driver row is the first
-#     INDEPENDENT confirmation) + rotate the r7-stale cohort that heads
-#     the queue. The 4 news displace the queue's alphabetical tail
-#     (udaf_geomean, udtf_chunk_words, window_ntile, zorder_roundtrip),
-#     which heads _ROUND13_QUEUE — bounded, ledgered, and still
-#     suite-proven every run.
+#     INDEPENDENT confirmation) + ONE query new this round
+#     (multimodal_gif_frames — the r11 GIF codec family driven on true
+#     bits: engine-encoded 2-frame animations through the real
+#     decode + composition path, the r11 verdict's item 5) + rotate the
+#     r7-stale cohort that heads the queue. The 5 news displace the
+#     queue's alphabetical tail (text_tfidf_topk, udaf_geomean,
+#     udtf_chunk_words, window_ntile, zorder_roundtrip), which heads
+#     _ROUND13_QUEUE — bounded, ledgered, and still suite-proven every
+#     run (one more than the r11 brief's four-name estimate because the
+#     brief ALSO ordered the new media row into the window).
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
-    #    enter the window): the four round-11 staged pairs, flipped --
+    #    enter the window): the four round-11 staged pairs, flipped,
+    #    plus the true-bits GIF codec row --
     "dsir_gumbel",
     "dsir_select",
     "join_fuzzy_match",
+    "multimodal_gif_frames",
     "table_snapshot_asof",
     # -- the r7-stale cohort, oldest driver-greens in the registry
     #    (oldest-first structural invariant; alphabetical within the
@@ -418,16 +425,16 @@ _PRIORITY = [
     "text_perplexity",
     "text_pmi_pairs",
     "text_rolling_hash",
-    "text_tfidf_topk",
 ]
 
 #: Round-13 rotation queue, pinned now so a typo cannot silently drop a
 #: query from rotation (tests/test_registry.py asserts every name
-#: exists and that the queue equals the next-oldest cohort): the 4
+#: exists and that the queue equals the next-oldest cohort): the 5
 #: r7-stale names the round-12 news displaced — the only queries whose
 #: last driver green will predate r8 after this round. The r8 cohort
 #: follows them under the structural oldest-first invariant.
 _ROUND13_QUEUE = [
+    "text_tfidf_topk",
     "udaf_geomean",
     "udtf_chunk_words",
     "window_ntile",

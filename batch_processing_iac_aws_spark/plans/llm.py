@@ -1927,6 +1927,146 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 4-gray GIF palette for the true-bits codec row: luma of (g,g,g) is
+#: exactly g under the ITU-601 integer rule (299+587+114 = 1000), so
+#: every decoded intensity is a known small constant DuckDB can derive.
+_GIF_ROW_PAL = [(v, v, v) for v in (0, 85, 170, 255)]
+
+
+def _gif_frames_oracle() -> str:
+    """DuckDB twin of the true-bits GIF frame pipeline: re-derive each
+    composed frame's luma directly from the md5 pixel family (frame 0 =
+    the full 8x8 first frame; frames 1-2 = the 4x4 rect at (2,2)
+    overlaid on it — frame 2 because a 3-frame sample grid over a
+    2-frame clip holds the last frame), then replay the shared
+    block-mean fold (sum / (16 * 255), the _block_means grouping) at
+    feature_dim 4. GIF is LOSSLESS on indexed pixels, so the decoded
+    luma must equal this derivation exactly — any LZW, palette,
+    interlace, or composition bug in the codec path shifts a block sum
+    and the hash mismatches."""
+    h60 = "% 1152921504606846976 AS BIGINT"
+    return f"""
+WITH comp AS (
+    SELECT d.doc_id, g.fi, p.p,
+           CASE WHEN g.fi >= 1
+                     AND (p.p // 8) BETWEEN 2 AND 5
+                     AND (p.p % 8) BETWEEN 2 AND 5
+                THEN 85 * (CAST(md5_number_lower(
+                         d.text || ':1:' || CAST(
+                             ((p.p // 8) - 2) * 4 + ((p.p % 8) - 2)
+                             AS VARCHAR)) {h60}) % 4)
+                ELSE 85 * (CAST(md5_number_lower(
+                         d.text || ':0:' || CAST(p.p AS VARCHAR))
+                     {h60}) % 4)
+           END AS l
+    FROM documents d, range(3) g(fi), range(64) p(p)
+), blocks AS (
+    SELECT doc_id, fi, p // 16 AS j, SUM(l) AS s
+    FROM comp GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(fi * 100 AS BIGINT) AS pts_ms,
+       round(MAX(CASE WHEN j = 0 THEN s END) / 4080.0, 6) AS f0,
+       round(MAX(CASE WHEN j = 1 THEN s END) / 4080.0, 6) AS f1,
+       round(MAX(CASE WHEN j = 2 THEN s END) / 4080.0, 6) AS f2,
+       round(MAX(CASE WHEN j = 3 THEN s END) / 4080.0, 6) AS f3
+FROM blocks GROUP BY 1, 2, 3
+"""
+
+
+@query("multimodal_gif_frames", oracle=_gif_frames_oracle())
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE-BITS video seam, driver-proven end-to-end: every
+    document becomes a real 2-frame animated GIF (engine encode_gif —
+    full 8x8 first frame, then a 4x4 sub-rect update at (2,2), the
+    composition shape real animations use), and the registered pipeline
+    runs the REAL codec path a video corpus would:
+    sample_frames(frame_fn=gif_frame_fn) decodes + COMPOSES each frame
+    (operators/multimodal.py:decode_gif_frames — LZW, palette luma,
+    frame-rect overlay, hold-last past the clip for the 3-frame grid)
+    into GRY8 containers, and gray_frame_features folds them with the
+    shared block-mean kernel every image codec emits.
+
+    Pixel values derive from the engine-portable md5 family (the
+    dedup_simhash_portable strategy applied to codecs), and the 4-gray
+    palette makes decoded luma equal the palette index times 85 — so
+    the oracle re-derives every composed frame arithmetically and the
+    hash compare proves the DECODER's LZW + composition on true bits,
+    not just plumbing (the encoder is independently proven against
+    javax.imageio in tests/test_multimodal.py). Scale shape: one
+    mapInPandas per side of the codec seam (Arrow-batched, payloads
+    decoded once per media item via the packed-bytes frame LRU),
+    features projected to 4 scalar columns before anything wide —
+    payload bytes never cross a shuffle; the pure-Python per-pixel
+    kernels are the documented thumbnail-scale stdlib trade, and the
+    plan is unchanged when PIL/ffmpeg ship to executors."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_gif,
+        gif_frame_fn,
+        gray_frame_features,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _idx(text: str, f: int, p: int) -> int:
+        dig = hashlib.md5(f"{text}:{f}:{p}".encode("utf-8")).digest()
+        return (int.from_bytes(dig[8:16], "little") % (1 << 60)) % 4
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                full = [_idx(text, 0, p) for p in range(64)]
+                rect = [_idx(text, 1, q) for q in range(16)]
+                ids.append(did)
+                payloads.append(
+                    encode_gif(
+                        8, 8, _GIF_ROW_PAL,
+                        [(0, 0, 8, 8, full, {}), (2, 2, 4, 4, rect, {})],
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(build, schema="media_id long, payload binary")
+    frames = sample_frames(
+        media, n_frames=3, frame_ms=100, frame_fn=gif_frame_fn
+    )
+
+    # one featurize pass per Arrow batch (a 4-column projection through
+    # a pandas UDF would risk Catalyst re-inlining the UDF expression
+    # once per element_at — the phash row's measured 45x trap)
+    def featurize(batches):
+        for pdf in batches:
+            fs = [
+                gray_frame_features(bytes(b), feature_dim=4)
+                for b in pdf["frame"]
+            ]
+            out = {
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "pts_ms": pdf["pts_ms"],
+            }
+            for j in range(4):
+                out[f"f{j}"] = [f[j] for f in fs]
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        featurize,
+        schema="media_id long, frame_idx long, pts_ms long, "
+        "f0 double, f1 double, f2 double, f3 double",
+    ).select(
+        "media_id",
+        "frame_idx",
+        "pts_ms",
+        *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(4)],
+    )
+
+
 @query(
     "docs_prep_pipeline",
     oracle="""

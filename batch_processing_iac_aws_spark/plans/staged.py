@@ -397,3 +397,96 @@ def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep="best",
     )
     return m.select("doc_id", F.col("rid").alias("match_id"), "dist")
+
+
+@staged_query(
+    "multimodal_wav_envelope",
+    oracle="""
+WITH smp AS (
+    SELECT d.doc_id, i.i,
+           (CAST(md5_number_lower(d.text || ':0:' || CAST(i.i AS VARCHAR))
+                 % 1152921504606846976 AS BIGINT) % 65536 - 32768) AS l,
+           (CAST(md5_number_lower(d.text || ':1:' || CAST(i.i AS VARCHAR))
+                 % 1152921504606846976 AS BIGINT) % 65536 - 32768) AS r
+    FROM documents d, range(64) i(i)
+), mono AS (
+    SELECT doc_id, i, (l + r) / 65536.0 AS m FROM smp
+), blocks AS (
+    SELECT doc_id, i // 16 AS j, SUM(m * m) AS s2
+    FROM mono GROUP BY 1, 2
+)
+SELECT doc_id AS media_id,
+       round(sqrt(MAX(CASE WHEN j = 0 THEN s2 END) / 16.0), 6) AS f0,
+       round(sqrt(MAX(CASE WHEN j = 1 THEN s2 END) / 16.0), 6) AS f1,
+       round(sqrt(MAX(CASE WHEN j = 2 THEN s2 END) / 16.0), 6) AS f2,
+       round(sqrt(MAX(CASE WHEN j = 3 THEN s2 END) / 16.0), 6) AS f3
+FROM blocks GROUP BY 1
+""",
+)
+def multimodal_wav_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE-BITS audio seam: every document becomes a real 16-bit
+    STEREO PCM WAV (engine encode_wav — RIFF/WAVE format 1, interleaved
+    channels), and the registered pipeline runs the full codec path a
+    real audio corpus would: decode_wav_stdlib walks the RIFF chunks,
+    unpacks the PCM frames, downmixes stereo to mono by mean, and folds
+    the block-RMS loudness envelope (feature_dim 4) — the audio
+    analogue of the image kernels' block-mean luma, riding the same
+    downstream near-dup machinery.
+
+    Samples derive from the engine-portable md5 family, and every step
+    of the float pipeline is EXACT in binary doubles (samples are
+    /2^16 rationals, squares and 16-term block sums stay on the 2^-32
+    lattice, sqrt is IEEE correctly-rounded), so the DuckDB twin
+    re-derives the envelope arithmetically with no decode: a RIFF-walk,
+    PCM-unpack, interleave, or downmix bug shifts a block RMS and the
+    hash mismatches. The encoder is independently proven against the
+    test-side encoder in tests/test_multimodal.py. Scale shape: one
+    mapInPandas per side of the codec seam (Arrow-batched), features
+    projected to 4 scalar columns immediately — payload bytes never
+    cross a shuffle; pure-Python per-sample is the documented
+    thumbnail-scale stdlib trade, plan unchanged under a library
+    decoder."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav_stdlib, encode_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _smp(text: str, ch: int, i: int) -> int:
+        dig = hashlib.md5(f"{text}:{ch}:{i}".encode("utf-8")).digest()
+        v = int.from_bytes(dig[8:16], "little") % (1 << 60)
+        return v % 65536 - 32768
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                left = [_smp(text, 0, i) for i in range(64)]
+                right = [_smp(text, 1, i) for i in range(64)]
+                ids.append(did)
+                payloads.append(encode_wav([left, right]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(build, schema="media_id long, payload binary")
+
+    def featurize(batches):
+        for pdf in batches:
+            fs = [
+                decode_wav_stdlib(bytes(b), feature_dim=4)
+                for b in pdf["payload"]
+            ]
+            out = {"media_id": pdf["media_id"]}
+            for j in range(4):
+                out[f"f{j}"] = [f[j] for f in fs]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        featurize,
+        schema="media_id long, f0 double, f1 double, f2 double, "
+        "f3 double",
+    ).select(
+        "media_id",
+        *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(4)],
+    )

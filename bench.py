@@ -159,6 +159,10 @@ HEADLINE = [
     "dsir_gumbel",
     "table_snapshot_asof",
     "join_fuzzy_match",
+    # round 12 (cont.): the r11 GIF codec family on true bits — per-doc
+    # engine-encoded 2-frame animations decoded + composed through the
+    # real sample_frames/gif_frame_fn path, block-mean featurized
+    "multimodal_gif_frames",
 ]
 
 # FROZEN core yardstick (round 10, verdict item 5): the headline set grew

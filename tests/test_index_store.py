@@ -947,3 +947,109 @@ def test_snapshot_asof_property_random_lifecycles(spark, tmp_path):
         if upto > 0:
             with pytest.raises(ValueError, match="below this store"):
                 read_index(spark, idx, as_of_batch=upto - 1)
+
+
+# --- StoreBackend: the control-plane storage seam ----------------------
+
+
+def test_store_backend_seam_routes_all_control_plane_ops():
+    """Every control-plane operation (pointer commit/read, watermark,
+    schema contract, layout listing, the no-op auto-compact trigger,
+    foreign-layout refusal) must route through the installed
+    StoreBackend — proven with an in-memory fake under a path that does
+    not exist on the local filesystem, so any leftover os.* call in
+    those paths fails loudly. The no-op trigger additionally runs with
+    spark=None: metadata-only on a fake object store, zero Spark jobs."""
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        StoreBackend,
+        _assert_store_layout,
+        compact_if_needed,
+        layout_counts_meta,
+        set_store_backend,
+        store_commit,
+        store_current,
+        store_watermark,
+    )
+
+    class MemBackend(StoreBackend):
+        def __init__(self):
+            self.small: dict[str, str] = {}
+            self.dirs: set[str] = set()
+
+        def _children(self, path):
+            pref = path.rstrip("/") + "/"
+            names = set()
+            for p in list(self.small) + list(self.dirs):
+                if p.startswith(pref):
+                    names.add(p[len(pref):].split("/", 1)[0])
+            return names
+
+        def read_small(self, path):
+            if path not in self.small:
+                raise FileNotFoundError(path)
+            return self.small[path]
+
+        def put_small_atomic(self, path, text):
+            self.small[path] = text
+
+        def is_dir(self, path):
+            return path in self.dirs
+
+        def list_names(self, path):
+            if path not in self.dirs:
+                raise FileNotFoundError(path)
+            return sorted(self._children(path))
+
+        def list_files(self, path):
+            if path not in self.dirs:
+                raise FileNotFoundError(path)
+            return sorted(
+                n for n in self._children(path)
+                if f"{path.rstrip('/')}/{n}" in self.small
+            )
+
+        def remove_tree(self, path):
+            pref = path.rstrip("/") + "/"
+            self.small = {
+                p: v for p, v in self.small.items()
+                if p != path and not p.startswith(pref)
+            }
+            self.dirs = {
+                d for d in self.dirs
+                if d != path and not d.startswith(pref)
+            }
+
+    mem = MemBackend()
+    idx = "mem://bucket/idx"
+    gen = f"{idx}/gen-c1"
+    mem.dirs |= {
+        idx, gen, f"{gen}/data",
+        f"{gen}/data/batch_seq=1", f"{gen}/data/batch_seq=2",
+    }
+    mem.small[f"{gen}/data/batch_seq=1/part-0.parquet"] = "x"
+    mem.small[f"{gen}/data/batch_seq=1/part-1.parquet"] = "x"
+    mem.small[f"{gen}/data/batch_seq=2/part-0.parquet"] = "x"
+    prev = set_store_backend(mem)
+    try:
+        store_commit(idx, "gen-c1")
+        assert mem.small[f"{idx}/CURRENT"] == "gen-c1"
+        assert store_current(idx) == gen
+        assert store_watermark(gen) is None
+        mem.small[f"{gen}/COMPACTED_UPTO"] = "1"
+        assert store_watermark(gen) == 1
+        assert layout_counts_meta(gen) == (3, 2)
+        # below-threshold trigger: metadata-only on the fake store,
+        # spark=None proves no job can launch
+        assert (
+            compact_if_needed(
+                None, idx, committed_upto=2, max_batches=8
+            )
+            is None
+        )
+        # foreign layout refuses through the backend listing too
+        foreign = "mem://bucket/foreign"
+        mem.dirs |= {foreign, f"{foreign}/random_dir"}
+        with pytest.raises(ValueError, match="unrecognized index layout"):
+            _assert_store_layout(foreign)
+    finally:
+        set_store_backend(prev)

@@ -2589,3 +2589,210 @@ def test_decode_wav_stdlib_float_guards():
     # unclipped master: |v| > 1 clips to full scale, envelope stays <= 1
     got = decode_wav_stdlib(fwav([4.0, -4.0, 4.0, -4.0]), feature_dim=2)
     assert got == [1.0, 1.0]
+
+
+# --- encode_gif: the animated-GIF sink ---------------------------------
+
+
+def test_encode_gif_roundtrip_animation_and_validation():
+    """The engine encoder -> engine decoder round trip on an animation
+    with rects, disposal, transparency, and interlace (GIF is lossless
+    on indexed pixels, so the bar is exact equality with the composed
+    reference), plus the loud-refusal edges."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    idx0 = [(i * 7) % 4 for i in range(64)]
+    rect = [(i * 3 + 1) % 4 for i in range(16)]
+    payload = encode_gif(
+        8, 8, pal,
+        [
+            (0, 0, 8, 8, idx0, {"interlace": True}),
+            (2, 2, 4, 4, rect, {"disposal": 1, "transparent": 1}),
+        ],
+    )
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 2
+    exp0 = [85 * v for v in idx0]
+    assert frames[0] == (8, 8, exp0)
+    comp = list(exp0)
+    for r in range(4):
+        for c in range(4):
+            v = rect[r * 4 + c]
+            if v != 1:  # transparent index keeps the underlying pixel
+                comp[(2 + r) * 8 + (2 + c)] = 85 * v
+    assert frames[1] == (8, 8, comp)
+    with pytest.raises(ValueError, match="outside the screen"):
+        encode_gif(8, 8, pal, [(4, 4, 8, 8, idx0, {})])
+    with pytest.raises(ValueError, match="index count"):
+        encode_gif(8, 8, pal, [(0, 0, 8, 8, idx0[:-1], {})])
+    with pytest.raises(ValueError, match="outside the"):
+        encode_gif(2, 2, pal, [(0, 0, 2, 2, [0, 1, 2, 9], {})])
+
+
+def test_encode_gif_property_random_roundtrip():
+    """Property sweep: random screen sizes, palette sizes, frame rects,
+    and the interlace flag must round-trip encode_gif ->
+    decode_gif_frames EXACTLY (the sink twin of the decoder's own
+    random-frame property test)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        sw = data.draw(st.integers(1, 12))
+        sh = data.draw(st.integers(1, 12))
+        n_pal = data.draw(st.integers(2, 8))
+        pal = [
+            (data.draw(st.integers(0, 255)),) * 3 for _ in range(n_pal)
+        ]
+        lumas = [r for r, _, _ in pal]
+        frames = []
+        for _ in range(data.draw(st.integers(1, 3))):
+            w = data.draw(st.integers(1, sw))
+            h = data.draw(st.integers(1, sh))
+            left = data.draw(st.integers(0, sw - w))
+            top = data.draw(st.integers(0, sh - h))
+            idx = [
+                data.draw(st.integers(0, n_pal - 1)) for _ in range(w * h)
+            ]
+            inter = data.draw(st.booleans())
+            frames.append((left, top, w, h, idx, {"interlace": inter}))
+        payload = encode_gif(sw, sh, pal, frames)
+        decoded = decode_gif_frames(payload)
+        assert len(decoded) == len(frames)
+        canvas = [lumas[0]] * (sw * sh)
+        for (left, top, w, h, idx, _), (dw, dh, got) in zip(
+            frames, decoded
+        ):
+            for r in range(h):
+                for c in range(w):
+                    canvas[(top + r) * sw + (left + c)] = lumas[
+                        idx[r * w + c]
+                    ]
+            assert (dw, dh) == (sw, sh)
+            assert got == canvas
+
+    run()
+
+
+def test_encode_gif_lzw_ceiling_freezes_dictionary():
+    """A frame with enough entropy to exhaust the 12-bit code space
+    must still round-trip exactly — the encoder freezes its dictionary
+    at code 4096 (deferred-clear style) and the decoder, which stops
+    adding at 4096, stays in lockstep."""
+    import random
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rng = random.Random(12)
+    pal = [(v, v, v) for v in (0, 85, 170, 255)]
+    idx = [rng.randrange(4) for _ in range(96 * 96)]
+    payload = encode_gif(96, 96, pal, [(0, 0, 96, 96, idx, {})])
+    (w, h, luma), = decode_gif_frames(payload)
+    assert (w, h) == (96, 96)
+    assert luma == [85 * v for v in idx]
+
+
+def test_encode_gif_matches_jvm_imageio():
+    """INDEPENDENT decoder differential for the sink: javax.imageio
+    must read encode_gif's bytes back to the exact composed pixels —
+    proving the writer against a decoder that shares no code with this
+    repo (the wild-GIF differential's strategy pointed at our own
+    encoder output)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        encode_gif,
+    )
+
+    if not shutil.which("javac"):
+        pytest.skip("JDK not available")
+    pal = [(v, v, v) for v in (0, 85, 170, 255)]
+    idx0 = [(i * 5 + 2) % 4 for i in range(64)]
+    payload = encode_gif(
+        8, 8, pal, [(0, 0, 8, 8, idx0, {"interlace": True})]
+    )
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class GifSinkRef {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+            int rgb = img.getRGB(x, y);
+            sb.append((299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+                       + 114 * (rgb & 255)) / 1000).append(' ');
+        }
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/GifSinkRef.java", "w") as fh:
+            fh.write(src)
+        with open(f"{td}/probe.gif", "wb") as fh:
+            fh.write(payload)
+        subprocess.run(
+            ["javac", "GifSinkRef.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        ref_out = subprocess.run(
+            ["java", "GifSinkRef", "probe.gif"], cwd=td, check=True,
+            capture_output=True, text=True,
+        ).stdout.split()
+        assert (int(ref_out[0]), int(ref_out[1])) == (8, 8)
+        assert [int(v) for v in ref_out[2:]] == [85 * v for v in idx0]
+
+
+def test_encode_wav_roundtrip_and_differential_vs_test_encoder():
+    """encode_wav -> _wav_decode_samples round-trips exactly (16-bit
+    stereo, 8-bit mono), refuses ragged/out-of-range input loudly, and
+    decodes IDENTICALLY to the independent test-side encoder on the
+    same samples."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _wav_decode_samples,
+        encode_wav,
+    )
+
+    left = [(i * 1103) % 65536 - 32768 for i in range(48)]
+    right = [(i * 2047) % 65536 - 32768 for i in range(48)]
+    rate, mono = _wav_decode_samples(encode_wav([left, right]))
+    assert rate == 8000
+    assert mono == [(a + b) / 65536.0 for a, b in zip(left, right)]
+    _, mono8 = _wav_decode_samples(
+        encode_wav([[(i * 37) % 256 for i in range(32)]], bits=8)
+    )
+    assert mono8 == [((i * 37) % 256 - 128) / 128.0 for i in range(32)]
+    # differential vs the independent test encoder: identical decode
+    _, ref = _wav_decode_samples(_wav_encode_test([left, right]))
+    assert mono == ref
+    with pytest.raises(ValueError, match="equal-length"):
+        encode_wav([left, right[:-1]])
+    with pytest.raises(ValueError, match="outside"):
+        encode_wav([[40000]])
+    with pytest.raises(ValueError, match="PCM"):
+        encode_wav([[0]], bits=24)

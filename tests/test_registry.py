@@ -28,8 +28,8 @@ ROWS_ONLY: set[str] = set()
 
 
 def test_counts():
-    assert len(QUERIES) == 211
-    assert len(ORACLES) == 211
+    assert len(QUERIES) == 212
+    assert len(ORACLES) == 212
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -116,10 +116,12 @@ def test_first_50_is_the_round12_rotation_window():
     dsir_gumbel, table_snapshot_asof, join_fuzzy_match, each already
     hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so the
     driver row is the first INDEPENDENT confirmation, not the first
-    proof) + the head of the r7-stale cohort, the registry's oldest
-    driver greens. The news displace the cohort's alphabetical tail,
-    which heads _ROUND13_QUEUE; after this round the freshness
-    histogram has at most |_ROUND13_QUEUE| entries below r8."""
+    proof) + multimodal_gif_frames (the r11 GIF codec family driven on
+    true bits, the r11 verdict's item 5) + the head of the r7-stale
+    cohort, the registry's oldest driver greens. The news displace the
+    cohort's alphabetical tail, which heads _ROUND13_QUEUE; after this
+    round the freshness histogram has at most |_ROUND13_QUEUE| entries
+    below r8."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -326,7 +328,7 @@ def test_staged_round13_registrations():
     }
     assert flipped <= set(QUERIES)
     assert flipped <= set(ORACLES)
-    assert set(STAGED_QUERIES) == set()
+    assert set(STAGED_QUERIES) == {"multimodal_wav_envelope"}
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
 
