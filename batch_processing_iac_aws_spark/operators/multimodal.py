@@ -1928,8 +1928,8 @@ def _gif_lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
     for v in indexes:
         if not 0 <= v < clear:
             raise ValueError(
-                f"encode_gif: palette index {v} outside the "
-                f"{clear}-color table"
+                f"encode_gif: index {v} outside the {clear}-symbol "
+                "LZW alphabet"
             )
         cur = prev + (v,)
         if cur in table:
@@ -1979,6 +1979,10 @@ def encode_gif(
         raise ValueError("encode_gif: empty logical screen")
     if not 2 <= len(palette_rgb) <= 256:
         raise ValueError("encode_gif: palette must hold 2..256 colors")
+    if not frames:
+        # a frameless stream is one every decoder (including ours)
+        # rejects — refuse at encode time, not at the first decode
+        raise ValueError("encode_gif: at least one frame is required")
     depth = 1
     while (2 << (depth - 1)) < len(palette_rgb):
         depth += 1
@@ -1996,6 +2000,15 @@ def encode_gif(
             raise ValueError("encode_gif: frame rect outside the screen")
         if len(idx) != w * h:
             raise ValueError("encode_gif: index count != rect size")
+        # validate against the PALETTE, not the (padded) color-table /
+        # LZW alphabet size: an index in the black-padded tail would
+        # encode fine and silently decode as luma 0
+        bad = next((v for v in idx if not 0 <= v < len(palette_rgb)), None)
+        if bad is not None:
+            raise ValueError(
+                f"encode_gif: palette index {bad} outside the "
+                f"{len(palette_rgb)}-color palette"
+            )
         disposal = int(opts.get("disposal", 0))
         transparent = opts.get("transparent")
         if disposal or transparent is not None:
@@ -2048,9 +2061,9 @@ def encode_wav(
         raise ValueError("encode_wav: channels must be equal-length")
     n_ch, n_frames = len(channels), len(channels[0])
     if bits == 16:
-        lo, hi, fmt_char, off = -32768, 32767, "h", 0
-    elif bits == 8:
-        lo, hi, fmt_char, off = 0, 255, "B", 0
+        lo, hi, fmt_char = -32768, 32767, "h"
+    elif bits == 8:  # 8-bit WAV is unsigned by spec
+        lo, hi, fmt_char = 0, 255, "B"
     else:
         raise ValueError(f"encode_wav: {bits}-bit PCM (8/16 supported)")
     inter = []
@@ -2061,7 +2074,7 @@ def encode_wav(
                 raise ValueError(
                     f"encode_wav: sample {v} outside {bits}-bit range"
                 )
-            inter.append(v + off)
+            inter.append(v)
     frames = struct.pack(f"<{len(inter)}{fmt_char}", *inter)
     block_align = n_ch * bits // 8
     fmt = struct.pack(

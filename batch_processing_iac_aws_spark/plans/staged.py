@@ -220,24 +220,16 @@ def table_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_streaming_ingest_dedup(spark, src, table, index, ckpt)
 
     # gate audits are AGGREGATES, never table collects (the
-    # layout_audit discipline): the invariance compare is a count +
-    # decimal-summed xxhash64 digest — two scalar rows on the driver at
-    # any corpus size — and the prefix property is an exceptAll count
-    # (snapshot-0 rows minus snapshot-1 rows must be the empty set).
-    def _digest(df: DataFrame) -> "tuple[int, int]":
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(
-                    F.struct("doc_id", "content_hash", "ingest_batch")
-                ).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        return int(r["n"]), int(r["h"] if r["h"] is not None else 0)
+    # layout_audit discipline): the invariance compare is the shared
+    # survivor_digest (plans/stream_windows.py — count + decimal-summed
+    # xxhash64, two scalar rows on the driver at any corpus size) and
+    # the prefix property is an exceptAll count (snapshot-0 rows minus
+    # snapshot-1 rows must be the empty set).
+    from .stream_windows import survivor_digest
 
     _cols = ["doc_id", "content_hash", "ingest_batch"]
 
-    asof1_before = _digest(
+    asof1_before = survivor_digest(
         read_table(spark, table, as_of_batch=1, lineage_col="ingest_batch")
         .select(_cols)
     )
@@ -245,7 +237,7 @@ def table_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof1 = read_table(
         spark, table, as_of_batch=1, lineage_col="ingest_batch"
     ).select(_cols)
-    asof1_after = _digest(asof1)
+    asof1_after = survivor_digest(asof1)
     refused = False
     try:
         read_table(spark, table, as_of_batch=0)

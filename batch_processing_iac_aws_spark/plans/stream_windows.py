@@ -25,6 +25,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def survivor_digest(df: DataFrame) -> "tuple[int, int]":
+    """Order-insensitive multiset digest of a store table's survivor
+    rows — count + decimal-summed xxhash64 of the (doc_id,
+    content_hash, ingest_batch) struct (decimal so a 100 TB corpus's
+    sum cannot overflow the ANSI long). THE gate-audit compare for
+    store-backed composition rows (shared with plans/staged.py's
+    snapshot row): two scalar rows on the driver at any corpus size,
+    the layout_audit discipline — never a table collect."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(
+                F.struct("doc_id", "content_hash", "ingest_batch")
+            ).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return int(r["n"]), int(r["h"] if r["h"] is not None else 0)
+
+
 _TUMBLING_ORACLE = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
@@ -1133,24 +1152,7 @@ def streaming_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate 3: crash-replay of batch 2 (policy check + batch-keyed
     # overwrite, exactly foreachBatch(2)'s replay) is a fixpoint: the
     # policy no-ops at the watermark and the overwrite lands identical.
-    # The before/after survivor compare is an order-insensitive hash
-    # AGGREGATE (count + decimal-summed xxhash64 of the row struct —
-    # decimal so a 100 TB corpus's sum cannot overflow the ANSI long),
-    # never a table collect: the audit stays two scalar rows on the
-    # driver at any corpus size, the layout_audit discipline every
-    # sibling composition row follows.
-    def _survivor_digest(df: DataFrame) -> "tuple[int, int]":
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(
-                    F.struct("doc_id", "content_hash", "ingest_batch")
-                ).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        return int(r["n"]), int(r["h"] if r["h"] is not None else 0)
-
-    survivors_pre = _survivor_digest(read_table(spark, table))
+    survivors_pre = survivor_digest(read_table(spark, table))
     replay_noop = (
         compact_if_needed(
             spark, table, committed_upto=1, max_batches=1
@@ -1165,7 +1167,7 @@ def streaming_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(files[2]), 2,
         table_dir=table, index_dir=index,
     )
-    survivors_post = _survivor_digest(read_table(spark, table))
+    survivors_post = survivor_digest(read_table(spark, table))
     fixpoint = (
         replay_noop
         and survivors_pre == survivors_post

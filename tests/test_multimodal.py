@@ -2633,6 +2633,12 @@ def test_encode_gif_roundtrip_animation_and_validation():
         encode_gif(8, 8, pal, [(0, 0, 8, 8, idx0[:-1], {})])
     with pytest.raises(ValueError, match="outside the"):
         encode_gif(2, 2, pal, [(0, 0, 2, 2, [0, 1, 2, 9], {})])
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_gif(8, 8, pal, [])
+    # index in the black-padded color-table tail (valid for LZW, not in
+    # the palette) must refuse at encode time, not decode as luma 0
+    with pytest.raises(ValueError, match="3-color palette"):
+        encode_gif(2, 2, pal[:3], [(0, 0, 2, 2, [0, 1, 2, 3], {})])
 
 
 def test_encode_gif_property_random_roundtrip():
