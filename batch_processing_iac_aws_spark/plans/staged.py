@@ -482,3 +482,131 @@ def multimodal_wav_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(4)],
     )
+
+
+@staged_query(
+    "multimodal_audio_near_dup",
+    oracle="""
+WITH media AS (
+    SELECT doc_id, text, 1.0 AS g FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, 0.5 AS g
+    FROM documents WHERE doc_id < 15
+), smp AS (
+    SELECT m.doc_id, m.g, i.i,
+           2 * (CAST(md5_number_lower(m.text || ':0:' || CAST(i.i AS
+                VARCHAR)) % 1152921504606846976 AS BIGINT) % 32768
+                - 16384) AS l,
+           2 * (CAST(md5_number_lower(m.text || ':1:' || CAST(i.i AS
+                VARCHAR)) % 1152921504606846976 AS BIGINT) % 32768
+                - 16384) AS r
+    FROM media m, range(64) i(i)
+), mono AS (
+    SELECT doc_id, i, g * (l + r) / 65536.0 AS m FROM smp
+), eng AS (
+    SELECT doc_id, i // 2 AS j, SUM(m * m) AS e
+    FROM mono GROUP BY 1, 2
+), tot AS (SELECT doc_id, SUM(e) AS t FROM eng GROUP BY 1),
+sig AS (
+    SELECT e.doc_id,
+           CAST(SUM(CASE WHEN 32 * e.e > tt.t
+                         THEN (CAST(1 AS BIGINT) << CAST(e.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS ph
+    FROM eng e JOIN tot tt USING (doc_id) GROUP BY e.doc_id
+)
+SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 2
+""",
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAIN-INVARIANT audio near-dup on TRUE PCM bits — the audio
+    composition of the multimodal family, end-to-end through the real
+    codec: every document becomes a stereo 16-bit WAV (engine
+    encode_wav), docs with doc_id < 15 RE-ENTER at id + 1,000,000 as a
+    re-mastered upload at exactly half gain (samples are even ints, so
+    halving is lossless — the decorated match path provably fires at
+    hamming 0), the registered pipeline decodes every payload
+    (operators/multimodal.py:_wav_decode_samples — RIFF walk, PCM
+    unpack, mean stereo downmix), folds 32 block ENERGIES, and runs the
+    shared perceptual-hash tail (ahash_pack louder-than-mean voting ->
+    hamming_band_pairs 4-chunk pigeonhole join, exact bit_count verify
+    — the identical plan the image corpus runs).
+
+    Why energies, not the RMS envelope: block energy is an EXACT binary
+    rational (samples live on the 2^-16 lattice, squares and sums stay
+    under 2^53), so the louder-than-mean vote 32*e_j > sum(e) is an
+    exact, order-insensitive comparison both engines reproduce
+    bit-for-bit — and gain g scales every energy by g^2 uniformly, so
+    the vote (hence the hash) is gain-invariant by construction, not by
+    tolerance. The DuckDB twin replays samples -> downmix -> energies
+    -> votes -> packing and scores ALL pairs exhaustively, proving the
+    banding's structural recall against an unbanded scan (the
+    multimodal_phash_pairs strategy pointed at audio). Payloads never
+    cross a shuffle — one long per media item enters the band join."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _wav_decode_samples,
+        encode_wav,
+        media_phash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.withColumn("g", F.lit(1))
+    dup = (
+        d.filter(F.col("doc_id") < 15)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .withColumn("g", F.lit(2))  # divisor: half gain
+    )
+    src = base.unionByName(dup)
+
+    def _smp(text: str, ch: int, i: int) -> int:
+        dig = hashlib.md5(f"{text}:{ch}:{i}".encode("utf-8")).digest()
+        v = int.from_bytes(dig[8:16], "little") % (1 << 60)
+        return 2 * (v % 32768 - 16384)  # even, so half gain is exact
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text, g in zip(
+                pdf["doc_id"], pdf["text"], pdf["g"]
+            ):
+                left = [_smp(text, 0, i) // g for i in range(64)]
+                right = [_smp(text, 1, i) // g for i in range(64)]
+                ids.append(did)
+                payloads.append(encode_wav([left, right]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = src.mapInPandas(build, schema="media_id long, payload binary")
+
+    def featurize(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                _rate, mono = _wav_decode_samples(bytes(b))
+                n = len(mono)
+                feats.append(
+                    [
+                        sum(
+                            v * v
+                            for v in mono[(j * n) // 32 : ((j + 1) * n) // 32]
+                        )
+                        for j in range(32)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    featured = media.mapInPandas(
+        featurize, schema="media_id long, features array<double>"
+    )
+    return (
+        media_phash_pairs(featured, dim=32, max_hamming=2)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("media_id_a", "media_id_b")
+    )

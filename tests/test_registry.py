@@ -328,7 +328,10 @@ def test_staged_round13_registrations():
     }
     assert flipped <= set(QUERIES)
     assert flipped <= set(ORACLES)
-    assert set(STAGED_QUERIES) == {"multimodal_wav_envelope"}
+    assert set(STAGED_QUERIES) == {
+        "multimodal_wav_envelope",
+        "multimodal_audio_near_dup",
+    }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
 
