@@ -1898,7 +1898,12 @@ def gif_frame_fn(payload: bytes, idx: int) -> bytes:
     return frames[min(idx, len(frames) - 1)]
 
 
-def _gif_lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
+def _gif_lzw_encode(
+    min_code_size: int,
+    indexes: "list[int]",
+    *,
+    _stats: "dict | None" = None,
+) -> bytes:
     """GIF-flavored LZW COMPRESSOR (the sink twin of
     :func:`_gif_lzw_decode`): greedy longest-match dictionary build,
     variable code width 3..12 bits with the canonical grow rule (width
@@ -1907,7 +1912,9 @@ def _gif_lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
     code 4096 the dictionary FREEZES and matching continues against the
     frozen table (GIF89a spec appendix F; decoders, including ours,
     stop adding at 4096 for exactly this case). Thumbnail-scale frames
-    never reach the ceiling, but a correct sink must honor it."""
+    never reach the ceiling, but a correct sink must honor it.
+    ``_stats``, when given, receives ``max_next_code`` — test-only
+    instrumentation proving the ceiling branch actually fired."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     buf = nbits = 0
@@ -1947,6 +1954,8 @@ def _gif_lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
     emit(end, width)
     if nbits:
         out.append(buf & 0xFF)
+    if _stats is not None:
+        _stats["max_next_code"] = next_code
     return bytes(out)
 
 
@@ -1983,6 +1992,13 @@ def encode_gif(
         # a frameless stream is one every decoder (including ours)
         # rejects — refuse at encode time, not at the first decode
         raise ValueError("encode_gif: at least one frame is required")
+    if not 0 <= bg_index < len(palette_rgb):
+        # same validate-loudly contract as pixel indexes: a background
+        # in the black-padded color-table tail would encode silently
+        raise ValueError(
+            f"encode_gif: bg_index {bg_index} outside the "
+            f"{len(palette_rgb)}-color palette"
+        )
     depth = 1
     while (2 << (depth - 1)) < len(palette_rgb):
         depth += 1
@@ -2011,6 +2027,13 @@ def encode_gif(
             )
         disposal = int(opts.get("disposal", 0))
         transparent = opts.get("transparent")
+        if transparent is not None and not (
+            0 <= int(transparent) < len(palette_rgb)
+        ):
+            raise ValueError(
+                f"encode_gif: transparent index {int(transparent)} "
+                f"outside the {len(palette_rgb)}-color palette"
+            )
         if disposal or transparent is not None:
             out += bytes([0x21, 0xF9, 4])  # graphic control extension
             out.append(

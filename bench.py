@@ -165,8 +165,9 @@ HEADLINE = [
     "multimodal_gif_frames",
 ]
 
-# FROZEN core yardstick (round 10, verdict item 5): the headline set grew
-# 36 -> 57 across ten rounds, so cross-round totals of the FULL set are
+# FROZEN core yardstick (round 10, verdict item 5): the headline set keeps
+# growing from its original 36 queries, so cross-round totals of the FULL
+# set are
 # not comparable — coverage growth reads as regression. CORE is the
 # round-5-era headline prefix (33 queries: the 34-query prefix stable
 # since r5 minus the retired dedup_simhash) and MUST NEVER CHANGE — the

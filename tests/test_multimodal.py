@@ -2639,6 +2639,16 @@ def test_encode_gif_roundtrip_animation_and_validation():
     # the palette) must refuse at encode time, not decode as luma 0
     with pytest.raises(ValueError, match="3-color palette"):
         encode_gif(2, 2, pal[:3], [(0, 0, 2, 2, [0, 1, 2, 3], {})])
+    # bg_index and transparent follow the same validate-loudly contract
+    # as pixel indexes (r12 advice): out-of-palette values must refuse
+    # at encode time, not write a header pointing into the padded tail
+    with pytest.raises(ValueError, match="bg_index 200"):
+        encode_gif(2, 2, pal, [(0, 0, 2, 2, [0, 1, 2, 3], {})],
+                   bg_index=200)
+    with pytest.raises(ValueError, match="transparent index 200"):
+        encode_gif(
+            2, 2, pal, [(0, 0, 2, 2, [0, 1, 2, 3], {"transparent": 200})]
+        )
 
 
 def test_encode_gif_property_random_roundtrip():
@@ -2707,10 +2717,24 @@ def test_encode_gif_lzw_ceiling_freezes_dictionary():
 
     rng = random.Random(12)
     pal = [(v, v, v) for v in (0, 85, 170, 255)]
-    idx = [rng.randrange(4) for _ in range(96 * 96)]
-    payload = encode_gif(96, 96, pal, [(0, 0, 96, 96, idx, {})])
+    # 96x96 only grows the dictionary to ~2150 codes — 200x200 random
+    # 4-symbol pixels provably drive next_code past 4096 (r12 advice)
+    idx = [rng.randrange(4) for _ in range(200 * 200)]
+    payload = encode_gif(200, 200, pal, [(0, 0, 200, 200, idx, {})])
+    # prove the ceiling branch actually fired: a frozen dictionary means
+    # some 12-bit codes repeat in the stream long after the point where
+    # a still-growing encoder would have minted fresh codes; cheapest
+    # faithful instrumentation is to re-run the encoder's own LZW with a
+    # counter. Import the private helper and count.
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _gif_lzw_encode,
+    )
+
+    stats = {}
+    _gif_lzw_encode(2, idx, _stats=stats)
+    assert stats["max_next_code"] >= 4096, stats
     (w, h, luma), = decode_gif_frames(payload)
-    assert (w, h) == (96, 96)
+    assert (w, h) == (200, 200)
     assert luma == [85 * v for v in idx]
 
 
