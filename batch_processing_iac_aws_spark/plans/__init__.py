@@ -368,77 +368,102 @@ from . import staged  # noqa: E402,F401
 #     _ROUND13_QUEUE — bounded, ledgered, and still suite-proven every
 #     run (one more than the r11 brief's four-name estimate because the
 #     brief ALSO ordered the new media row into the window).
+#   round 13 window (this one) — the r12-pinned plan: flip the two
+#     round-12 staged audio pairs live (plans/staged.py —
+#     multimodal_wav_envelope, multimodal_audio_near_dup, both
+#     hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so
+#     the flip is proof-neutral) + ONE query new this round
+#     (dsir_mixture_select — the dataset_mixture -> dsir_select
+#     end-to-end curation composition, the r12 verdict's growth
+#     item 8) + the 5 r7-stale names pinned in the r12 queue + the
+#     entire 7-name r8-stale cohort + the 35-name alphabetical head of
+#     the r9-stale cohort. The 3 news displace the r9 cohort's
+#     alphabetical tail (15 names), which heads _ROUND14_QUEUE —
+#     bounded, ledgered, suite-proven every run; after this round the
+#     freshness histogram floor moves to r9.
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
-    #    enter the window): the four round-11 staged pairs, flipped,
-    #    plus the true-bits GIF codec row --
-    "dsir_gumbel",
-    "dsir_select",
-    "join_fuzzy_match",
-    "multimodal_gif_frames",
-    "table_snapshot_asof",
-    # -- the r7-stale cohort, oldest driver-greens in the registry
-    #    (oldest-first structural invariant; alphabetical within the
-    #    cohort tie) --
-    "agg_higher_moments",
-    "agg_mode",
-    "agg_quantile_bins",
-    "agg_regression",
-    "array_agg_funcs",
-    "array_funcs",
-    "corpus_quota_cap",
-    "data_quality_audit",
-    "dataset_mixture",
-    "dataset_split",
-    "dedup_fuzzy_pipeline",
-    "dedup_incremental_fuzzy_bloom",
-    "dedup_incremental_sparse",
-    "dedup_ngram_jaccard",
-    "docs_sparse_knn",
-    "docs_token_budget_bpe",
-    "embedding_centroid_outliers",
-    "embedding_quantize",
-    "events_retention_cohorts",
-    "events_rolling_distinct_users",
-    "events_transition_matrix",
-    "interval_expand",
-    "join_point_in_time",
-    "map_funcs",
-    "math_funcs",
-    "multimodal_meta",
-    "orc_roundtrip",
-    "parquet_schema_merge",
-    "sample_deterministic",
-    "search_bm25",
-    "search_inverted_index",
-    "similarity_ivf_pq",
-    "similarity_pq_rerank",
-    "snapshot_diff",
-    "stat_robust_zscore",
-    "stat_winsorize",
-    "streaming_dedup",
-    "streaming_join_stream",
-    "streaming_session",
-    "streaming_stateful_totals",
-    "table_profile",
-    "text_dedup_sentences",
-    "text_perplexity",
-    "text_pmi_pairs",
-    "text_rolling_hash",
-]
-
-#: Round-13 rotation queue, pinned now so a typo cannot silently drop a
-#: query from rotation (tests/test_registry.py asserts every name
-#: exists and that the queue equals the next-oldest cohort): the 5
-#: r7-stale names the round-12 news displaced — the only queries whose
-#: last driver green will predate r8 after this round. The r8 cohort
-#: follows them under the structural oldest-first invariant.
-_ROUND13_QUEUE = [
+    #    enter the window): the two round-12 staged audio pairs,
+    #    flipped, plus the mixture->DSIR curation composition --
+    "dsir_mixture_select",
+    "multimodal_audio_near_dup",
+    "multimodal_wav_envelope",
+    # -- the 5 r7-stale names (the r12 displaced tail, per the pinned
+    #    r12 queue), the registry's oldest driver greens --
     "text_tfidf_topk",
     "udaf_geomean",
     "udtf_chunk_words",
     "window_ntile",
     "zorder_roundtrip",
+    # -- the entire r8-stale cohort --
+    "variant_funcs",
+    "window_first_last",
+    "window_lag_lead",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_session",
+    "window_tumbling",
+    # -- the r9-stale cohort's alphabetical head (35 of 50; the tail
+    #    heads _ROUND14_QUEUE) --
+    "agg_argminmax",
+    "agg_corr",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "cluster_kmeans",
+    "corpus_line_dedup",
+    "dataset_mixture_epochs",
+    "dedup_incremental_ann",
+    "dedup_incremental_embedding",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_simhash",
+    "dedup_index_compact",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
+    "dedup_source_overlap",
+    "docs_token_budget",
+    "embedding_pca",
+    "events_funnel",
+    "in_subquery",
+    "join_anti",
+    "join_asof",
+    "join_full",
+    "join_interval_overlap",
+    "join_range",
+    "join_semi",
+    "latest_partition",
+    "multimodal_resize",
+    "pivot_status",
+    "q10_top_customers",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q1_pricing_summary",
+]
+
+#: Round-14 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name
+#: exists and that the queue equals the next-oldest cohort): the 15
+#: r9-stale names the round-13 news displaced — the only queries whose
+#: last driver green will predate r10 after this round. The r10 cohort
+#: follows them under the structural oldest-first invariant.
+_ROUND14_QUEUE = [
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_quality_weighted",
+    "set_except",
+    "sql_entrypoint",
+    "streaming_compacted_ingest",
+    "streaming_fuzzy_ingest",
+    "streaming_incremental_dedup",
+    "text_normalize",
+    "timeseries_gapfill",
+    "unpivot_measures",
+    "window_sliding",
 ]
 
 

@@ -31,7 +31,26 @@ Live as of round 12:
   levenshtein verify + deterministic best-match window
   (operators/joins.py:fuzzy_join).
 
-Round-13 staging area: pairs finished in round 12 that the round-12
+Live as of round 13 (the round-12 staged pair, flipped under the same
+proof-neutral rule — both hash-proven vs DuckDB at sf0.001/0.01/full
+sf0.1 while staged, per the ARCHITECTURE round-12 coda):
+
+* ``multimodal_wav_envelope`` — the true-bits audio seam: engine
+  encode_wav stereo PCM -> RIFF walk -> downmix -> block-RMS envelope.
+* ``multimodal_audio_near_dup`` — gain-invariant audio near-dup on
+  true PCM bits through the shared banded perceptual-hash join.
+
+New in round 13 (registered live, never staged — the end-to-end
+curation composition the r12 verdict's growth item 8 ordered):
+
+* ``dsir_mixture_select`` — ``dataset_mixture`` -> ``dsir_select``:
+  the weighted deterministic corpus mix IS the raw pool, a held-out
+  domain (source ``src0``) is the target, and the DSIR head keeps the
+  mixture docs most target-like — the query a real pretraining
+  curation pipeline runs, composed from two independently-green
+  operators.
+
+Round-14 staging area: pairs finished in round 13 that the round-13
 window could not absorb (every live registration displaces a stale
 rotation slot) register below with ``staged_query`` under the same
 every-suite-run differential gate.
@@ -391,7 +410,7 @@ def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", F.col("rid").alias("match_id"), "dist")
 
 
-@staged_query(
+@query(
     "multimodal_wav_envelope",
     oracle="""
 WITH smp AS (
@@ -484,7 +503,7 @@ def multimodal_wav_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "multimodal_audio_near_dup",
     oracle="""
 WITH media AS (
@@ -605,8 +624,91 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     featured = media.mapInPandas(
         featurize, schema="media_id long, features array<double>"
     )
+    # no terminal sort: the driver hash is order-insensitive and the
+    # sibling pair rows don't sort either — a global orderBy on the
+    # pair output would be an avoidable Exchange (r12 verdict)
+    return media_phash_pairs(featured, dim=32, max_hamming=2).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+_MIX_GATE = (
+    "substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2)"
+)
+_MIX_RAW = f"""(SELECT doc_id, text FROM documents
+    WHERE source <> 'src0'
+      AND ((lang = 'en' AND {_MIX_GATE} < '80')
+           OR (lang <> 'en' AND {_MIX_GATE} < '20')))"""
+_MIX_TARGET = "(SELECT doc_id, text FROM documents WHERE source = 'src0')"
+_MIX_K = 48
+
+
+@query(
+    "dsir_mixture_select",
+    oracle=f"""
+WITH w AS ({DSIR_ORACLE_SQL.format(
+        raw=_MIX_RAW, target=_MIX_TARGET,
+        n_buckets=_DSIR_BUCKETS, alpha=1.0,
+    )}),
+top AS (
+    SELECT doc_id, dsir_weight FROM w
+    ORDER BY dsir_weight DESC, doc_id
+    LIMIT {_MIX_K}
+)
+SELECT t.doc_id,
+       CASE WHEN d.lang = 'en' THEN 'en' ELSE 'rest' END AS mix_source,
+       t.dsir_weight
+FROM top t JOIN documents d ON d.doc_id = t.doc_id
+""",
+)
+def dsir_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition (r12 verdict growth item 8):
+    ``dataset_mixture`` -> ``dsir_select`` — the query a real
+    pretraining pipeline runs. The weighted deterministic mixture
+    (English at ~50%, everything else at ~12.5%, the exact live
+    ``dataset_mixture`` row's thresholds and salt) over every source
+    EXCEPT the held-out domain ``src0`` plays the RAW pool; ``src0``
+    itself is the high-quality TARGET corpus; the DSIR head keeps the
+    48 mixture docs whose hashed unigram+bigram profile is most
+    over-represented under the target distribution, each tagged with
+    the mixture source it arrived through.
+
+    Scale shape — the composition inherits both parents' shapes and
+    adds nothing: the mixture is a map-only hash-gate filter pushed
+    into the scan (no shuffle, reproducible on any partitioning), DSIR
+    reads that filtered scan once (model collapses to <= 1024 buckets,
+    scoring is one broadcast hash join, head is TakeOrdered), and the
+    final mix_source tag re-joins the 48-row head back through a
+    BROADCAST join against a doc_id+mix_source projection (column
+    pruning keeps the second scan at two columns; at 100 TB the
+    alternative — threading mix_source through the gram explode —
+    would widen every shuffle row for a tag only 48 survivors need).
+    Portable md5 family on both engines, as in ``dsir_select``."""
+    from ..operators.corpus import dataset_mixture
+    from ..operators.selection import dsir_select_topk
+    from .llm import _md5_lower60
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source") == "src0").select("doc_id", "text")
+    pool = d.filter(F.col("source") != "src0")
+    mixed = dataset_mixture(
+        {
+            "en": (pool.filter(F.col("lang") == "en"), "80"),
+            "rest": (pool.filter(F.col("lang") != "en"), "20"),
+        },
+        key_col="doc_id",
+    )
+    top = dsir_select_topk(
+        mixed.select("doc_id", "text"), tgt,
+        k=_MIX_K, n_buckets=_DSIR_BUCKETS, alpha=1.0,
+        token_hash=_md5_lower60,
+    ).select(
+        "doc_id",
+        # `+ 0.0` mirrors the oracle template's `+ 0` (IEEE -0.0 fix)
+        (F.col("dsir_weight") + F.lit(0.0)).alias("dsir_weight"),
+    )
     return (
-        media_phash_pairs(featured, dim=32, max_hamming=2)
-        .withColumn("hamming", F.col("hamming").cast("int"))
-        .orderBy("media_id_a", "media_id_b")
+        mixed.select("doc_id", "mix_source")
+        .join(F.broadcast(top), "doc_id")
+        .select("doc_id", "mix_source", "dsir_weight")
     )

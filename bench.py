@@ -163,6 +163,14 @@ HEADLINE = [
     # engine-encoded 2-frame animations decoded + composed through the
     # real sample_frames/gif_frame_fn path, block-mean featurized
     "multimodal_gif_frames",
+    # round 13: the two round-12 staged audio pairs flipped live — the
+    # true-bits WAV codec seam (encode -> RIFF walk -> downmix ->
+    # block-RMS envelope) and the gain-invariant audio near-dup over
+    # the shared banded perceptual-hash join — plus the
+    # dataset_mixture -> dsir_select end-to-end curation composition
+    "multimodal_wav_envelope",
+    "multimodal_audio_near_dup",
+    "dsir_mixture_select",
 ]
 
 # FROZEN core yardstick (round 10, verdict item 5): the headline set keeps

@@ -295,3 +295,36 @@ def test_dsir_gumbel_sample_matches_python_and_is_reproducible(spark):
         ).collect()
     ]
     assert cold == top
+
+
+def test_dsir_mixture_select_composition(spark):
+    """The registered dataset_mixture -> dsir_select composition
+    (plans/staged.py:dsir_mixture_select): (a) plan shape — the
+    mixture adds NO shuffle (no SortMergeJoin anywhere; the scoring
+    and the 48-row mix_source tag join are both broadcast), (b)
+    semantics — every selected doc passed the mixture's hash gate,
+    none comes from the held-out target domain src0, and mix_source
+    agrees with the doc's lang."""
+    import hashlib
+
+    from batch_processing_iac_aws_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["dsir_mixture_select"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) == 48
+    docs = {
+        r["doc_id"]: (r["lang"], r["source"])
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang", "source")
+        .collect()
+    }
+    for r in rows:
+        lang, source = docs[r["doc_id"]]
+        assert source != "src0"
+        assert r["mix_source"] == ("en" if lang == "en" else "rest")
+        gate = hashlib.md5(f"mix{r['doc_id']}".encode()).hexdigest()[:2]
+        assert gate < ("80" if lang == "en" else "20")
