@@ -125,6 +125,140 @@ class LocalStoreBackend(StoreBackend):
         shutil.rmtree(path, ignore_errors=True)
 
 
+class FakeObjectStoreBackend(StoreBackend):
+    """OBJECT-STORE-semantics backend over local storage — the second
+    first-class StoreBackend, pinning the exact commit protocol the
+    documented S3 port needs before any real client exists. The data
+    plane still writes real files (exactly as Spark's s3a/Hadoop layer
+    would against a bucket); what changes is every control-plane
+    contract:
+
+    - ``put_small_atomic`` is NOT a rename (object stores have none).
+      It is the conditional-put loop the Delta/Iceberg-style pointer
+      flip uses on S3 since conditional writes shipped: GET the current
+      (content, etag) -> on absence PUT-if-absent (``If-None-Match: *``)
+      -> otherwise PUT-if-match (``If-Match: <etag>``) -> on a
+      precondition failure (a concurrent committer won the race)
+      re-read and retry. The primitives are public
+      (:meth:`put_if_absent` / :meth:`put_if_match`) because they ARE
+      the port's protocol; the S3 client maps them 1:1 onto the two
+      header forms.
+    - ``is_dir`` is PREFIX existence: a "directory" exists iff at least
+      one object lives under it — an empty local directory is invisible
+      here, exactly as on a bucket.
+    - ``list_names``/``list_files`` are delimiter-``/`` prefix listings
+      reconstructed from object keys, not readdir.
+    - ``remove_tree`` is delete-by-prefix.
+
+    Single-process linearization uses one lock (a bucket serializes
+    conditional puts per key server-side); ``contend_hook``, when set,
+    runs between the GET and the conditional PUT — the test seam that
+    forces the CAS retry path a real concurrent committer would."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.contend_hook = None
+        self.cas_retries = 0  # observability: how often the loop looped
+
+    # -- the port protocol: the two conditional-put primitives --------
+    def put_if_absent(self, path: str, text: str) -> bool:
+        """PUT with ``If-None-Match: *``: succeed only if no object
+        exists at ``path``. Returns False on precondition failure."""
+        with self._lock:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as fh:
+                fh.write(text)
+            return True
+
+    def put_if_match(self, path: str, text: str, etag: str) -> bool:
+        """PUT with ``If-Match: <etag>``: succeed only if the object's
+        current etag equals ``etag``. Returns False on precondition
+        failure (missing object or a concurrent overwrite)."""
+        with self._lock:
+            try:
+                if self._etag(path) != etag:
+                    return False
+            except FileNotFoundError:
+                return False
+            tmp = f"{path}.swap"
+            with open(tmp, "w") as fh:
+                fh.write(text)
+            os.replace(tmp, path)  # emulates the object's atomic swap
+            return True
+
+    @staticmethod
+    def _etag(path: str) -> str:
+        import hashlib
+
+        with open(path, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    # -- StoreBackend contract ----------------------------------------
+    def read_small(self, path: str) -> str:
+        if not os.path.isfile(path):
+            raise FileNotFoundError(path)
+        with open(path) as fh:
+            return fh.read()
+
+    def put_small_atomic(self, path: str, text: str) -> None:
+        for _ in range(64):
+            try:
+                etag = self._etag(path)
+            except FileNotFoundError:
+                etag = None
+            if self.contend_hook is not None:
+                self.contend_hook(path)
+            ok = (
+                self.put_if_absent(path, text)
+                if etag is None
+                else self.put_if_match(path, text, etag)
+            )
+            if ok:
+                return
+            self.cas_retries += 1
+        raise OSError(
+            f"put_small_atomic: conditional put at {path} lost 64 "
+            "consecutive races — livelocked committer"
+        )
+
+    def _walk_keys(self, prefix: str) -> "list[str]":
+        keys = []
+        for dirpath, _dirs, files in os.walk(prefix):
+            for f in files:
+                keys.append(os.path.join(dirpath, f))
+        return keys
+
+    def is_dir(self, path: str) -> bool:
+        # prefix existence: empty local dirs are invisible, as on a
+        # bucket (objects define the namespace, directories don't exist)
+        return bool(self._walk_keys(path))
+
+    def list_names(self, path: str) -> "list[str]":
+        keys = self._walk_keys(path)
+        if not keys:
+            raise FileNotFoundError(path)
+        pref = path.rstrip("/") + "/"
+        return sorted(
+            {k[len(pref):].split(os.sep, 1)[0] for k in keys}
+        )
+
+    def list_files(self, path: str) -> "list[str]":
+        names = self.list_names(path)
+        return [
+            n for n in names
+            if os.path.isfile(f"{path.rstrip('/')}/{n}")
+        ]
+
+    def remove_tree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 #: Process-wide control-plane client. Swap with set_store_backend for an
 #: object-store port (or a fake in tests); module-global because store
 #: paths, not store handles, are the API every caller already holds.

@@ -27,7 +27,32 @@ def _digests(spark, rows):
     ).select(F.sha2("text", 256).alias("content_hash"))
 
 
-def test_append_read_roundtrip_and_batch_partitions(spark, tmp_path):
+@pytest.fixture(params=["local", "object_store"])
+def store_backend_impl(request):
+    """Run a lifecycle test under BOTH first-class backends: the POSIX
+    default (rename-based pointer flips, readdir listings) and the
+    object-store fake (conditional-put commit protocol, prefix-existence
+    is_dir, key-derived listings). The store functions must not be able
+    to tell them apart — any lifecycle behavior that only holds under
+    rename semantics is a bug the S3 port would inherit."""
+    if request.param == "local":
+        yield "local"
+        return
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        FakeObjectStoreBackend,
+        set_store_backend,
+    )
+
+    prev = set_store_backend(FakeObjectStoreBackend())
+    try:
+        yield "object_store"
+    finally:
+        set_store_backend(prev)
+
+
+def test_append_read_roundtrip_and_batch_partitions(
+    spark, tmp_path, store_backend_impl
+):
     idx = str(tmp_path / "idx")
     append_index(_digests(spark, [(1, "a"), (2, "b")]), idx, batch_id=0)
     append_index(_digests(spark, [(3, "c")]), idx, batch_id=1)
@@ -44,13 +69,13 @@ def test_append_read_roundtrip_and_batch_partitions(spark, tmp_path):
     assert got.where(F.col("batch_seq") == 1).count() == 2
 
 
-def test_read_before_any_commit_is_loud(spark, tmp_path):
+def test_read_before_any_commit_is_loud(spark, tmp_path, store_backend_impl):
     with pytest.raises(FileNotFoundError):
         read_index(spark, str(tmp_path / "never"))
 
 
 def test_first_append_crash_before_commit_replays_to_fixpoint(
-    spark, tmp_path
+    spark, tmp_path, store_backend_impl
 ):
     """A crash between the first data write and the CURRENT commit leaves
     no pointer; the replay must take the same first-append path and end
@@ -69,7 +94,7 @@ def test_first_append_crash_before_commit_replays_to_fixpoint(
 
 
 def test_compact_merges_batches_preserves_rows_and_guards_replays(
-    spark, tmp_path
+    spark, tmp_path, store_backend_impl
 ):
     idx = str(tmp_path / "idx")
     for b in range(4):
@@ -374,7 +399,7 @@ def test_append_to_ivf_index_salt_splits_giant_cell_at_write(
 
 
 def test_foreign_layout_refuses_instead_of_silently_first_batching(
-    spark, tmp_path
+    spark, tmp_path, store_backend_impl
 ):
     """A pre-store bare batch_seq=* parquet tree (the old read-by-path
     layout) has no CURRENT pointer; treating it as 'first batch' would
@@ -533,7 +558,9 @@ def test_table_store_streaming_checkpoint_continues_after_compaction(
     ) == [(0, 0), (1, 0), (11, 1), (21, 2)]
 
 
-def test_compact_if_needed_thresholds_and_committed_horizon(spark, tmp_path):
+def test_compact_if_needed_thresholds_and_committed_horizon(
+    spark, tmp_path, store_backend_impl
+):
     """The maintenance policy: below threshold it must touch NOTHING
     (same generation dir, no rewrite), above it compacts exactly up to
     the caller's committed horizon, and a horizon at/below the existing
@@ -617,7 +644,9 @@ def test_compact_if_needed_noop_is_metadata_only(spark, tmp_path):
     assert audit is not None and audit["batches_after"] == 1
 
 
-def test_migrate_bare_tree_refuse_then_migrate_then_append(spark, tmp_path):
+def test_migrate_bare_tree_refuse_then_migrate_then_append(
+    spark, tmp_path, store_backend_impl
+):
     """The operational gap the foreign-layout refusal describes: a
     pre-store bare batch_seq=* tree refuses appends until migrated;
     migrate_bare_tree rewrites every old partition under one committed
@@ -681,7 +710,9 @@ def _texts(spark, rows, batch):
     ).withColumn("ingest_batch", F.lit(batch))
 
 
-def test_snapshot_asof_reads_exact_prefix_and_prunes(spark, tmp_path):
+def test_snapshot_asof_reads_exact_prefix_and_prunes(
+    spark, tmp_path, store_backend_impl
+):
     """as_of_batch=K is the store's snapshot read: exactly the rows of
     batches <= K, and the cutoff reaches the scan as a PartitionFilter
     (pruned directories, not a post-scan filter) — at a 100 TB rolling
@@ -794,7 +825,9 @@ def test_snapshot_below_watermark_with_lineage_recovers_exact_batch(
 # --- schema-drift refusal (the generation's SCHEMA contract) ----------
 
 
-def test_append_schema_drift_refuses_before_write(spark, tmp_path):
+def test_append_schema_drift_refuses_before_write(
+    spark, tmp_path, store_backend_impl
+):
     """A batch whose payload schema drifted from the store's contract
     must refuse BEFORE any write: heterogeneous partition schemas make
     read_index resolve to one random footer and silently drop columns
@@ -838,7 +871,7 @@ def test_append_schema_drift_refuses_before_write(spark, tmp_path):
 
 
 def test_schema_contract_self_heals_and_survives_compaction(
-    spark, tmp_path
+    spark, tmp_path, store_backend_impl
 ):
     """Stores created before the contract existed (no SCHEMA file)
     derive it from the committed footers on the first append and
@@ -1053,3 +1086,92 @@ def test_store_backend_seam_routes_all_control_plane_ops():
             _assert_store_layout(foreign)
     finally:
         set_store_backend(prev)
+
+
+def test_fake_object_store_conditional_put_protocol(tmp_path):
+    """The commit protocol the S3 port needs, pinned on the fake:
+    put_if_absent refuses an existing key (If-None-Match: *),
+    put_if_match refuses a stale or missing etag (If-Match),
+    put_small_atomic loses a simulated race and RETRIES through the
+    CAS loop to the caller's final value, and a pathological always-
+    losing committer fails loudly instead of livelocking."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        FakeObjectStoreBackend,
+    )
+
+    be = FakeObjectStoreBackend()
+    key = str(tmp_path / "store" / "CURRENT")
+    # create-if-absent: first wins, second refuses
+    assert be.put_if_absent(key, "gen-0") is True
+    assert be.put_if_absent(key, "gen-X") is False
+    assert be.read_small(key) == "gen-0"
+    # compare-and-swap: correct etag wins, stale etag refuses
+    etag = be._etag(key)
+    assert be.put_if_match(key, "gen-1", etag) is True
+    assert be.put_if_match(key, "gen-2", etag) is False  # stale now
+    assert be.read_small(key) == "gen-1"
+    assert be.put_if_match(str(tmp_path / "nope"), "x", etag) is False
+    # the CAS loop: a concurrent committer sneaks in between the GET
+    # and the conditional PUT exactly once; the loop must detect the
+    # precondition failure, re-read, and land the caller's value
+    raced = {"n": 0}
+
+    def contend(path):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            assert be.put_if_match(path, "gen-intruder", be._etag(path))
+
+    be.contend_hook = contend
+    be.put_small_atomic(key, "gen-2")
+    be.contend_hook = None
+    assert be.read_small(key) == "gen-2"
+    assert be.cas_retries == 1
+    # livelock guard: always losing must raise, not spin forever
+    steal = {"n": 0}
+
+    def always_lose(path):
+        # a DISTINCT value each time, so the etag keeps moving and the
+        # committer's compare-and-swap can never catch up
+        steal["n"] += 1
+        be_inner = FakeObjectStoreBackend()
+        assert be_inner.put_if_match(
+            path, f"thief-{steal['n']}", be._etag(path)
+        )
+
+    be.contend_hook = always_lose
+    with pytest.raises(OSError, match="consecutive races"):
+        be.put_small_atomic(key, "never-lands")
+
+
+def test_fake_object_store_prefix_semantics(tmp_path):
+    """Object-store namespace rules the POSIX backend can't exhibit:
+    an empty directory is INVISIBLE (no objects under the prefix),
+    is_dir is prefix existence, and listings are reconstructed from
+    keys — including names that are dirs locally but empty (absent)."""
+    import os
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.index_store import (
+        FakeObjectStoreBackend,
+    )
+
+    be = FakeObjectStoreBackend()
+    root = str(tmp_path / "bucket" / "idx")
+    os.makedirs(f"{root}/empty-gen")  # a local dir with no objects
+    assert be.is_dir(root) is False  # no keys yet -> prefix absent
+    with pytest.raises(FileNotFoundError):
+        be.list_names(root)
+    assert be.put_if_absent(f"{root}/gen-0/data/part-0.parquet", "x")
+    assert be.put_if_absent(f"{root}/CURRENT", "gen-0")
+    assert be.is_dir(root) is True
+    assert be.is_dir(f"{root}/gen-0") is True
+    assert be.is_dir(f"{root}/empty-gen") is False
+    # empty-gen is invisible in the listing; CURRENT + gen-0 are not
+    assert be.list_names(root) == ["CURRENT", "gen-0"]
+    assert be.list_files(root) == ["CURRENT"]
+    be.remove_tree(f"{root}/gen-0")
+    assert be.is_dir(f"{root}/gen-0") is False
+    assert be.list_names(root) == ["CURRENT"]
