@@ -2110,3 +2110,354 @@ def encode_wav(
         + (b"\x00" if len(frames) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _jpeg_canonical_tables():
+    """The minimal canonical Huffman pair every encoder here uses: all
+    12 DC category symbols at one code length, and EOB/ZRL plus every
+    (run 0-15, size 1-10) AC symbol at one (longer) length. Returns
+    ``(dc_counts, dc_syms, dc_map, ac_counts, ac_syms, ac_map)`` with
+    ``*_map: symbol -> (bit_length, code)``."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    dc_counts, ac_counts = [0] * 16, [0] * 16
+    dc_counts[3] = len(dc_syms)  # 12 codes fit at length 4
+    ac_counts[7] = len(ac_syms)  # 162 codes fit at length 8
+
+    def canonical(counts, syms):
+        table, code, k = {}, 0, 0
+        for bit_len in range(1, 17):
+            for _ in range(counts[bit_len - 1]):
+                table[syms[k]] = (bit_len, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    return (
+        dc_counts, dc_syms, canonical(dc_counts, dc_syms),
+        ac_counts, ac_syms, canonical(ac_counts, ac_syms),
+    )
+
+
+def encode_jpeg_gray(
+    blocks_coef: "list[dict[int, int]]",
+    width: int,
+    height: int,
+    quant: "list[int]",
+) -> bytes:
+    """Baseline grayscale JPEG SINK from caller-chosen QUANTIZED zigzag
+    coefficients (one dict per 8x8 block, MCU raster order) — the image
+    twin of :func:`encode_gif`/:func:`encode_wav`, and the frame
+    producer for :func:`encode_avi_mjpeg`. Taking quantized
+    coefficients rather than pixels keeps the sink exact: a DC-only
+    block decodes to the closed-form flat value ``clamp(round(dc *
+    quant[0] / 8) + 128)``, so test patterns and oracles can predict
+    every decoded pixel with integer arithmetic (the encode_gif
+    strategy applied to a lossy codec — lossy in general, bit-exact on
+    the patterns we emit). Validation is loud: zigzag keys must be
+    0..63, coefficient magnitudes must fit a 10-bit AC / 11-bit DC
+    category, the quant table must be 64 entries of 1..255, and the
+    block list must tile width x height exactly. Pure Python per
+    block — the documented thumbnail-scale stdlib trade."""
+    import struct
+
+    if width <= 0 or height <= 0:
+        raise ValueError("encode_jpeg_gray: empty image")
+    if len(quant) != 64 or not all(1 <= q <= 255 for q in quant):
+        raise ValueError(
+            "encode_jpeg_gray: quant must be 64 entries in 1..255"
+        )
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    if len(blocks_coef) != bx * by:
+        raise ValueError(
+            f"encode_jpeg_gray: {bx * by} blocks tile {width}x{height}, "
+            f"got {len(blocks_coef)}"
+        )
+    dc_counts, dc_syms, dc_map, ac_counts, ac_syms, ac_map = (
+        _jpeg_canonical_tables()
+    )
+
+    buf = bytearray()
+    acc, nbits = 0, 0
+
+    def put(bit_len: int, code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << bit_len) | (code & ((1 << bit_len) - 1))
+        nbits += bit_len
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)  # entropy byte stuffing
+            nbits -= 8
+
+    pred = 0
+    for bi, coef in enumerate(blocks_coef):
+        bad = next(
+            (k for k in coef if not 0 <= k < 64), None
+        )
+        if bad is not None:
+            raise ValueError(
+                f"encode_jpeg_gray: zigzag index {bad} outside 0..63"
+            )
+        dc = int(coef.get(0, 0))
+        diff = dc - pred
+        pred = dc
+        cat = abs(diff).bit_length()
+        if cat > 11:
+            raise ValueError(
+                f"encode_jpeg_gray: DC step {diff} exceeds category 11"
+            )
+        put(*dc_map[cat])
+        if cat:
+            put(cat, diff if diff >= 0 else diff + (1 << cat) - 1)
+        run = 0
+        for k in range(1, 64):
+            v = int(coef.get(k, 0))
+            if v == 0:
+                run += 1
+                continue
+            size = abs(v).bit_length()
+            if size > 10:
+                raise ValueError(
+                    f"encode_jpeg_gray: AC value {v} exceeds size 10"
+                )
+            while run >= 16:
+                put(*ac_map[0xF0])
+                run -= 16
+            put(*ac_map[(run << 4) | size])
+            put(size, v if v >= 0 else v + (1 << size) - 1)
+            run = 0
+        if run:
+            put(*ac_map[0x00])  # EOB
+    if nbits:
+        pad = 8 - nbits
+        put(pad, (1 << pad) - 1)  # pad with 1s per spec
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    return b"".join(
+        (
+            b"\xff\xd8",
+            seg(0xDB, bytes([0]) + bytes(quant)),
+            seg(
+                0xC0,
+                bytes([8])
+                + struct.pack(">HH", height, width)
+                + bytes([1, 1, 0x11, 0]),
+            ),
+            seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)),
+            seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)),
+            seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+            bytes(buf),
+            b"\xff\xd9",
+        )
+    )
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    jpeg_frames: "list[bytes]",
+    *,
+    fps: int = 10,
+) -> bytes:
+    """Motion-JPEG-in-AVI SINK — the VIDEO CONTAINER twin of
+    :func:`encode_wav` (both are RIFF): LIST hdrl (avih main header +
+    one vids/MJPG stream with its BITMAPINFOHEADER), LIST movi holding
+    each frame's complete JPEG bytes as a word-aligned ``00dc`` chunk,
+    and the idx1 chunk index players use to seek. Every frame of an
+    MJPEG stream is an independent keyframe — which is exactly why it
+    is the honest first real video container here: frame extraction is
+    a chunk walk plus the already-proven JPEG decoder, no inter-frame
+    prediction. Frames must be well-formed JPEGs (SOI..EOI) and at
+    least one is required; refusals are loud."""
+    import struct
+
+    if width <= 0 or height <= 0:
+        raise ValueError("encode_avi_mjpeg: empty frame size")
+    if fps <= 0:
+        raise ValueError("encode_avi_mjpeg: fps must be positive")
+    if not jpeg_frames:
+        raise ValueError("encode_avi_mjpeg: at least one frame is required")
+    for i, f in enumerate(jpeg_frames):
+        if len(f) < 4 or f[:2] != b"\xff\xd8" or f[-2:] != b"\xff\xd9":
+            raise ValueError(
+                f"encode_avi_mjpeg: frame {i} is not a complete JPEG "
+                "(SOI..EOI)"
+            )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_frame = max(len(f) for f in jpeg_frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_frame * fps,  # dwMaxBytesPerSec (upper bound)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(jpeg_frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_frame,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale / dwRate = frame period
+            0,  # dwStart
+            len(jpeg_frames),  # dwLength (frames)
+            max_frame,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality: default
+            0,  # dwSampleSize: 0 = one sample per chunk
+        )
+        + struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage (nominal)
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx_entries = []
+    for f in jpeg_frames:
+        # idx1 offsets are relative to the 'movi' fourcc position and
+        # point at each chunk's ckid (movi_body starts with the fourcc)
+        idx_entries.append((len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+        for off, size in idx_entries
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_video_frames(payload: bytes) -> "tuple[int, int, list[bytes]]":
+    """RIFF-AVI walk (the WAV chunk walk pointed at the video
+    container): validate the single video stream is MJPG, collect every
+    ``00dc``/``00db`` frame chunk from LIST movi, and return
+    ``(width, height, jpeg_frames)``. Compressed codecs (XVID/H264/...),
+    audio-only files, DIB/raw streams, and truncated chunks refuse with
+    NotImplementedError naming what a real library (ffmpeg) would add —
+    fail loud, never fake."""
+    import struct
+
+    data = payload or b""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "_avi_video_frames: not a RIFF/AVI payload"
+        )
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise NotImplementedError(
+                    f"_avi_video_frames: truncated {cid!r} chunk"
+                )
+            yield cid, body_start, size
+            pos = body_start + size + (size & 1)
+
+    width = height = None
+    handler = compression = None
+    frames: "list[bytes]" = []
+    for cid, start, size in walk(data, 12, len(data)):
+        if cid != b"LIST":
+            continue
+        kind = data[start : start + 4]
+        if kind == b"hdrl":
+            for c2, s2, z2 in walk(data, start + 4, start + size):
+                if c2 == b"avih" and z2 >= 40:
+                    vals = struct.unpack("<10I", data[s2 : s2 + 40])
+                    width, height = vals[8], vals[9]
+                elif c2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                    for c3, s3, z3 in walk(data, s2 + 4, s2 + z2):
+                        if c3 == b"strh" and z3 >= 8:
+                            if data[s3 : s3 + 4] != b"vids":
+                                continue  # audio/text streams: skip
+                            handler = data[s3 + 4 : s3 + 8]
+                        elif c3 == b"strf" and z3 >= 20:
+                            compression = data[s3 + 16 : s3 + 20]
+        elif kind == b"movi":
+            for c2, s2, z2 in walk(data, start + 4, start + size):
+                if c2[2:4] in (b"dc", b"db"):
+                    frames.append(data[s2 : s2 + z2])
+    if width is None or handler is None:
+        raise NotImplementedError(
+            "_avi_video_frames: missing hdrl/avih/vids stream header"
+        )
+    codec = (compression or handler or b"????").decode(
+        "ascii", "replace"
+    )
+    if handler != b"MJPG" or (
+        compression is not None and compression != b"MJPG"
+    ):
+        raise NotImplementedError(
+            f"_avi_video_frames: codec {codec!r} needs a real decoder "
+            "(ffmpeg); only MJPG streams decode here"
+        )
+    if not frames:
+        raise NotImplementedError("_avi_video_frames: empty movi list")
+    return width, height, frames
+
+
+@_functools.lru_cache(maxsize=4)
+def _avi_frames_cached(payload: bytes) -> "tuple[bytes, ...]":
+    # same packed-GRY8 residency discipline as _gif_frames_cached: the
+    # cache pins bytes, never per-pixel Python lists
+    _w, _h, jpegs = _avi_video_frames(payload)
+    out = []
+    for j in jpegs:
+        fw, fh, luma = _jpeg_decode_luma(j)
+        out.append(pack_gray_frame(fw, fh, luma))
+    return tuple(out)
+
+
+def avi_frame_fn(payload: bytes, idx: int) -> bytes:
+    """REAL video ``frame_fn`` for :func:`sample_frames` — frame
+    ``idx`` of an MJPEG-in-AVI clip as a GRY8 container, through the
+    container walk plus the proven JPEG luma decoder (zero new pixel
+    math: the container contributes chunk offsets only). A sample grid
+    longer than the clip holds the LAST frame, matching
+    :func:`gif_frame_fn`; non-AVI payloads and non-MJPG codecs refuse
+    loudly through :func:`_avi_video_frames`. Decode is memoized per
+    payload (packed-bytes LRU), so an n-frame grid decodes each clip
+    once per executor."""
+    frames = _avi_frames_cached(bytes(payload or b""))
+    return frames[min(idx, len(frames) - 1)]

@@ -712,3 +712,126 @@ def dsir_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(top), "doc_id")
         .select("doc_id", "mix_source", "dsir_weight")
     )
+
+
+@staged_query(
+    "multimodal_avi_frames",
+    oracle="""
+WITH g AS (
+    SELECT d.doc_id, d.text, i.i AS frame_idx,
+           CAST(least(i.i, 1) AS BIGINT) AS sf
+    FROM documents d, range(3) i(i)
+)
+SELECT doc_id AS media_id, frame_idx, frame_idx * 100 AS pts_ms,
+       round((128 + 2 * (CAST(md5_number_lower(
+             text || ':' || CAST(sf AS VARCHAR) || ':0')
+             % 1152921504606846976 AS BIGINT) % 128 - 64)) / 255.0,
+             6) AS f0,
+       round((128 + 2 * (CAST(md5_number_lower(
+             text || ':' || CAST(sf AS VARCHAR) || ':0')
+             % 1152921504606846976 AS BIGINT) % 128 - 64)) / 255.0,
+             6) AS f1,
+       round((128 + 2 * (CAST(md5_number_lower(
+             text || ':' || CAST(sf AS VARCHAR) || ':1')
+             % 1152921504606846976 AS BIGINT) % 128 - 64)) / 255.0,
+             6) AS f2,
+       round((128 + 2 * (CAST(md5_number_lower(
+             text || ':' || CAST(sf AS VARCHAR) || ':1')
+             % 1152921504606846976 AS BIGINT) % 128 - 64)) / 255.0,
+             6) AS f3
+FROM g
+""",
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL VIDEO CONTAINER, driven end-to-end (r12 verdict growth
+    item 7): every document becomes a true Motion-JPEG AVI clip —
+    engine encode_avi_mjpeg wrapping two engine-encoded baseline JPEGs
+    (8x16, a top and a bottom 8x8 block each) — and the registered
+    pipeline runs exactly what a video corpus would:
+    sample_frames(frame_fn=avi_frame_fn) walks the RIFF container to
+    the 00dc chunks, decodes each frame through the imageio-proven JPEG
+    luma path (zero new pixel math — the container contributes chunk
+    offsets only), holds the LAST frame past the 2-frame clip for the
+    3-frame grid, and gray_frame_features folds the GRY8 containers
+    with the shared block-mean kernel.
+
+    DC coefficients derive from the engine-portable md5 family and
+    each block is DC-only, so decoded luma is the CLOSED FORM
+    ``128 + 2 * dc`` exactly (quant 16: dequant dc*16, flat IDCT /8,
+    +128 — integers throughout, no clamp since dc in [-64, 63]); the
+    DuckDB twin re-derives every feature arithmetically, so a Huffman,
+    dequant, chunk-walk, or composition bug mismatches the hash. Block
+    means over flat 8x8 halves collapse to luma/255 (f0=f1 top,
+    f2=f3 bottom) — exact binary rationals, tie-free at 6dp (the
+    denominator 255 is odd, so no 6dp half-way case exists). Scale
+    shape mirrors the GIF row: one mapInPandas per codec side,
+    payloads decoded once per clip via the packed-GRY8 LRU, features
+    projected to 4 scalars immediately — payload bytes never cross a
+    shuffle, zero Exchange in the plan."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        avi_frame_fn,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        gray_frame_features,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quant = [16] * 64
+
+    def _dc(text: str, f: int, k: int) -> int:
+        dig = hashlib.md5(f"{text}:{f}:{k}".encode("utf-8")).digest()
+        v = int.from_bytes(dig[8:16], "little") % (1 << 60)
+        return v % 128 - 64
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [
+                    encode_jpeg_gray(
+                        [{0: _dc(text, f, 0)}, {0: _dc(text, f, 1)}],
+                        8, 16, quant,
+                    )
+                    for f in range(2)
+                ]
+                ids.append(did)
+                payloads.append(encode_avi_mjpeg(8, 16, frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(build, schema="media_id long, payload binary")
+    frames = sample_frames(
+        media, n_frames=3, frame_ms=100, frame_fn=avi_frame_fn
+    )
+
+    # one featurize pass per Arrow batch (the GIF row's measured 45x
+    # re-inlining trap rules out a 4-column pandas-UDF projection)
+    def featurize(batches):
+        for pdf in batches:
+            fs = [
+                gray_frame_features(bytes(b), feature_dim=4)
+                for b in pdf["frame"]
+            ]
+            out = {
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "pts_ms": pdf["pts_ms"],
+            }
+            for j in range(4):
+                out[f"f{j}"] = [f[j] for f in fs]
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        featurize,
+        schema="media_id long, frame_idx long, pts_ms long, "
+        "f0 double, f1 double, f2 double, f3 double",
+    ).select(
+        "media_id",
+        "frame_idx",
+        "pts_ms",
+        *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(4)],
+    )

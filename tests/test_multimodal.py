@@ -2826,3 +2826,221 @@ def test_encode_wav_roundtrip_and_differential_vs_test_encoder():
         encode_wav([[40000]])
     with pytest.raises(ValueError, match="PCM"):
         encode_wav([[0]], bits=24)
+
+
+# --- encode_jpeg_gray + MJPEG-in-AVI: the video container seam ---------
+
+
+def test_encode_jpeg_gray_flat_blocks_closed_form():
+    """DC-only blocks decode to the closed-form flat value
+    dc*quant/8 + 128 EXACTLY — the property the AVI row's oracle
+    arithmetic rests on — and the encoder refuses malformed input
+    loudly (bad quant, out-of-range zigzag key, wrong block count,
+    oversize coefficient categories)."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+        encode_jpeg_gray,
+    )
+
+    quant = [16] * 64
+    payload = encode_jpeg_gray([{0: 36}, {0: -20}], 8, 16, quant)
+    w, h, luma = _jpeg_decode_luma(payload)
+    assert (w, h) == (8, 16)
+    assert luma[:64] == [200] * 64 and luma[64:] == [88] * 64
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg_gray([{0: 1}], 8, 8, [0] * 64)
+    with pytest.raises(ValueError, match="zigzag index"):
+        encode_jpeg_gray([{64: 1}], 8, 8, quant)
+    with pytest.raises(ValueError, match="blocks tile"):
+        encode_jpeg_gray([{0: 1}], 8, 16, quant)
+    with pytest.raises(ValueError, match="category 11"):
+        encode_jpeg_gray([{0: 3000}], 8, 8, quant)
+    with pytest.raises(ValueError, match="size 10"):
+        encode_jpeg_gray([{5: 1024}], 8, 8, quant)
+    with pytest.raises(ValueError, match="empty image"):
+        encode_jpeg_gray([], 0, 8, quant)
+
+
+def test_encode_jpeg_gray_matches_independent_test_encoder():
+    """Differential against the INDEPENDENT test-side encoder
+    (_jpeg_encode_test, written for the decoder rounds, sharing no
+    code with the sink): random quantized coefficient blocks must
+    decode to the same pixels through both encoders' bytes."""
+    import random
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(131)
+    quant = [rng.randrange(1, 32) for _ in range(64)]
+    blocks = []
+    for _ in range(6):
+        coef = {0: rng.randrange(-80, 81)}
+        for _k in range(rng.randrange(0, 10)):
+            coef[rng.randrange(1, 64)] = rng.choice(
+                [v for v in range(-40, 41) if v]
+            )
+        blocks.append(coef)
+    ours = encode_jpeg_gray(blocks, 16, 24, quant)
+    theirs = _jpeg_encode_test(blocks, 16, 24, quant)
+    assert _jpeg_decode_luma(ours) == _jpeg_decode_luma(theirs)
+
+
+def test_encode_jpeg_gray_matches_jvm_imageio():
+    """INDEPENDENT decoder differential for the sink (the encode_gif
+    strategy): javax.imageio must read encode_jpeg_gray's bytes back to
+    the exact closed-form flat pixels."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        encode_jpeg_gray,
+    )
+
+    if not shutil.which("javac"):
+        pytest.skip("JDK not available")
+    payload = encode_jpeg_gray([{0: 36}, {0: -20}], 8, 16, [16] * 64)
+    src = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class JpegSinkRef {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder(w + " " + h + "\\n");
+        // raw raster samples: getRGB would push the gray value through
+        // Java's CIEXYZ gray->sRGB conversion (gamma), not a decode bug
+        for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+            sb.append(img.getRaster().getSample(x, y, 0)).append(' ');
+        System.out.print(sb);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/JpegSinkRef.java", "w") as fh:
+            fh.write(src)
+        with open(f"{td}/t.jpg", "wb") as fh:
+            fh.write(payload)
+        subprocess.run(
+            ["javac", "JpegSinkRef.java"], cwd=td, check=True,
+            capture_output=True,
+        )
+        out = subprocess.run(
+            ["java", "JpegSinkRef", "t.jpg"], cwd=td, check=True,
+            capture_output=True, text=True,
+        ).stdout.split()
+    assert out[:2] == ["8", "16"]
+    got = list(map(int, out[2:]))
+    assert got[:64] == [200] * 64 and got[64:] == [88] * 64
+
+
+def test_avi_mjpeg_roundtrip_and_refusals():
+    """encode_avi_mjpeg -> avi_frame_fn round-trip: each 00dc chunk
+    decodes to exactly the frame's JPEG pixels, a grid longer than the
+    clip holds the last frame, and the container walk refuses loudly:
+    non-AVI bytes, non-MJPG codecs (named), truncated chunks, empty
+    movi, and malformed frames at encode time."""
+    import struct
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _avi_video_frames,
+        avi_frame_fn,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        gray_frame_features,
+    )
+
+    quant = [16] * 64
+    f0 = encode_jpeg_gray([{0: 36}, {0: -20}], 8, 16, quant)
+    f1 = encode_jpeg_gray([{0: -64}, {0: 63}], 8, 16, quant)
+    avi = encode_avi_mjpeg(8, 16, [f0, f1], fps=10)
+    w, h, jpegs = _avi_video_frames(avi)
+    assert (w, h) == (8, 16) and jpegs == [f0, f1]
+    feats = gray_frame_features(avi_frame_fn(avi, 0), feature_dim=4)
+    assert feats == [200 / 255] * 2 + [88 / 255] * 2
+    # hold-last past the clip, byte-identical to the final frame
+    assert avi_frame_fn(avi, 5) == avi_frame_fn(avi, 1)
+    # DC -64 -> 128 - 128 = 0; DC 63 -> 128 + 126 = 254
+    assert gray_frame_features(avi_frame_fn(avi, 1), feature_dim=4) == (
+        [0.0] * 2 + [254 / 255] * 2
+    )
+    with pytest.raises(NotImplementedError, match="not a RIFF/AVI"):
+        _avi_video_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # swap the stream handler to XVID: must refuse NAMING the codec
+    xvid = avi.replace(b"vidsMJPG", b"vidsXVID").replace(
+        b"MJPG" + struct.pack("<I", 8 * 16 * 3), 
+        b"XVID" + struct.pack("<I", 8 * 16 * 3),
+    )
+    with pytest.raises(NotImplementedError, match="XVID"):
+        _avi_video_frames(xvid)
+    # truncated mid-chunk
+    with pytest.raises(NotImplementedError, match="truncated"):
+        _avi_video_frames(avi[:40] if False else avi[:12] + avi[12:60])
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg(8, 16, [])
+    with pytest.raises(ValueError, match="not a complete JPEG"):
+        encode_avi_mjpeg(8, 16, [b"\xff\xd8broken"])
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg(8, 16, [f0], fps=0)
+
+
+def test_sample_frames_with_avi_frame_fn(spark):
+    """The Spark-side plumbing for the video container: sample_frames
+    over engine-encoded MJPEG-AVI payloads fans each media row into
+    GRY8 frames whose features match the closed-form DC arithmetic —
+    the AVI twin of the registered GIF row's shape, suite-held while
+    multimodal_avi_frames stages for round 14."""
+    import pandas as pd
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        avi_frame_fn,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        gray_frame_features,
+        sample_frames,
+    )
+
+    quant = [16] * 64
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["id"]:
+                fa = encode_jpeg_gray(
+                    [{0: int(mid) % 50}, {0: -int(mid) % 40}], 8, 16, quant
+                )
+                fb = encode_jpeg_gray(
+                    [{0: 10}, {0: int(mid) % 30}], 8, 16, quant
+                )
+                ids.append(mid)
+                payloads.append(encode_avi_mjpeg(8, 16, [fa, fb]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(6).mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    frames = sample_frames(
+        media, n_frames=3, frame_ms=100, frame_fn=avi_frame_fn
+    )
+    rows = frames.collect()
+    assert len(rows) == 18
+    for r in rows:
+        mid, fi = r["media_id"], r["frame_idx"]
+        feats = gray_frame_features(bytes(r["frame"]), feature_dim=4)
+        if fi == 0:
+            top, bot = mid % 50, -(mid) % 40
+        else:  # frame 1 and the hold-last frame 2
+            top, bot = 10, mid % 30
+        want = [(128 + 2 * top) / 255] * 2 + [(128 + 2 * bot) / 255] * 2
+        assert feats == want, (mid, fi)
+        assert r["pts_ms"] == fi * 100
