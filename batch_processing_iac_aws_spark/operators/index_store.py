@@ -231,7 +231,10 @@ class FakeObjectStoreBackend(StoreBackend):
         keys = []
         for dirpath, _dirs, files in os.walk(prefix):
             for f in files:
-                keys.append(os.path.join(dirpath, f))
+                # a real object store has no tmp keys: the CAS swap
+                # file is local plumbing, never part of the namespace
+                if not f.endswith(".swap"):
+                    keys.append(os.path.join(dirpath, f))
         return keys
 
     def is_dir(self, path: str) -> bool:

@@ -1172,6 +1172,12 @@ def test_fake_object_store_prefix_semantics(tmp_path):
     # empty-gen is invisible in the listing; CURRENT + gen-0 are not
     assert be.list_names(root) == ["CURRENT", "gen-0"]
     assert be.list_files(root) == ["CURRENT"]
+    # CAS swap plumbing is local, not namespace: a leftover .swap file
+    # (crash between write and replace) never appears as an object
+    with open(f"{root}/CURRENT.swap", "w") as fh:
+        fh.write("torn")
+    assert be.list_names(root) == ["CURRENT", "gen-0"]
+    assert be.list_files(root) == ["CURRENT"]
     be.remove_tree(f"{root}/gen-0")
     assert be.is_dir(f"{root}/gen-0") is False
     assert be.list_names(root) == ["CURRENT"]
