@@ -835,3 +835,155 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pts_ms",
         *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(4)],
     )
+
+
+@staged_query(
+    "multimodal_video_near_dup",
+    oracle="""
+WITH media AS (
+    SELECT doc_id, text, 0 AS d FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, 8 AS d
+    FROM documents WHERE doc_id < 15
+), blk AS (
+    SELECT m.doc_id, f.f, b.b,
+           128 + 2 * (CAST(md5_number_lower(m.text || ':'
+                 || CAST(f.f AS VARCHAR) || ':' || CAST(b.b AS VARCHAR))
+                 % 1152921504606846976 AS BIGINT) % 120 - 64 + m.d)
+               AS luma
+    FROM media m, range(4) f(f), range(8) b(b)
+), chunk AS (
+    SELECT doc_id, f * 8 + b AS j32, 64 * luma AS s FROM blk
+), tot AS (SELECT doc_id, SUM(s) AS t FROM chunk GROUP BY 1),
+sig AS (
+    SELECT c.doc_id,
+           CAST(SUM(CASE WHEN 32 * c.s > tt.t
+                         THEN (CAST(1 AS BIGINT) << CAST(c.j32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS ph
+    FROM chunk c JOIN tot tt USING (doc_id) GROUP BY c.doc_id
+)
+SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 2
+""",
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIGHTNESS-INVARIANT video near-dup on TRUE CONTAINER BITS —
+    completes the near-dup triad (image r8, audio r12/13, video now):
+    every document becomes a real 4-frame Motion-JPEG AVI clip (16x32
+    frames, 8 DC-only blocks each, engine encode_jpeg_gray +
+    encode_avi_mjpeg), docs with doc_id < 15 RE-ENTER at id + 1,000,000
+    as a re-mastered upload with every DC shifted +8 (a uniform
+    brightness boost — lumas stay under 255, so no clamp breaks the
+    invariance), and the registered pipeline decodes every clip through
+    the real container walk + JPEG path (avi_frame_fn), folds 8 exact
+    integer CHUNK SUMS per frame into a 32-dim clip vector, and runs
+    the shared perceptual-hash tail (ahash_pack brighter-than-mean
+    voting -> hamming_band_pairs 4-chunk pigeonhole join, exact
+    bit_count verify — the identical plan the image and audio corpora
+    run).
+
+    Why BLOCK SUMS, not the /255 means: sums of pixel bytes are exact
+    integers (<= 64*254, far under 2^53), so the vote 32*s_j > sum(s)
+    is integer-exact in doubles on BOTH engines regardless of
+    summation order — and a uniform brightness shift adds the same
+    constant to every block and 32x it to the total, so the vote
+    (hence the hash) is shift-invariant by construction, not by
+    tolerance (the audio row's g^2-energy argument, additive form).
+    One sum per 8x8 BLOCK (not per contiguous byte chunk) keeps all 32
+    signature bits independent — contiguous 64-byte chunks of the
+    16-wide frame straddle both blocks of a block-row and collapse the
+    hash to 16 effective bits, tripling organic pair volume for no
+    recall gain.
+    The DuckDB twin replays DCs -> lumas -> chunk sums -> votes ->
+    packing and scores ALL pairs exhaustively, proving the banding's
+    structural recall against an unbanded scan. Payloads never cross a
+    shuffle — one long per clip enters the band join."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        avi_frame_fn,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        media_phash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.withColumn("d", F.lit(0))
+    dup = (
+        d.filter(F.col("doc_id") < 15)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .withColumn("d", F.lit(8))
+    )
+    src = base.unionByName(dup)
+    quant = [16] * 64
+
+    def _dc(text: str, f: int, b: int) -> int:
+        dig = hashlib.md5(f"{text}:{f}:{b}".encode("utf-8")).digest()
+        v = int.from_bytes(dig[8:16], "little") % (1 << 60)
+        return v % 120 - 64  # [-64, 55]: +8 shift stays in category
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text, shift in zip(
+                pdf["doc_id"], pdf["text"], pdf["d"]
+            ):
+                frames = [
+                    encode_jpeg_gray(
+                        [
+                            {0: _dc(text, f, b) + int(shift)}
+                            for b in range(8)
+                        ],
+                        16, 32, quant,
+                    )
+                    for f in range(4)
+                ]
+                ids.append(did)
+                payloads.append(encode_avi_mjpeg(16, 32, frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = src.mapInPandas(build, schema="media_id long, payload binary")
+
+    def featurize(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                vec = []
+                for fi in range(4):
+                    fr = avi_frame_fn(bytes(p), fi)
+                    w, h = struct.unpack("<II", fr[4:12])
+                    luma = fr[12 : 12 + w * h]
+                    # per-8x8-block exact integer sums, MCU raster
+                    # order (w//8 block columns)
+                    for r in range(h // 8):
+                        for c in range(w // 8):
+                            vec.append(
+                                float(
+                                    sum(
+                                        sum(
+                                            luma[
+                                                (8 * r + y) * w
+                                                + 8 * c : (8 * r + y) * w
+                                                + 8 * c + 8
+                                            ]
+                                        )
+                                        for y in range(8)
+                                    )
+                                )
+                            )
+                feats.append(vec)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    featured = media.mapInPandas(
+        featurize, schema="media_id long, features array<double>"
+    )
+    return media_phash_pairs(featured, dim=32, max_hamming=2).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )

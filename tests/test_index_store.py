@@ -268,7 +268,9 @@ def test_compact_ivf_index_salt_splits_giant_cell(spark, tmp_path):
     assert big["files"] > 1, "giant cell must salt-split across files"
 
 
-def test_streaming_dedup_ingest_continues_after_compaction(spark, tmp_path):
+def test_streaming_dedup_ingest_continues_after_compaction(
+    spark, tmp_path, store_backend_impl
+):
     """Compaction mid-stream for the DEDUP store (the interplay test the
     ANN index got in round 8): two ingested batches compact under the
     watermark, the index still dedups exactly, a FRESH batch above the
@@ -498,7 +500,7 @@ def test_table_store_replay_refuses_before_any_table_write(spark, tmp_path):
 
 
 def test_table_store_streaming_checkpoint_continues_after_compaction(
-    spark, tmp_path
+    spark, tmp_path, store_backend_impl
 ):
     """run_streaming_ingest_dedup through the REAL streaming engine:
     batches 0-1 drain, the TABLE compacts mid-checkpoint under the

@@ -327,7 +327,10 @@ def test_staged_round14_registrations():
     }
     assert flipped <= set(QUERIES)
     assert flipped <= set(ORACLES)
-    assert set(STAGED_QUERIES) == {"multimodal_avi_frames"}
+    assert set(STAGED_QUERIES) == {
+        "multimodal_avi_frames",
+        "multimodal_video_near_dup",
+    }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
 
