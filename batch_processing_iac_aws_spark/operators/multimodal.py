@@ -1452,6 +1452,35 @@ def media_phash_pairs(
 # --- stdlib PCM WAV decoder (round 11) --------------------------------
 
 
+def _g711_decode_table(law: int) -> "list[int]":
+    """256-entry G.711 companded-byte -> linear-16 decode table
+    (ITU-T G.711; law 6 = A-law, 7 = mu-law — the WAVE format codes).
+    Closed-form expansion, no library: mu-law complements the byte,
+    then magnitude = ((mantissa*8 + 0x84) << exponent) - 0x84; A-law
+    XORs 0x55, then the exponent-0 segment is linear (mant*16 + 8) and
+    higher segments add the 0x108 bias — both per the spec's segment
+    tables, differentially pinned against the C audioop module in
+    tests/test_multimodal.py."""
+    out = []
+    for b in range(256):
+        if law == 7:  # mu-law
+            u = ~b & 0xFF
+            mag = (((u & 0x0F) << 3) + 0x84 << ((u >> 4) & 0x07)) - 0x84
+            out.append(-mag if u & 0x80 else mag)
+        else:  # A-law
+            a = b ^ 0x55
+            exp, mant = (a >> 4) & 0x07, a & 0x0F
+            mag = (
+                (mant << 4) + 8
+                if exp == 0
+                else ((mant << 4) + 0x108) << (exp - 1)
+            )
+            # A-law sign is INVERTED relative to mu-law: bit 7 SET (after
+            # the 0x55 toggle) marks a POSITIVE sample per G.711 table 1
+            out.append(mag if a & 0x80 else -mag)
+    return out
+
+
 def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
     """RIFF/WAVE walk + PCM sample decode with the standard library
     only: returns (sample_rate, mono samples in [-1, 1]). Supports
@@ -1460,7 +1489,10 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
     downmix); unknown RIFF chunks (LIST, fact, cue, ...) are skipped by
     their declared size exactly as the spec intends. IEEE-float (format
     3, 32/64-bit — round 11) decodes too, samples already in [-1, 1];
-    A-law/mu-law (6/7), extensible (0xFFFE), and other bit depths raise
+    G.711 A-law/mu-law telephony WAVs (formats 6/7, 8-bit companded —
+    round 13) expand through the closed-form segment tables, pinned
+    against the C audioop module; extensible (0xFFFE), other bit
+    depths, and law formats claiming non-8-bit samples raise
     NotImplementedError (fail loud, never fake), as do truncated
     headers/chunks."""
     import struct
@@ -1495,14 +1527,24 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
             "decode_wav_stdlib: missing fmt or data chunk"
         )
     audio_format, n_ch, rate, _brate, _balign, bits = fmt
-    if audio_format not in (1, 3):
+    if audio_format not in (1, 3, 6, 7):
         raise NotImplementedError(
             f"decode_wav_stdlib: audio format {audio_format} "
-            "(A-law/mu-law/extensible need a real library)"
+            "(extensible/ADPCM/compressed need a real library)"
         )
     if n_ch < 1:
         raise NotImplementedError("decode_wav_stdlib: zero channels")
-    if audio_format == 3:  # IEEE float (round 11): nominally [-1, 1]
+    if audio_format in (6, 7):  # G.711 A-law / mu-law (round 13)
+        if bits != 8:
+            raise NotImplementedError(
+                f"decode_wav_stdlib: {bits}-bit "
+                f"{'A-law' if audio_format == 6 else 'mu-law'} "
+                "(G.711 companded samples are 8-bit)"
+            )
+        table = _g711_decode_table(audio_format)
+        ints = [table[b] for b in frames]
+        scale = 32768.0
+    elif audio_format == 3:  # IEEE float (round 11): nominally [-1, 1]
         if bits == 32:
             n = len(frames) // 4
             ints = struct.unpack(f"<{n}f", frames[: 4 * n])

@@ -1770,11 +1770,17 @@ def test_decode_wav_stdlib_refusals_are_loud():
     floaty[20:22] = struct.pack("<H", 3)
     with pytest.raises(NotImplementedError, match="16-bit IEEE float"):
         decode_wav_stdlib(bytes(floaty))
-    # A-law format code
+    # G.711 decodes since round 13 — but only at the spec's 8-bit
+    # depth; an A-law claim over these 16-bit samples refuses loudly
     alaw = bytearray(ok)
     alaw[20:22] = struct.pack("<H", 6)
-    with pytest.raises(NotImplementedError, match="audio format 6"):
+    with pytest.raises(NotImplementedError, match="16-bit A-law"):
         decode_wav_stdlib(bytes(alaw))
+    # extensible still refuses, naming the format code
+    ext = bytearray(ok)
+    ext[20:22] = struct.pack("<H", 0xFFFE)
+    with pytest.raises(NotImplementedError, match="audio format 65534"):
+        decode_wav_stdlib(bytes(ext))
     # 24-bit depth
     deep = bytearray(ok)
     deep[34:36] = struct.pack("<H", 24)
@@ -3044,3 +3050,56 @@ def test_sample_frames_with_avi_frame_fn(spark):
         want = [(128 + 2 * top) / 255] * 2 + [(128 + 2 * bot) / 255] * 2
         assert feats == want, (mid, fi)
         assert r["pts_ms"] == fi * 100
+
+
+def test_decode_wav_g711_matches_audioop():
+    """G.711 telephony decode (WAVE formats 6/7) differentially pinned
+    against the C audioop module (shares no code with this repo):
+    every one of the 256 companded byte values expands to the same
+    linear-16 sample for BOTH laws, and a hand-built mu-law stereo /
+    A-law mono WAV decodes end-to-end to audioop's expansion (mean
+    downmix, /32768 scale)."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _g711_decode_table,
+        _wav_decode_samples,
+    )
+
+    for law, fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        table = _g711_decode_table(law)
+        for b in range(256):
+            want = int.from_bytes(fn(bytes([b]), 2), "little", signed=True)
+            assert table[b] == want, (law, b, table[b], want)
+
+    def wav(fmt_code, n_ch, frames):
+        body = struct.pack(
+            "<HHIIHH", fmt_code, n_ch, 8000, 8000 * n_ch, n_ch, 8
+        )
+        data = bytes(frames)
+        out = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(out)) + out
+
+    # mu-law stereo: interleaved L/R, downmix = mean of the expansions
+    raw = [0x00, 0xFF, 0x7F, 0x80, 0x13, 0xE4]
+    rate, mono = _wav_decode_samples(wav(7, 2, raw))
+    t7 = _g711_decode_table(7)
+    assert rate == 8000
+    want = [
+        (t7[raw[2 * i]] + t7[raw[2 * i + 1]]) / (2 * 32768.0)
+        for i in range(3)
+    ]
+    assert mono == want
+    # A-law mono
+    rate, mono = _wav_decode_samples(wav(6, 1, raw))
+    t6 = _g711_decode_table(6)
+    assert mono == [t6[b] / 32768.0 for b in raw]
