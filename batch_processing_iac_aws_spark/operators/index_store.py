@@ -186,7 +186,10 @@ class FakeObjectStoreBackend(StoreBackend):
                     return False
             except FileNotFoundError:
                 return False
-            tmp = f"{path}.swap"
+            tmp = os.path.join(
+                os.path.dirname(path) or ".",
+                f".{os.path.basename(path)}.swap.tmp",
+            )
             with open(tmp, "w") as fh:
                 fh.write(text)
             os.replace(tmp, path)  # emulates the object's atomic swap
@@ -232,8 +235,12 @@ class FakeObjectStoreBackend(StoreBackend):
         for dirpath, _dirs, files in os.walk(prefix):
             for f in files:
                 # a real object store has no tmp keys: the CAS swap
-                # file is local plumbing, never part of the namespace
-                if not f.endswith(".swap"):
+                # file is local plumbing, never part of the namespace.
+                # The reserved pattern is collision-proof by dot-prefix
+                # + suffix — put_if_absent CAN legitimately create a key
+                # named '*.swap', and hiding those would split the
+                # namespace from the data plane (r13 ADVICE).
+                if not (f.startswith(".") and f.endswith(".swap.tmp")):
                     keys.append(os.path.join(dirpath, f))
         return keys
 

@@ -2154,6 +2154,36 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(companded: bytes, *, law: int, rate: int = 8000) -> bytes:
+    """Telephony-WAV SINK (RIFF/WAVE formats 6/7): wrap already-
+    companded G.711 bytes — A-law (``law=6``) or mu-law (``law=7``),
+    the WAVE format codes — into the canonical mono 8-bit fmt+data
+    stream :func:`decode_wav_stdlib` expands back through the
+    closed-form segment tables (:func:`_g711_decode_table`). The
+    encoder does NOT compand: G.711 sources (telephony captures, RTP
+    dumps) arrive as companded bytes, and round-tripping them verbatim
+    is the lossless contract; companding linear PCM is a lossy encode
+    a caller does explicitly. Refuses unknown law codes and empty
+    payloads loudly."""
+    import struct
+
+    if law not in (6, 7):
+        raise ValueError(
+            f"encode_wav_g711: law {law} (6=A-law / 7=mu-law WAVE codes)"
+        )
+    if not companded:
+        raise ValueError("encode_wav_g711: empty sample stream")
+    frames = bytes(companded)
+    fmt = struct.pack("<HHIIHH", law, 1, rate, rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+        + (b"\x00" if len(frames) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _jpeg_canonical_tables():
     """The minimal canonical Huffman pair every encoder here uses: all
     12 DC category symbols at one code length, and EOB/ZRL plus every
@@ -2438,7 +2468,24 @@ def _avi_video_frames(payload: bytes) -> "tuple[int, int, list[bytes]]":
 
     width = height = None
     handler = compression = None
-    frames: "list[bytes]" = []
+    # streams are numbered by strl POSITION in hdrl; movi chunk ids carry
+    # that two-digit number. Track it so a file that also carries an
+    # audio stream neither reports WAVEFORMATEX bytes as the video codec
+    # (strf is per-STREAM, not global) nor interleaves the audio
+    # stream's chunks into the frame list (r13 ADVICE item 1).
+    vid_stream = None
+    stream_no = 0
+    raw_frames: "list[tuple[bytes, bytes]]" = []  # (2-digit id, frame)
+
+    def collect_movi(body_start: int, body_size: int) -> None:
+        for c2, s2, z2 in walk(data, body_start + 4, body_start + body_size):
+            if c2 == b"LIST" and data[s2 : s2 + 4] == b"rec ":
+                # interleaved files group one frame-time's chunks under
+                # LIST 'rec ' — recurse, same body shape as movi
+                collect_movi(s2, z2)
+            elif c2[2:4] in (b"dc", b"db"):
+                raw_frames.append((c2[:2], data[s2 : s2 + z2]))
+
     for cid, start, size in walk(data, 12, len(data)):
         if cid != b"LIST":
             continue
@@ -2449,21 +2496,26 @@ def _avi_video_frames(payload: bytes) -> "tuple[int, int, list[bytes]]":
                     vals = struct.unpack("<10I", data[s2 : s2 + 40])
                     width, height = vals[8], vals[9]
                 elif c2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                    fcc = s_handler = s_comp = None
                     for c3, s3, z3 in walk(data, s2 + 4, s2 + z2):
                         if c3 == b"strh" and z3 >= 8:
-                            if data[s3 : s3 + 4] != b"vids":
-                                continue  # audio/text streams: skip
-                            handler = data[s3 + 4 : s3 + 8]
+                            fcc = data[s3 : s3 + 4]
+                            s_handler = data[s3 + 4 : s3 + 8]
                         elif c3 == b"strf" and z3 >= 20:
-                            compression = data[s3 + 16 : s3 + 20]
+                            s_comp = data[s3 + 16 : s3 + 20]
+                    if fcc == b"vids" and vid_stream is None:
+                        vid_stream = stream_no
+                        handler = s_handler
+                        compression = s_comp
+                    stream_no += 1
         elif kind == b"movi":
-            for c2, s2, z2 in walk(data, start + 4, start + size):
-                if c2[2:4] in (b"dc", b"db"):
-                    frames.append(data[s2 : s2 + z2])
-    if width is None or handler is None:
+            collect_movi(start, size)
+    if width is None or handler is None or vid_stream is None:
         raise NotImplementedError(
             "_avi_video_frames: missing hdrl/avih/vids stream header"
         )
+    want = b"%02d" % vid_stream
+    frames = [f for sid, f in raw_frames if sid == want]
     codec = (compression or handler or b"????").decode(
         "ascii", "replace"
     )

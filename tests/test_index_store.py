@@ -1174,12 +1174,22 @@ def test_fake_object_store_prefix_semantics(tmp_path):
     # empty-gen is invisible in the listing; CURRENT + gen-0 are not
     assert be.list_names(root) == ["CURRENT", "gen-0"]
     assert be.list_files(root) == ["CURRENT"]
-    # CAS swap plumbing is local, not namespace: a leftover .swap file
-    # (crash between write and replace) never appears as an object
-    with open(f"{root}/CURRENT.swap", "w") as fh:
+    # CAS swap plumbing is local, not namespace: a leftover reserved
+    # temp file (crash between write and replace) never appears as an
+    # object...
+    with open(f"{root}/.CURRENT.swap.tmp", "w") as fh:
         fh.write("torn")
     assert be.list_names(root) == ["CURRENT", "gen-0"]
     assert be.list_files(root) == ["CURRENT"]
+    # ...but a key LEGITIMATELY named '*.swap' is a real object — the
+    # reserved pattern must not split the namespace from the data plane
+    # (r13 ADVICE item 2)
+    assert be.put_if_absent(f"{root}/user.swap", "mine")
+    assert "user.swap" in be.list_names(root)
+    assert "user.swap" in be.list_files(root)
+    assert be.read_small(f"{root}/user.swap") == "mine"
+    os.remove(f"{root}/user.swap")
+    os.remove(f"{root}/.CURRENT.swap.tmp")
     be.remove_tree(f"{root}/gen-0")
     assert be.is_dir(f"{root}/gen-0") is False
     assert be.list_names(root) == ["CURRENT"]

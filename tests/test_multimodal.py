@@ -2991,13 +2991,74 @@ def test_avi_mjpeg_roundtrip_and_refusals():
         _avi_video_frames(xvid)
     # truncated mid-chunk
     with pytest.raises(NotImplementedError, match="truncated"):
-        _avi_video_frames(avi[:40] if False else avi[:12] + avi[12:60])
+        _avi_video_frames(avi[:60])
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_mjpeg(8, 16, [])
     with pytest.raises(ValueError, match="not a complete JPEG"):
         encode_avi_mjpeg(8, 16, [b"\xff\xd8broken"])
     with pytest.raises(ValueError, match="fps"):
         encode_avi_mjpeg(8, 16, [f0], fps=0)
+
+
+def test_avi_multi_stream_walk_is_stream_aware():
+    """An off-spec-for-us but VALID AVI that interleaves an audio
+    stream must still decode (r13 ADVICE item 1): the codec is read
+    only from the strl whose strh fcc is 'vids' (never the audio
+    WAVEFORMATEX bytes), movi chunks are filtered to the video
+    stream's two-digit id (audio '00wb' chunks and a second stream's
+    '00dc' chunks never interleave into the frame list), and LIST
+    'rec ' interleave groups are recursed into."""
+    import struct
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _avi_video_frames,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    def chunk(cid, body):
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    quant = [16] * 64
+    f0 = encode_jpeg_gray([{0: 36}, {0: -20}], 8, 16, quant)
+    f1 = encode_jpeg_gray([{0: -64}, {0: 63}], 8, 16, quant)
+    # reuse the engine encoder's headers: lift avih/vids-strl bytes out
+    # of a single-stream file, then rebuild with audio FIRST so the
+    # video stream id is 01, not 00
+    ref = encode_avi_mjpeg(8, 16, [f0, f1], fps=10)
+    a = ref.index(b"avih")
+    avih = ref[a + 8 : a + 8 + struct.unpack("<I", ref[a + 4 : a + 8])[0]]
+    s = ref.index(b"strh")
+    strh_v = ref[s + 8 : s + 8 + struct.unpack("<I", ref[s + 4 : s + 8])[0]]
+    t = ref.index(b"strf")
+    strf_v = ref[t + 8 : t + 8 + struct.unpack("<I", ref[t + 4 : t + 8])[0]]
+    strh_a = b"auds" + b"\x00" * (len(strh_v) - 4)
+    # WAVEFORMATEX (18 bytes) + 2 junk bytes so offset 16 holds bytes
+    # the old walk misread as a codec fourcc
+    strf_a = struct.pack("<HHIIHHH", 1, 1, 8000, 8000, 1, 8, 0) + b"ZZ"
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(
+        b"movi",
+        chunk(b"00wb", b"\x80" * 32)      # audio: must be ignored
+        + chunk(b"01dc", f0)               # video frame 0
+        + lst(b"rec ", chunk(b"01dc", f1)  # interleave group: recurse
+              + chunk(b"00wb", b"\x80" * 8)),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    w, h, jpegs = _avi_video_frames(avi)
+    assert (w, h) == (8, 16) and jpegs == [f0, f1]
 
 
 def test_sample_frames_with_avi_frame_fn(spark):
@@ -3103,3 +3164,36 @@ def test_decode_wav_g711_matches_audioop():
     rate, mono = _wav_decode_samples(wav(6, 1, raw))
     t6 = _g711_decode_table(6)
     assert mono == [t6[b] / 32768.0 for b in raw]
+
+
+def test_encode_wav_g711_roundtrip_and_refusals():
+    """encode_wav_g711 -> _wav_decode_samples round-trip: all 256
+    companded byte values per law come back as exactly the segment
+    table's expansion /32768 (the lossless verbatim contract — the
+    sink wraps companded bytes, it never companded linear PCM), odd
+    payload lengths word-align, and unknown laws / empty streams
+    refuse loudly."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _g711_decode_table,
+        _wav_decode_samples,
+        encode_wav_g711,
+    )
+
+    allb = bytes(range(256))
+    for law in (6, 7):
+        table = _g711_decode_table(law)
+        rate, mono = _wav_decode_samples(encode_wav_g711(allb, law=law))
+        assert rate == 8000
+        assert mono == [table[b] / 32768.0 for b in range(256)]
+    # odd data length: the padded container still decodes every sample
+    rate, mono = _wav_decode_samples(
+        encode_wav_g711(b"\x00\xff\x7f", law=7, rate=16000)
+    )
+    t7 = _g711_decode_table(7)
+    assert rate == 16000 and mono == [t7[b] / 32768.0 for b in b"\x00\xff\x7f"]
+    with pytest.raises(ValueError, match="law 1"):
+        encode_wav_g711(b"\x00", law=1)
+    with pytest.raises(ValueError, match="empty"):
+        encode_wav_g711(b"", law=6)
