@@ -381,74 +381,31 @@ from . import staged  # noqa: E402,F401
 #     alphabetical tail (15 names), which heads _ROUND14_QUEUE —
 #     bounded, ledgered, suite-proven every run; after this round the
 #     freshness histogram floor moves to r9.
+#   round 14 window (this one) — the r13-pinned plan: flip the two
+#     round-13 staged video pairs live (plans/staged.py —
+#     multimodal_avi_frames, multimodal_video_near_dup, both
+#     hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so
+#     the flip is proof-neutral and completes the near-dup triad on
+#     driver rows) + TWO queries new this round
+#     (multimodal_g711_telephony — the r13 G.711 decode branch driven
+#     on true format-6/7 bits, verdict item 2; table_objectstore_ingest
+#     — the store lifecycle under the FakeObjectStoreBackend CAS commit
+#     protocol, verdict growth item 6) + the 15 r9-stale names pinned
+#     in the r13 queue + the r10-stale cohort's alphabetical head. The
+#     news displace the r10 cohort's alphabetical tail, which heads
+#     _ROUND15_QUEUE — bounded, ledgered, suite-proven every run; after
+#     this round the freshness histogram floor moves to r10.
 _PRIORITY = [
     # -- new this round (registry invariant: never-driver-seen queries
-    #    enter the window): the two round-12 staged audio pairs,
-    #    flipped, plus the mixture->DSIR curation composition --
-    "dsir_mixture_select",
-    "multimodal_audio_near_dup",
-    "multimodal_wav_envelope",
-    # -- the 5 r7-stale names (the r12 displaced tail, per the pinned
-    #    r12 queue), the registry's oldest driver greens --
-    "text_tfidf_topk",
-    "udaf_geomean",
-    "udtf_chunk_words",
-    "window_ntile",
-    "zorder_roundtrip",
-    # -- the entire r8-stale cohort --
-    "variant_funcs",
-    "window_first_last",
-    "window_lag_lead",
-    "window_percent_rank",
-    "window_range_frame",
-    "window_session",
-    "window_tumbling",
-    # -- the r9-stale cohort's alphabetical head (35 of 50; the tail
-    #    heads _ROUND14_QUEUE) --
-    "agg_argminmax",
-    "agg_corr",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    "cluster_kmeans",
-    "corpus_line_dedup",
-    "dataset_mixture_epochs",
-    "dedup_incremental_ann",
-    "dedup_incremental_embedding",
-    "dedup_incremental_fuzzy",
-    "dedup_incremental_simhash",
-    "dedup_index_compact",
-    "dedup_semantic",
-    "dedup_semantic_kmeans",
-    "dedup_source_overlap",
-    "docs_token_budget",
-    "embedding_pca",
-    "events_funnel",
-    "in_subquery",
-    "join_anti",
-    "join_asof",
-    "join_full",
-    "join_interval_overlap",
-    "join_range",
-    "join_semi",
-    "latest_partition",
-    "multimodal_resize",
-    "pivot_status",
-    "q10_top_customers",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q1_pricing_summary",
-]
-
-#: Round-14 rotation queue, pinned now so a typo cannot silently drop a
-#: query from rotation (tests/test_registry.py asserts every name
-#: exists and that the queue equals the next-oldest cohort): the 15
-#: r9-stale names the round-13 news displaced — the only queries whose
-#: last driver green will predate r10 after this round. The r10 cohort
-#: follows them under the structural oldest-first invariant.
-_ROUND14_QUEUE = [
+    #    enter the window): the two round-13 staged video pairs,
+    #    flipped, plus the G.711 telephony row and the object-store
+    #    control-plane lifecycle row --
+    "multimodal_avi_frames",
+    "multimodal_video_near_dup",
+    "multimodal_g711_telephony",
+    "table_objectstore_ingest",
+    # -- the 15 r9-stale names (the r13 displaced tail, per the pinned
+    #    r13 queue), the registry's oldest driver greens --
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
@@ -464,6 +421,67 @@ _ROUND14_QUEUE = [
     "timeseries_gapfill",
     "unpivot_measures",
     "window_sliding",
+    # -- the r10-stale cohort's alphabetical head (31 of 50; the tail
+    #    heads _ROUND15_QUEUE) --
+    "agg_approx_distinct",
+    "agg_freq_items",
+    "agg_hll_rollup",
+    "agg_skew_salted",
+    "case_null_funcs",
+    "cast_funcs",
+    "corpus_gopher_filter",
+    "csv_expand",
+    "dedup_exact_hash",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_first",
+    "dedup_minhash",
+    "dedup_simhash_portable",
+    "dedup_substring_spans",
+    "generator_funcs",
+    "graph_degree_centrality",
+    "graph_pagerank",
+    "interval_funcs",
+    "join_inner",
+    "join_left",
+    "json_funcs",
+    "multimodal_frames",
+    "multimodal_phash_pairs",
+    "q7_nation_volume",
+    "quality_logit_score",
+    "sample_per_group",
+    "scalar_subquery",
+    "set_intersect",
+    "similarity_index_compact",
+    "similarity_ivf",
+]
+
+#: Round-15 rotation queue, pinned now so a typo cannot silently drop a
+#: query from rotation (tests/test_registry.py asserts every name
+#: exists and that the queue equals the next-oldest cohort): the
+#: r10-stale names the round-14 news displaced — the only queries whose
+#: last driver green will predate r11 after this round. The r11 cohort
+#: follows them under the structural oldest-first invariant.
+_ROUND15_QUEUE = [
+    "similarity_ivf_pq_index",
+    "similarity_ivf_pq_residual",
+    "similarity_lsh",
+    "streaming_incremental_sparse",
+    "streaming_join_static",
+    "streaming_quality_ingest",
+    "streaming_rollup",
+    "streaming_sliding",
+    "streaming_tumbling",
+    "table_compacted_ingest",
+    "text_langid",
+    "text_repetition_profile",
+    "text_token_entropy",
+    "topk_per_group",
+    "try_funcs",
+    "ts_time_weighted_avg",
+    "udf_grouped_zscore",
+    "udf_rowwise_python",
+    "union_distinct",
 ]
 
 

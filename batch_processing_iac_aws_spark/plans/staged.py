@@ -50,7 +50,18 @@ curation composition the r12 verdict's growth item 8 ordered):
   curation pipeline runs, composed from two independently-green
   operators.
 
-Round-14 staging area: pairs finished in round 13 that the round-13
+Live as of round 14 (the round-13 staged pair, flipped under the same
+proof-neutral rule — both hash-proven vs DuckDB at sf0.001/0.01/full
+sf0.1 while staged, per the ARCHITECTURE round-13 codas):
+
+* ``multimodal_avi_frames`` — the true-bits video container seam:
+  engine encode_jpeg_gray -> encode_avi_mjpeg -> RIFF/movi walk ->
+  JPEG luma decode -> block-mean frame features.
+* ``multimodal_video_near_dup`` — brightness-invariant video near-dup
+  on true container bits through the shared banded perceptual-hash
+  join; completes the near-dup triad (image r8, audio r13, video now).
+
+Round-15 staging area: pairs finished in round 14 that the round-14
 window could not absorb (every live registration displaces a stale
 rotation slot) register below with ``staged_query`` under the same
 every-suite-run differential gate.
@@ -714,7 +725,7 @@ def dsir_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "multimodal_avi_frames",
     oracle="""
 WITH g AS (
@@ -837,7 +848,7 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "multimodal_video_near_dup",
     oracle="""
 WITH media AS (
@@ -986,4 +997,133 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return media_phash_pairs(featured, dim=32, max_hamming=2).withColumn(
         "hamming", F.col("hamming").cast("int")
+    )
+
+
+@query(
+    "multimodal_g711_telephony",
+    oracle="""
+WITH g AS (
+    SELECT d.doc_id, l.law, i.i,
+           CAST(md5_number_lower(d.text || ':' || CAST(l.law AS VARCHAR)
+                || ':' || CAST(i.i AS VARCHAR))
+                % 1152921504606846976 AS BIGINT) % 256 AS b
+    FROM documents d, (VALUES (6), (7)) l(law), range(64) i(i)
+), lin AS (
+    SELECT doc_id, law, i // 16 AS blk,
+       CASE WHEN law = 7 THEN
+         ((((255 - b) % 16) * 8 + 132)
+          * (CAST(1 AS BIGINT) << CAST(((255 - b) // 16) % 8 AS INT)))
+         - 132
+       ELSE
+         CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+              THEN (xor(b, 85) % 16) * 16 + 8
+              ELSE ((xor(b, 85) % 16) * 16 + 264)
+                   * (CAST(1 AS BIGINT)
+                      << CAST(((xor(b, 85) // 16) % 8) - 1 AS INT))
+         END
+       END AS mag,
+       CASE WHEN law = 7 THEN
+            (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)
+       ELSE (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+       END AS sgn
+    FROM g
+)
+SELECT doc_id AS media_id, CAST(law AS INT) AS law,
+       CAST(SUM(CASE WHEN blk = 0 THEN mag ELSE 0 END) AS BIGINT) AS abs0,
+       CAST(SUM(CASE WHEN blk = 1 THEN mag ELSE 0 END) AS BIGINT) AS abs1,
+       CAST(SUM(CASE WHEN blk = 2 THEN mag ELSE 0 END) AS BIGINT) AS abs2,
+       CAST(SUM(CASE WHEN blk = 3 THEN mag ELSE 0 END) AS BIGINT) AS abs3,
+       CAST(SUM(CASE WHEN blk = 0 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig0,
+       CAST(SUM(CASE WHEN blk = 1 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig1,
+       CAST(SUM(CASE WHEN blk = 2 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig2,
+       CAST(SUM(CASE WHEN blk = 3 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig3
+FROM lin GROUP BY 1, 2
+""",
+)
+def multimodal_g711_telephony(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TELEPHONY G.711 DECODE, driver-proven on true bits (r13 verdict
+    item 2): every document becomes TWO real telephony WAVs — one A-law
+    (WAVE format 6), one mu-law (format 7), 64 companded bytes each
+    derived from the engine-portable md5 family — wrapped by
+    encode_wav_g711 (operators/multimodal.py) and decoded through the
+    REAL RIFF walk + _g711_decode_table segment expansion
+    (_wav_decode_samples formats-6/7 branch, the r13 branch that was
+    suite-proven only). Features are per-block magnitude sums and
+    signed sums recovered as EXACT INTEGERS: each decoded sample is
+    table[b]/32768 (denominator a power of two, numerator < 2^15), so
+    16-sample block sums are exact in binary doubles and ``* 32768``
+    lands on the integer — zero float hazards, no rounding anywhere.
+    The signed sums additionally pin BOTH laws' sign conventions
+    (A-law's is inverted relative to mu-law per G.711 table 1) against
+    the DuckDB twin, which replays companded byte -> segment expansion
+    -> block sums arithmetically from the ITU-T closed form
+    (differentially verified against the Python table for all 512
+    (law, byte) combos before registration).
+
+    Scale shape: one mapInPandas per codec side (Arrow-batched,
+    payloads decoded once and projected to 8 scalars immediately —
+    payload bytes never cross a shuffle), zero Exchange in the plan;
+    at 100 TB the per-clip work is bounded by clip length and the
+    output is 2 rows x 10 longs per document."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _wav_decode_samples,
+        encode_wav_g711,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _cb(text: str, law: int, i: int) -> int:
+        dig = hashlib.md5(f"{text}:{law}:{i}".encode("utf-8")).digest()
+        return (int.from_bytes(dig[8:16], "little") % (1 << 60)) % 256
+
+    def build(batches):
+        for pdf in batches:
+            ids, laws, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for law in (6, 7):
+                    comp = bytes(_cb(text, law, i) for i in range(64))
+                    ids.append(did)
+                    laws.append(law)
+                    payloads.append(encode_wav_g711(comp, law=law))
+            yield pd.DataFrame(
+                {"media_id": ids, "law": laws, "payload": payloads}
+            )
+
+    media = d.mapInPandas(
+        build, schema="media_id long, law int, payload binary"
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "law": pdf["law"],
+            }
+            cols = {f"abs{k}": [] for k in range(4)}
+            cols.update({f"sig{k}": [] for k in range(4)})
+            for p in pdf["payload"]:
+                _rate, mono = _wav_decode_samples(bytes(p))
+                for k in range(4):
+                    blk = mono[16 * k : 16 * (k + 1)]
+                    # exact: each |v|*32768 is the integer magnitude,
+                    # and 16-term sums stay far under 2^53
+                    cols[f"abs{k}"].append(
+                        int(round(sum(abs(v) for v in blk) * 32768))
+                    )
+                    cols[f"sig{k}"].append(
+                        int(round(sum(blk) * 32768))
+                    )
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        featurize,
+        schema="media_id long, law int, "
+        + ", ".join(f"abs{k} long" for k in range(4)) + ", "
+        + ", ".join(f"sig{k} long" for k in range(4)),
     )

@@ -171,6 +171,18 @@ HEADLINE = [
     "multimodal_wav_envelope",
     "multimodal_audio_near_dup",
     "dsir_mixture_select",
+    # round 14: the two round-13 staged video pairs flipped live — the
+    # true-bits MJPEG-AVI container seam (encode_jpeg_gray ->
+    # encode_avi_mjpeg -> RIFF/movi walk -> JPEG decode -> block-mean
+    # features) and the brightness-invariant video near-dup completing
+    # the near-dup triad over the shared banded perceptual-hash join
+    "multimodal_avi_frames",
+    "multimodal_video_near_dup",
+    # round 14 (cont.): the G.711 telephony decode branch on true
+    # format-6/7 bits, and the store lifecycle under the object-store
+    # CAS commit protocol (FakeObjectStoreBackend, forced retries)
+    "multimodal_g711_telephony",
+    "table_objectstore_ingest",
 ]
 
 # FROZEN core yardstick (round 10, verdict item 5): the headline set keeps
@@ -276,7 +288,13 @@ def main() -> None:
         # marked unofficial so trend reads skip it; the round's official
         # number should be the lowest-load of >=2 runs.
         "load_avg_start": round(load0, 2),
-        "official": load0 < 2.0,
+        # official also requires the CANONICAL scale factor (round 14,
+        # r13 verdict item 4): an sf0.01 run in the ledger was marked
+        # official and produced phantom 6.9x per-query "regressions" in
+        # any trend read that filtered on the flag alone — the flag now
+        # encodes both the load gate and sf0.1, so envelope/trend
+        # tooling cannot mix scale factors.
+        "official": load0 < 2.0 and sf == "0.1",
     }
     print(json.dumps(record), flush=True)
     try:  # per-query trend ledger: regression = trend, not coin flip

@@ -11,7 +11,7 @@ from batch_processing_iac_aws_spark.plans import (
     ORACLES,
     QUERIES,
     _PRIORITY,
-    _ROUND14_QUEUE,
+    _ROUND15_QUEUE,
 )
 
 # EMPTY since round 10: the last two rows-only registrations
@@ -28,8 +28,8 @@ ROWS_ONLY: set[str] = set()
 
 
 def test_counts():
-    assert len(QUERIES) == 215
-    assert len(ORACLES) == 215
+    assert len(QUERIES) == 219
+    assert len(ORACLES) == 219
 
 
 def test_rows_only_set_is_exactly_the_allowlist():
@@ -60,7 +60,7 @@ def _ever_driver_confirmed() -> set[str]:
 #: makes the window fresh), so the structural check recomputes staleness
 #: from rounds <= this constant only. Bump it when re-pinning _PRIORITY
 #: for the next round.
-_PIN_ROUND = 12
+_PIN_ROUND = 13
 
 
 def _last_driver_green() -> "dict[str, int]":
@@ -110,19 +110,17 @@ def test_priority_window_is_oldest_first():
     assert not {n for n in QUERIES if n not in last} - window - ROWS_ONLY
 
 
-def test_first_50_is_the_round13_rotation_window():
-    """Rotation policy: the round-13 window = the queries new this
-    round (the two round-12 staged audio pairs flipped live —
-    multimodal_wav_envelope, multimodal_audio_near_dup, each already
+def test_first_50_is_the_round14_rotation_window():
+    """Rotation policy: the round-14 window = the queries new this
+    round (the two round-13 staged video pairs flipped live —
+    multimodal_avi_frames, multimodal_video_near_dup, each already
     hash-proven vs DuckDB at sf0.001/0.01/full-0.1 while staged, so the
     driver row is the first INDEPENDENT confirmation, not the first
-    proof — plus dsir_mixture_select, the dataset_mixture ->
-    dsir_select curation composition, the r12 verdict's growth item 8)
-    + the 5 r7-stale names from the pinned r12 queue + the whole
-    r8-stale cohort + the r9-stale cohort's alphabetical head. The news
-    displace the r9 cohort's tail, which heads _ROUND14_QUEUE; after
-    this round the freshness histogram has at most |_ROUND14_QUEUE|
-    entries below r10."""
+    proof — plus any rows registered live this round) + the 15
+    r9-stale names from the pinned r13 queue + the r10-stale cohort's
+    alphabetical head. The news displace the r10 cohort's tail, which
+    heads _ROUND15_QUEUE; after this round the freshness histogram has
+    at most |_ROUND15_QUEUE| entries below r11."""
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
     # every never-driver-confirmed query must be in the window (modulo the
@@ -140,16 +138,16 @@ def test_first_50_is_the_round13_rotation_window():
     assert n_oracled >= 44, f"only {n_oracled}/50 window slots are oracled"
 
 
-def test_round14_queue_names_are_registered():
+def test_round15_queue_names_are_registered():
     """The pinned next-round rotation queue must name only real queries —
     a typo'd entry would silently never rotate in (the r6 lesson applied
     to the queue itself, not just the window) — and must be exactly the
     cohort the structural invariant will pick next: the queries whose
     last driver green is the oldest remaining round."""
-    missing = [n for n in _ROUND14_QUEUE if n not in QUERIES]
+    missing = [n for n in _ROUND15_QUEUE if n not in QUERIES]
     assert not missing, f"queue names not in QUERIES: {missing}"
-    assert len(set(_ROUND14_QUEUE)) == len(_ROUND14_QUEUE)
-    assert not set(_ROUND14_QUEUE) & set(_PRIORITY)
+    assert len(set(_ROUND15_QUEUE)) == len(_ROUND15_QUEUE)
+    assert not set(_ROUND15_QUEUE) & set(_PRIORITY)
     # structurally: the queue is the oldest-green cohort outside the
     # current window (ties broken within one round are immaterial — the
     # whole cohort is queued)
@@ -157,10 +155,10 @@ def test_round14_queue_names_are_registered():
     outside = set(QUERIES) - set(_PRIORITY)
     oldest = min(last.get(n, 0) for n in outside)
     cohort = {n for n in outside if last.get(n, 0) == oldest}
-    assert set(_ROUND14_QUEUE) == cohort, (
+    assert set(_ROUND15_QUEUE) == cohort, (
         "queue must equal the next-oldest cohort: "
-        f"missing {cohort - set(_ROUND14_QUEUE)}, "
-        f"extra {set(_ROUND14_QUEUE) - cohort}"
+        f"missing {cohort - set(_ROUND15_QUEUE)}, "
+        f"extra {set(_ROUND15_QUEUE) - cohort}"
     )
 
 def test_scratch_source_cache_reuse_and_partial_build_wipe(tmp_path, monkeypatch):
@@ -310,11 +308,11 @@ def test_package_imports_from_worker_zip(tmp_path):
     assert "WORKERZIP_OK" in out.stdout, out.stderr[-2000:]
 
 
-def test_staged_round14_registrations():
-    """The round-14 staging area (plans/registry.py:STAGED_QUERIES):
+def test_staged_round15_registrations():
+    """The round-15 staging area (plans/registry.py:STAGED_QUERIES):
     exactly this round's deferred registrations, every one oracled,
-    none leaking into the live registry. The two round-12 staged audio
-    pairs flipped LIVE in round 13 (plans/staged.py) and must now be in
+    none leaking into the live registry. The two round-13 staged video
+    pairs flipped LIVE in round 14 (plans/staged.py) and must now be in
     the live registry, not here."""
     from batch_processing_iac_aws_spark.plans.registry import (
         STAGED_ORACLES,
@@ -322,15 +320,12 @@ def test_staged_round14_registrations():
     )
 
     flipped = {
-        "multimodal_wav_envelope",
-        "multimodal_audio_near_dup",
-    }
-    assert flipped <= set(QUERIES)
-    assert flipped <= set(ORACLES)
-    assert set(STAGED_QUERIES) == {
         "multimodal_avi_frames",
         "multimodal_video_near_dup",
     }
+    assert flipped <= set(QUERIES)
+    assert flipped <= set(ORACLES)
+    assert set(STAGED_QUERIES) == set()
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
 
