@@ -2214,6 +2214,77 @@ def _jpeg_canonical_tables():
     )
 
 
+def _jpeg_encode_entropy(
+    comp_blocks: "list[list[dict[int, int]]]", name: str
+) -> bytes:
+    """Interleaved baseline entropy scan for components with 1x1
+    sampling sharing the canonical table pair: one block from each
+    component per MCU (component order = list order), per-COMPONENT DC
+    predictors, byte stuffing, 1-padded tail — the gray encoder's exact
+    coder generalized over the component axis (one component reproduces
+    the original byte-for-byte; tests pin the round-trip)."""
+    _dc_counts, _dc_syms, dc_map, _ac_counts, _ac_syms, ac_map = (
+        _jpeg_canonical_tables()
+    )
+    buf = bytearray()
+    acc, nbits = 0, 0
+
+    def put(bit_len: int, code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << bit_len) | (code & ((1 << bit_len) - 1))
+        nbits += bit_len
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)  # entropy byte stuffing
+            nbits -= 8
+
+    preds = [0] * len(comp_blocks)
+    for bi in range(len(comp_blocks[0])):
+        for ci, blocks in enumerate(comp_blocks):
+            coef = blocks[bi]
+            bad = next((k for k in coef if not 0 <= k < 64), None)
+            if bad is not None:
+                raise ValueError(
+                    f"{name}: zigzag index {bad} outside 0..63"
+                )
+            dc = int(coef.get(0, 0))
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            cat = abs(diff).bit_length()
+            if cat > 11:
+                raise ValueError(
+                    f"{name}: DC step {diff} exceeds category 11"
+                )
+            put(*dc_map[cat])
+            if cat:
+                put(cat, diff if diff >= 0 else diff + (1 << cat) - 1)
+            run = 0
+            for k in range(1, 64):
+                v = int(coef.get(k, 0))
+                if v == 0:
+                    run += 1
+                    continue
+                size = abs(v).bit_length()
+                if size > 10:
+                    raise ValueError(
+                        f"{name}: AC value {v} exceeds size 10"
+                    )
+                while run >= 16:
+                    put(*ac_map[0xF0])
+                    run -= 16
+                put(*ac_map[(run << 4) | size])
+                put(size, v if v >= 0 else v + (1 << size) - 1)
+                run = 0
+            if run:
+                put(*ac_map[0x00])  # EOB
+    if nbits:
+        pad = 8 - nbits
+        put(pad, (1 << pad) - 1)  # pad with 1s per spec
+    return bytes(buf)
+
+
 def encode_jpeg_gray(
     blocks_coef: "list[dict[int, int]]",
     width: int,
@@ -2248,66 +2319,10 @@ def encode_jpeg_gray(
             f"encode_jpeg_gray: {bx * by} blocks tile {width}x{height}, "
             f"got {len(blocks_coef)}"
         )
-    dc_counts, dc_syms, dc_map, ac_counts, ac_syms, ac_map = (
+    dc_counts, dc_syms, _dc_map, ac_counts, ac_syms, _ac_map = (
         _jpeg_canonical_tables()
     )
-
-    buf = bytearray()
-    acc, nbits = 0, 0
-
-    def put(bit_len: int, code: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << bit_len) | (code & ((1 << bit_len) - 1))
-        nbits += bit_len
-        while nbits >= 8:
-            byte = (acc >> (nbits - 8)) & 0xFF
-            buf.append(byte)
-            if byte == 0xFF:
-                buf.append(0x00)  # entropy byte stuffing
-            nbits -= 8
-
-    pred = 0
-    for bi, coef in enumerate(blocks_coef):
-        bad = next(
-            (k for k in coef if not 0 <= k < 64), None
-        )
-        if bad is not None:
-            raise ValueError(
-                f"encode_jpeg_gray: zigzag index {bad} outside 0..63"
-            )
-        dc = int(coef.get(0, 0))
-        diff = dc - pred
-        pred = dc
-        cat = abs(diff).bit_length()
-        if cat > 11:
-            raise ValueError(
-                f"encode_jpeg_gray: DC step {diff} exceeds category 11"
-            )
-        put(*dc_map[cat])
-        if cat:
-            put(cat, diff if diff >= 0 else diff + (1 << cat) - 1)
-        run = 0
-        for k in range(1, 64):
-            v = int(coef.get(k, 0))
-            if v == 0:
-                run += 1
-                continue
-            size = abs(v).bit_length()
-            if size > 10:
-                raise ValueError(
-                    f"encode_jpeg_gray: AC value {v} exceeds size 10"
-                )
-            while run >= 16:
-                put(*ac_map[0xF0])
-                run -= 16
-            put(*ac_map[(run << 4) | size])
-            put(size, v if v >= 0 else v + (1 << size) - 1)
-            run = 0
-        if run:
-            put(*ac_map[0x00])  # EOB
-    if nbits:
-        pad = 8 - nbits
-        put(pad, (1 << pad) - 1)  # pad with 1s per spec
+    buf = _jpeg_encode_entropy([blocks_coef], "encode_jpeg_gray")
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
@@ -2326,6 +2341,74 @@ def encode_jpeg_gray(
             seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)),
             seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
             bytes(buf),
+            b"\xff\xd9",
+        )
+    )
+
+
+def encode_jpeg_color(
+    blocks_y: "list[dict[int, int]]",
+    blocks_cb: "list[dict[int, int]]",
+    blocks_cr: "list[dict[int, int]]",
+    width: int,
+    height: int,
+    quant: "list[int]",
+) -> bytes:
+    """Baseline COLOR JPEG SINK (YCbCr 4:4:4, interleaved) from
+    caller-chosen quantized zigzag coefficients per component — the
+    color twin of :func:`encode_jpeg_gray` with the same exactness
+    contract: a DC-only block decodes each PLANE to the closed-form
+    flat value, and the JFIF YCbCr->RGB conversion
+    (:func:`_jpeg_ycc_to_rgb`) is a fixed arithmetic expression over
+    those plane values, so oracles predict every decoded RGB pixel
+    with closed-form arithmetic. 4:4:4 keeps all three planes at full
+    resolution (no subsampling grid to re-derive); the scan
+    interleaves one block per component per MCU with per-component DC
+    predictors (the helper the gray encoder shares). All three block
+    lists must tile width x height exactly; validation is the gray
+    sink's, per component."""
+    import struct
+
+    if width <= 0 or height <= 0:
+        raise ValueError("encode_jpeg_color: empty image")
+    if len(quant) != 64 or not all(1 <= q <= 255 for q in quant):
+        raise ValueError(
+            "encode_jpeg_color: quant must be 64 entries in 1..255"
+        )
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    for nm, blocks in (
+        ("Y", blocks_y), ("Cb", blocks_cb), ("Cr", blocks_cr)
+    ):
+        if len(blocks) != bx * by:
+            raise ValueError(
+                f"encode_jpeg_color: {bx * by} {nm} blocks tile "
+                f"{width}x{height}, got {len(blocks)}"
+            )
+    dc_counts, dc_syms, _dc_map, ac_counts, ac_syms, _ac_map = (
+        _jpeg_canonical_tables()
+    )
+    buf = _jpeg_encode_entropy(
+        [blocks_y, blocks_cb, blocks_cr], "encode_jpeg_color"
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    return b"".join(
+        (
+            b"\xff\xd8",
+            seg(0xDB, bytes([0]) + bytes(quant)),
+            seg(
+                0xC0,
+                bytes([8])
+                + struct.pack(">HH", height, width)
+                # three components, all 1x1 sampling, shared quant 0
+                + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+            ),
+            seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)),
+            seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)),
+            seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])),
+            buf,
             b"\xff\xd9",
         )
     )

@@ -1127,3 +1127,299 @@ def multimodal_g711_telephony(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"abs{k} long" for k in range(4)) + ", "
         + ", ".join(f"sig{k} long" for k in range(4)),
     )
+
+
+@staged_query(
+    "multimodal_audio_shift_near_dup",
+    oracle="""
+WITH media AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id < 15
+), smp AS (
+    SELECT m.doc_id, i.i,
+           CASE WHEN i.i = 0 THEN
+             2 * (1 + CAST(md5_number_lower(m.text || ':a:0')
+                  % 1152921504606846976 AS BIGINT) % 16383)
+           ELSE
+             2 * (CAST(md5_number_lower(m.text || ':a:'
+                  || CAST(i.i AS VARCHAR))
+                  % 1152921504606846976 AS BIGINT) % 32768 - 16384)
+           END AS s
+    FROM media m, range(64) i(i)
+), mono AS (
+    SELECT doc_id, i, s / 32768.0 AS v FROM smp
+), eng AS (
+    SELECT doc_id, i // 2 AS j, SUM(v * v) AS e
+    FROM mono GROUP BY 1, 2
+), tot AS (SELECT doc_id, SUM(e) AS t FROM eng GROUP BY 1),
+sig AS (
+    SELECT e.doc_id,
+           CAST(SUM(CASE WHEN 32 * e.e > tt.t
+                         THEN (CAST(1 AS BIGINT) << CAST(e.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS ph
+    FROM eng e JOIN tot tt USING (doc_id) GROUP BY e.doc_id
+)
+SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 2
+""",
+)
+def multimodal_audio_shift_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-SHIFT-ROBUST audio near-dup on TRUE PCM bits (r13 verdict
+    growth item 8): the live gain-invariant row catches re-mastered
+    uploads but not PADDED/TRIMMED ones — the audio analogue of the
+    image crop problem. Every document becomes a mono 16-bit WAV
+    (engine encode_wav, first sample forced NONZERO so the onset is
+    well-defined), docs with doc_id < 15 RE-ENTER at id + 1,000,000 as
+    a re-upload with {16, 32, 48} samples of leading silence AND 12
+    samples of trailing silence prepended/appended, and the registered
+    pipeline decodes every payload through the real RIFF walk, COARSE
+    ONSET-ALIGNS (first nonzero sample), folds 32 block energies over
+    the 64 samples FROM THE ONSET, and runs the shared perceptual-hash
+    tail (ahash_pack -> hamming_band_pairs pigeonhole join — the
+    identical plan the image/audio/video corpora run).
+
+    Why onset alignment beats a max-pool here: leading silence shifts
+    every block boundary, so unaligned energies (hence the vote) decay
+    with shift; aligning to the first nonzero sample makes the aligned
+    block grid IDENTICAL to the original's — invariance by
+    construction, not tolerance, the same exactness discipline as the
+    gain row's g^2 argument (energies are exact binary rationals on
+    the 2^-16 lattice; the forced-nonzero first sample makes the onset
+    deterministic on both engines). The DuckDB twin replays the
+    UNSHIFTED samples for both ids — exactly what a correct
+    onset-aligned decode recovers — so a broken onset scan, block
+    grid, or trailing-trim mismatches the hash immediately. Payloads
+    never cross a shuffle; one long per clip enters the band join."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _wav_decode_samples,
+        encode_wav,
+        media_phash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.withColumn("shift", F.lit(0))
+    dup = (
+        d.filter(F.col("doc_id") < 15)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            (16 * (1 + F.col("doc_id") % 3)).cast("int").alias("shift"),
+        )
+    )
+    src = base.unionByName(dup)
+
+    def _smp(text: str, i: int) -> int:
+        dig = hashlib.md5(f"{text}:a:{i}".encode("utf-8")).digest()
+        v = int.from_bytes(dig[8:16], "little") % (1 << 60)
+        if i == 0:
+            return 2 * (1 + v % 16383)  # nonzero: the onset anchor
+        return 2 * (v % 32768 - 16384)
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text, shift in zip(
+                pdf["doc_id"], pdf["text"], pdf["shift"]
+            ):
+                samples = (
+                    [0] * int(shift)
+                    + [_smp(text, i) for i in range(64)]
+                    + ([0] * 12 if shift else [])
+                )
+                ids.append(did)
+                payloads.append(encode_wav([samples]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = src.mapInPandas(build, schema="media_id long, payload binary")
+
+    def featurize(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                _rate, mono = _wav_decode_samples(bytes(b))
+                onset = next(
+                    (i for i, v in enumerate(mono) if v != 0.0), 0
+                )
+                core = mono[onset : onset + 64]
+                feats.append(
+                    [
+                        sum(v * v for v in core[2 * j : 2 * j + 2])
+                        for j in range(32)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    featured = media.mapInPandas(
+        featurize, schema="media_id long, features array<double>"
+    )
+    return media_phash_pairs(featured, dim=32, max_hamming=2).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+def _rgb_oracle_channel(
+    expr_y: str, expr_cb: str, expr_cr: str
+) -> "tuple[str, str, str]":
+    """DuckDB replay of _jpeg_ycc_to_rgb on flat DC-only planes: the
+    JFIF conversion with libjpeg's int(v + 0.5) positive rounding and
+    the decoder's clamp-before-round order (clamp of the UNROUNDED
+    value to [0,255] composes with FLOOR(v+0.5) into
+    GREATEST(0, LEAST(255, FLOOR(v+0.5))) — equal for every case, the
+    registration probe checked the edge branches)."""
+    lim = "GREATEST(0, LEAST(255, CAST(FLOOR({v} + 0.5) AS BIGINT)))"
+    r = lim.format(v=f"({expr_y}) + 1.402 * (({expr_cr}) - 128)")
+    g = lim.format(
+        v=f"({expr_y}) - 0.344136 * (({expr_cb}) - 128)"
+        f" - 0.714136 * (({expr_cr}) - 128)"
+    )
+    b = lim.format(v=f"({expr_y}) + 1.772 * (({expr_cb}) - 128)")
+    return r, g, b
+
+
+def _rgb_oracle_sql() -> str:
+    """Assemble the multimodal_avi_rgb_frames twin: per (doc, frame)
+    derive the six DC-only plane values (Y/Cb/Cr x top/bottom block)
+    from the portable md5 family, convert to RGB with the exact JFIF
+    arithmetic, and emit the 12 block-mean features (/255, 6dp —
+    tie-free: 255 is odd)."""
+    def plane(c: int, k: int) -> str:
+        return (
+            "128 + 2 * (CAST(md5_number_lower(text || ':' "
+            f"|| CAST(sf AS VARCHAR) || ':{c}:{k}') "
+            "% 1152921504606846976 AS BIGINT) % 128 - 64)"
+        )
+
+    cols = []
+    for k in (0, 1):  # top block, bottom block
+        r, g, b = _rgb_oracle_channel(
+            plane(0, k), plane(1, k), plane(2, k)
+        )
+        cols.append((r, g, b))
+    feats = []
+    j = 0
+    for k in (0, 1):
+        for _rep in (0, 1):  # feature_dim=4 quarters repeat each block
+            for ch in (0, 1, 2):
+                feats.append(
+                    f"round(({cols[k][ch]}) / 255.0, 6) AS f{j}"
+                )
+                j += 1
+    return (
+        "WITH g AS (SELECT d.doc_id, d.text, i.i AS frame_idx, "
+        "CAST(least(i.i, 1) AS BIGINT) AS sf "
+        "FROM documents d, range(3) i(i)) "
+        "SELECT doc_id AS media_id, frame_idx, frame_idx * 100 AS pts_ms, "
+        + ", ".join(feats) + " FROM g"
+    )
+
+
+@staged_query("multimodal_avi_rgb_frames", oracle=_rgb_oracle_sql())
+def multimodal_avi_rgb_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR video frames through the REAL container + color codec
+    (r13 verdict growth item 7): every document becomes a true
+    Motion-JPEG AVI whose frames are engine-encoded BASELINE COLOR
+    JPEGs (encode_jpeg_color, YCbCr 4:4:4, 8x16, one top and one
+    bottom DC-only block per component), and the registered pipeline
+    walks the RIFF container to each frame's JPEG and decodes it
+    through the proven CHROMA path (decode_jpeg_rgb_stdlib: full YCbCr
+    IDCT + JFIF conversion + block means) — extending the video seam
+    to color with ZERO new container math (the AVI walk is byte-
+    identical to the luma row's) and zero new pixel math (the round-11
+    RGB decoder). DC-only planes decode to the closed form 128 + 2*dc
+    per component, and the JFIF conversion is a fixed double-precision
+    expression over those integers, so the DuckDB twin predicts every
+    RGB feature arithmetically (int(v+0.5) positive rounding + clamp
+    replayed as GREATEST/LEAST/FLOOR — proven equal on the edge
+    branches at registration). Features are block means of flat
+    planes = channel/255 exactly (tie-free at 6dp, denominator odd).
+    Scale shape mirrors the luma row: one mapInPandas per codec side,
+    features projected to 12 scalars immediately, payloads never cross
+    a shuffle, zero Exchange in the plan; hold-last extends the 2-frame
+    clip across the 3-frame grid."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _avi_video_frames,
+        decode_jpeg_rgb_stdlib,
+        encode_avi_mjpeg,
+        encode_jpeg_color,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quant = [16] * 64
+
+    def _dc(text: str, f: int, c: int, k: int) -> int:
+        dig = hashlib.md5(f"{text}:{f}:{c}:{k}".encode("utf-8")).digest()
+        v = int.from_bytes(dig[8:16], "little") % (1 << 60)
+        return v % 128 - 64
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [
+                    encode_jpeg_color(
+                        [{0: _dc(text, f, 0, 0)}, {0: _dc(text, f, 0, 1)}],
+                        [{0: _dc(text, f, 1, 0)}, {0: _dc(text, f, 1, 1)}],
+                        [{0: _dc(text, f, 2, 0)}, {0: _dc(text, f, 2, 1)}],
+                        8, 16, quant,
+                    )
+                    for f in range(2)
+                ]
+                ids.append(did)
+                payloads.append(encode_avi_mjpeg(8, 16, frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(build, schema="media_id long, payload binary")
+
+    def jpeg_frame_fn(payload: bytes, idx: int) -> bytes:
+        # the frame is the RAW JPEG (hold-last past the clip); the RGB
+        # decode happens once per emitted frame in featurize — the
+        # container walk is the same _avi_video_frames the luma row uses
+        _w, _h, jpegs = _avi_video_frames(bytes(payload or b""))
+        return jpegs[min(idx, len(jpegs) - 1)]
+
+    frames = sample_frames(
+        media, n_frames=3, frame_ms=100, frame_fn=jpeg_frame_fn
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            fs = [
+                decode_jpeg_rgb_stdlib(bytes(b), feature_dim=4)
+                for b in pdf["frame"]
+            ]
+            out = {
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "pts_ms": pdf["pts_ms"],
+            }
+            for j in range(12):
+                out[f"f{j}"] = [f[j] for f in fs]
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        featurize,
+        schema="media_id long, frame_idx long, pts_ms long, "
+        + ", ".join(f"f{j} double" for j in range(12)),
+    ).select(
+        "media_id",
+        "frame_idx",
+        "pts_ms",
+        *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(12)],
+    )

@@ -3197,3 +3197,89 @@ def test_encode_wav_g711_roundtrip_and_refusals():
         encode_wav_g711(b"\x00", law=1)
     with pytest.raises(ValueError, match="empty"):
         encode_wav_g711(b"", law=6)
+
+
+def test_encode_jpeg_color_roundtrip_and_refusals():
+    """encode_jpeg_color -> chroma decode round-trip: DC-only 4:4:4
+    planes decode to the closed form 128 + 2*dc per component and the
+    JFIF conversion lands exactly int(v+0.5)-clamped RGB — the color
+    sink's exactness contract (the oracle's GREATEST/LEAST/FLOOR twin
+    replays this). Per-component block-count and quant validation
+    refuse loudly; the shared entropy helper keeps the gray sink
+    byte-identical (one-component call proven by the existing gray
+    round-trip tests)."""
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _jpeg_decode_luma,
+        decode_jpeg_rgb_stdlib,
+        encode_jpeg_color,
+    )
+
+    quant = [16] * 64
+    p = encode_jpeg_color(
+        [{0: 36}, {0: -20}], [{0: 10}, {0: -10}], [{0: -30}, {0: 30}],
+        8, 16, quant,
+    )
+    w, h, rgb = _jpeg_decode_luma(p, color=True)
+    assert (w, h) == (8, 16) and len(rgb) == 3 * 8 * 16
+
+    def conv(y, cb, cr):
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        f = lambda v: 0 if v < 0 else (255 if v > 255 else int(v + 0.5))  # noqa: E731
+        return f(r), f(g), f(b)
+
+    top, bot = conv(200, 148, 68), conv(88, 108, 188)
+    assert all(tuple(rgb[3 * i : 3 * i + 3]) == top for i in range(64))
+    assert all(
+        tuple(rgb[3 * (64 + i) : 3 * (64 + i) + 3]) == bot
+        for i in range(64)
+    )
+    feats = decode_jpeg_rgb_stdlib(p, feature_dim=4)
+    assert feats == (
+        [c / 255 for c in top] * 2 + [c / 255 for c in bot] * 2
+    )
+    # saturating conversions clamp, never wrap: extreme chroma DCs
+    sat = encode_jpeg_color(
+        [{0: 63}, {0: -64}], [{0: 63}, {0: -64}], [{0: 63}, {0: -64}],
+        8, 16, quant,
+    )
+    _w, _h, srgb = _jpeg_decode_luma(sat, color=True)
+    assert all(0 <= v <= 255 for v in srgb)
+    with pytest.raises(ValueError, match="2 Cb blocks"):
+        encode_jpeg_color([{0: 1}, {0: 2}], [{0: 1}], [{0: 1}, {0: 2}],
+                          8, 16, quant)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg_color([{}], [{}], [{}], 8, 8, [0] * 64)
+    with pytest.raises(ValueError, match="zigzag index"):
+        encode_jpeg_color([{64: 1}, {}], [{}, {}], [{}, {}], 8, 16, quant)
+
+
+def test_audio_onset_alignment_is_shift_invariant():
+    """The shift-robust audio row's kernel, isolated: leading silence
+    (any length) plus trailing padding leaves the onset-aligned block
+    energies EXACTLY equal to the original's — invariance by
+    construction on the 2^-16 sample lattice, the property the staged
+    multimodal_audio_shift_near_dup pair rides to hamming 0."""
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _wav_decode_samples,
+        encode_wav,
+    )
+
+    base = [2 * ((7919 * i) % 32768 - 16384) for i in range(64)]
+    base[0] = 4242  # nonzero onset anchor
+
+    def energies(payload):
+        _r, mono = _wav_decode_samples(payload)
+        onset = next((i for i, v in enumerate(mono) if v != 0.0), 0)
+        core = mono[onset : onset + 64]
+        return [
+            sum(v * v for v in core[2 * j : 2 * j + 2]) for j in range(32)
+        ]
+
+    ref = energies(encode_wav([base]))
+    for shift in (1, 16, 33, 48):
+        shifted = [0] * shift + base + [0] * 12
+        assert energies(encode_wav([shifted])) == ref, shift

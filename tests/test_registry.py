@@ -325,7 +325,10 @@ def test_staged_round15_registrations():
     }
     assert flipped <= set(QUERIES)
     assert flipped <= set(ORACLES)
-    assert set(STAGED_QUERIES) == set()
+    assert set(STAGED_QUERIES) == {
+        "multimodal_avi_rgb_frames",
+        "multimodal_audio_shift_near_dup",
+    }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
 
