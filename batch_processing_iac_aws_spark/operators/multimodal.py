@@ -1481,6 +1481,72 @@ def _g711_decode_table(law: int) -> "list[int]":
     return out
 
 
+def compand_g711(samples: "list[int]", law: int) -> bytes:
+    """G.711 COMPANDER (linear-16 -> companded byte; law 6 = A-law,
+    7 = mu-law, the WAVE format codes) — the lossy encode
+    :func:`encode_wav_g711` deliberately does not do implicitly: a
+    caller quantizing studio PCM down to telephony runs this
+    explicitly, then wraps the bytes verbatim. Direct port of the
+    canonical public-domain Sun G.711 reference algorithm (the one the
+    C audioop module ships): mu-law works on the arithmetic-shifted
+    14-bit value with bias 33 and clip 8159; A-law on the 13-bit value
+    with the negative ``-v - 1`` fold and the segment-0/1 half-step
+    mantissa. Differentially pinned against audioop
+    (lin2ulaw/lin2alaw) over the FULL 16-bit range in tests, and the
+    expand->compand fixpoint holds for all 256 byte values per law
+    (companding is idempotent on codec-exact levels). Out-of-range
+    samples refuse loudly."""
+    if law not in (6, 7):
+        raise ValueError(
+            f"compand_g711: law {law} (6=A-law / 7=mu-law WAVE codes)"
+        )
+    useg = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+    aseg = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+    def _seg(v: int, table: "tuple[int, ...]") -> int:
+        for i, bound in enumerate(table):
+            if v <= bound:
+                return i
+        return len(table)
+
+    out = bytearray()
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError(
+                f"compand_g711: sample {s} outside 16-bit range"
+            )
+        if law == 7:  # mu-law: 14-bit domain, bias 33, clip 8159
+            v = s >> 2  # arithmetic shift: floors negatives, per spec
+            if v < 0:
+                v, mask = -v, 0x7F
+            else:
+                mask = 0xFF
+            v = min(v, 8159) + 33
+            seg = _seg(v, useg)
+            byte = (
+                0x7F
+                if seg >= 8
+                else (seg << 4) | ((v >> (seg + 1)) & 0x0F)
+            )
+            out.append(byte ^ mask)
+        else:  # A-law: 13-bit domain, negative -v-1 fold
+            v = s >> 3
+            if v >= 0:
+                mask = 0xD5  # sign bit set, then the 0x55 toggle
+            else:
+                v, mask = -v - 1, 0x55
+            seg = _seg(v, aseg)
+            if seg >= 8:
+                byte = 0x7F
+            elif seg < 2:  # linear segments: half-step mantissa
+                byte = (seg << 4) | ((v >> 1) & 0x0F)
+            else:
+                byte = (seg << 4) | ((v >> seg) & 0x0F)
+            out.append(byte ^ mask)
+    return bytes(out)
+
+
+
 def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
     """RIFF/WAVE walk + PCM sample decode with the standard library
     only: returns (sample_rate, mono samples in [-1, 1]). Supports

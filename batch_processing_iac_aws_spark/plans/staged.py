@@ -1423,3 +1423,128 @@ def multimodal_avi_rgb_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pts_ms",
         *[F.round(f"f{j}", 6).alias(f"f{j}") for j in range(12)],
     )
+
+
+@staged_query(
+    "multimodal_g711_compand_roundtrip",
+    oracle="""
+WITH g AS (
+    SELECT d.doc_id, l.law, i.i,
+           CAST(md5_number_lower(d.text || ':c:' || CAST(l.law AS VARCHAR)
+                || ':' || CAST(i.i AS VARCHAR))
+                % 1152921504606846976 AS BIGINT) % 256 AS b0
+    FROM documents d, (VALUES (6), (7)) l(law), range(64) i(i)
+), canon AS (
+    -- the compander canonicalizes mu-law negative zero: expand(0x7F)=0
+    -- re-encodes as +0 = 0xFF (the codec's two-zeros property)
+    SELECT doc_id, law, i,
+           CASE WHEN law = 7 AND b0 = 127 THEN 255 ELSE b0 END AS b
+    FROM g
+), lin AS (
+    SELECT doc_id, law, i // 16 AS blk,
+       CASE WHEN law = 7 THEN
+         ((((255 - b) % 16) * 8 + 132)
+          * (CAST(1 AS BIGINT) << CAST(((255 - b) // 16) % 8 AS INT)))
+         - 132
+       ELSE
+         CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+              THEN (xor(b, 85) % 16) * 16 + 8
+              ELSE ((xor(b, 85) % 16) * 16 + 264)
+                   * (CAST(1 AS BIGINT)
+                      << CAST(((xor(b, 85) // 16) % 8) - 1 AS INT))
+         END
+       END AS mag,
+       CASE WHEN law = 7 THEN
+            (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)
+       ELSE (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+       END AS sgn
+    FROM canon
+)
+SELECT doc_id AS media_id, CAST(law AS INT) AS law,
+       CAST(SUM(CASE WHEN blk = 0 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig0,
+       CAST(SUM(CASE WHEN blk = 1 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig1,
+       CAST(SUM(CASE WHEN blk = 2 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig2,
+       CAST(SUM(CASE WHEN blk = 3 THEN mag * sgn ELSE 0 END) AS BIGINT) AS sig3
+FROM lin GROUP BY 1, 2
+""",
+)
+def multimodal_g711_compand_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The G.711 COMPANDER driven end-to-end (the encode half of the
+    telephony codec pair; multimodal_g711_telephony drives the decode
+    half): every document yields 64 LINEAR samples per law sitting on
+    codec-exact levels (the expansion of an md5-derived byte), the
+    registered pipeline COMPANDS them (compand_g711, the canonical Sun
+    algorithm pinned against audioop over the full 16-bit range), wraps
+    the companded bytes into a real format-6/7 WAV (encode_wav_g711),
+    decodes through the closed-form segment tables, and emits exact
+    integer signed block sums. On codec-exact levels companding is the
+    expansion's inverse — the fixpoint the suite proves for all 256
+    byte values per law — with ONE documented exception the oracle
+    replays: mu-law negative zero (0x7F) decodes to 0 and re-encodes
+    as +0 (0xFF), the codec's two-zeros property. A compander
+    off-by-one on any segment boundary, bias, or sign fold shifts a
+    byte, hence a magnitude, hence the block sum — and the hash
+    mismatches. Same scale shape as the decode row: two mapInPandas,
+    zero Exchange, payloads never shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _g711_decode_table,
+        _wav_decode_samples,
+        compand_g711,
+        encode_wav_g711,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _cb(text: str, law: int, i: int) -> int:
+        dig = hashlib.md5(f"{text}:c:{law}:{i}".encode("utf-8")).digest()
+        return (int.from_bytes(dig[8:16], "little") % (1 << 60)) % 256
+
+    def build(batches):
+        tables = {law: _g711_decode_table(law) for law in (6, 7)}
+        for pdf in batches:
+            ids, laws, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for law in (6, 7):
+                    linear = [
+                        tables[law][_cb(text, law, i)] for i in range(64)
+                    ]
+                    comp = compand_g711(linear, law)
+                    ids.append(did)
+                    laws.append(law)
+                    payloads.append(encode_wav_g711(comp, law=law))
+            yield pd.DataFrame(
+                {"media_id": ids, "law": laws, "payload": payloads}
+            )
+
+    media = d.mapInPandas(
+        build, schema="media_id long, law int, payload binary"
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "law": pdf["law"],
+            }
+            cols = {f"sig{k}": [] for k in range(4)}
+            for p in pdf["payload"]:
+                _rate, mono = _wav_decode_samples(bytes(p))
+                for k in range(4):
+                    blk = mono[16 * k : 16 * (k + 1)]
+                    cols[f"sig{k}"].append(
+                        int(round(sum(blk) * 32768))
+                    )
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        featurize,
+        schema="media_id long, law int, "
+        + ", ".join(f"sig{k} long" for k in range(4)),
+    )

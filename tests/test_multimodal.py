@@ -3283,3 +3283,41 @@ def test_audio_onset_alignment_is_shift_invariant():
     for shift in (1, 16, 33, 48):
         shifted = [0] * shift + base + [0] * 12
         assert energies(encode_wav([shifted])) == ref, shift
+
+
+def test_compand_g711_matches_audioop_full_range():
+    """compand_g711 differentially pinned against the C audioop module
+    over the ENTIRE 16-bit sample range for both laws (65536 x 2
+    byte-exact comparisons — segment boundaries, clip, bias, and both
+    sign folds all covered), plus the expand->compand fixpoint: every
+    companded byte survives a decode/re-encode round-trip, except
+    mu-law's negative zero (0x7F and 0xFF both decode to 0; re-encode
+    canonicalizes to +0 = 0xFF — the codec's documented two-zeros
+    property, not a bug). Unknown laws and out-of-range samples refuse
+    loudly."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _g711_decode_table,
+        compand_g711,
+    )
+
+    samples = list(range(-32768, 32768))
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    assert compand_g711(samples, 7) == audioop.lin2ulaw(pcm, 2)
+    assert compand_g711(samples, 6) == audioop.lin2alaw(pcm, 2)
+    for law in (6, 7):
+        table = _g711_decode_table(law)
+        fixed = compand_g711([table[b] for b in range(256)], law)
+        mism = [b for b in range(256) if fixed[b] != b]
+        assert mism == ([0x7F] if law == 7 else []), mism
+        if law == 7:
+            assert fixed[0x7F] == 0xFF  # -0 canonicalizes to +0
+    with pytest.raises(ValueError, match="law 3"):
+        compand_g711([0], 3)
+    with pytest.raises(ValueError, match="outside 16-bit"):
+        compand_g711([40000], 7)

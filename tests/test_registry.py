@@ -328,6 +328,7 @@ def test_staged_round15_registrations():
     assert set(STAGED_QUERIES) == {
         "multimodal_avi_rgb_frames",
         "multimodal_audio_shift_near_dup",
+        "multimodal_g711_compand_roundtrip",
     }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
