@@ -1547,6 +1547,98 @@ def compand_g711(samples: "list[int]", law: int) -> bytes:
 
 
 
+#: IMA/DVI ADPCM quantizer step table (89 entries) and per-nibble index
+#: adjustments — the published IMA spec constants, byte-identical to
+#: the ones the C audioop module ships (the differential test pins the
+#: whole recurrence against audioop.adpcm2lin).
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+_ADPCM_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step(pred: int, idx: int, nib: int) -> "tuple[int, int]":
+    """One IMA ADPCM decoder step: current (predictor, step index) +
+    one 4-bit code -> next (predictor, step index). The reconstruction
+    uses the spec's shift form — diff = step/8 + step·b2 + step/2·b1 +
+    step/4·b0, negated when the sign bit (8) is set — with the
+    predictor clamped to int16 and the index to [0, 88]. Exactly
+    audioop's arithmetic (differentially pinned over full nibble/state
+    sweeps in tests)."""
+    step = _ADPCM_STEPS[idx]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    idx += _ADPCM_INDEX_ADJ[nib & 7]
+    return pred, (0 if idx < 0 else (88 if idx > 88 else idx))
+
+
+def compress_adpcm(
+    samples: "list[int]", pred: int = 0, idx: int = 0
+) -> "tuple[bytes, int, int]":
+    """IMA ADPCM COMPRESSOR (linear-16 -> 4-bit codes) — the lossy
+    encode :func:`encode_wav_adpcm` deliberately does not do
+    implicitly: a caller quantizing PCM down to ADPCM runs this
+    explicitly, then assembles blocks (header = the carried state) and
+    wraps them verbatim. The canonical IMA successive-approximation
+    quantizer (the one the C audioop module ships): magnitude bits
+    greedily subtract step, step/2, step/4 from |sample - predictor|
+    while the reconstruction diff accumulates the same terms plus the
+    step/8 floor, so encoder and decoder predictors stay bit-identical
+    — the encoder THREADS :func:`_adpcm_step` to prove it. Returns
+    ``(packed_bytes, predictor, step_index)`` with codes packed low
+    nibble first (the WAV layout; pad nibble 0 on odd counts) and the
+    carried state ready to head the next block. Differentially pinned
+    against audioop.lin2adpcm in tests; refuses out-of-range samples
+    and state loudly."""
+    if not -32768 <= pred <= 32767:
+        raise ValueError(f"compress_adpcm: predictor {pred} out of range")
+    if not 0 <= idx <= 88:
+        raise ValueError(f"compress_adpcm: step index {idx} > 88")
+    nibbles = []
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError(
+                f"compress_adpcm: sample {s} outside 16-bit range"
+            )
+        step = _ADPCM_STEPS[idx]
+        diff = s - pred
+        nib = 8 if diff < 0 else 0
+        if nib:
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, idx = _adpcm_step(pred, idx, nib)
+        nibbles.append(nib)
+    if len(nibbles) & 1:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    return packed, pred, idx
+
+
 def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
     """RIFF/WAVE walk + PCM sample decode with the standard library
     only: returns (sample_rate, mono samples in [-1, 1]). Supports
@@ -1557,10 +1649,12 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
     3, 32/64-bit — round 11) decodes too, samples already in [-1, 1];
     G.711 A-law/mu-law telephony WAVs (formats 6/7, 8-bit companded —
     round 13) expand through the closed-form segment tables, pinned
-    against the C audioop module; extensible (0xFFFE), other bit
-    depths, and law formats claiming non-8-bit samples raise
-    NotImplementedError (fail loud, never fake), as do truncated
-    headers/chunks."""
+    against the C audioop module; IMA/DVI ADPCM (format 17, 4-bit —
+    round 14) decompresses block-by-block through the spec step table
+    (:func:`_adpcm_step`, audioop-pinned), mono or interleaved stereo.
+    Extensible (0xFFFE), other bit depths, and formats claiming the
+    wrong per-sample width raise NotImplementedError (fail loud, never
+    fake), as do truncated headers/chunks and partial ADPCM blocks."""
     import struct
 
     data = payload or b""
@@ -1592,11 +1686,11 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
         raise NotImplementedError(
             "decode_wav_stdlib: missing fmt or data chunk"
         )
-    audio_format, n_ch, rate, _brate, _balign, bits = fmt
-    if audio_format not in (1, 3, 6, 7):
+    audio_format, n_ch, rate, _brate, balign, bits = fmt
+    if audio_format not in (1, 3, 6, 7, 17):
         raise NotImplementedError(
             f"decode_wav_stdlib: audio format {audio_format} "
-            "(extensible/ADPCM/compressed need a real library)"
+            "(extensible/compressed need a real library)"
         )
     if n_ch < 1:
         raise NotImplementedError("decode_wav_stdlib: zero channels")
@@ -1634,6 +1728,50 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
             )
         ints = [1.0 if v > 1.0 else (-1.0 if v < -1.0 else v) for v in ints]
         scale = 1.0
+    elif audio_format == 17:  # IMA/DVI ADPCM (round 14)
+        if bits != 4:
+            raise NotImplementedError(
+                f"decode_wav_stdlib: {bits}-bit IMA ADPCM "
+                "(codes are 4-bit nibbles)"
+            )
+        # block = one 4-byte state header per channel (int16 predictor,
+        # step index, reserved), then 4-byte nibble groups interleaved
+        # per channel; the header predictor IS the block's first output
+        # sample (the spec stores it literally)
+        if balign < 8 * n_ch or (balign - 4 * n_ch) % (4 * n_ch):
+            raise NotImplementedError(
+                f"decode_wav_stdlib: IMA ADPCM block align {balign} "
+                f"invalid for {n_ch} channel(s)"
+            )
+        if not frames or len(frames) % balign:
+            raise NotImplementedError(
+                "decode_wav_stdlib: IMA ADPCM data is not whole blocks"
+            )
+        ints = []
+        for base in range(0, len(frames), balign):
+            chans = []
+            for c in range(n_ch):
+                pred, idx, _rsv = struct.unpack_from(
+                    "<hBB", frames, base + 4 * c
+                )
+                if idx > 88:
+                    raise NotImplementedError(
+                        f"decode_wav_stdlib: IMA ADPCM step index {idx}"
+                        " > 88"
+                    )
+                chans.append([pred, idx, [pred]])
+            for goff in range(base + 4 * n_ch, base + balign, 4 * n_ch):
+                for c, st in enumerate(chans):
+                    pred, idx, out = st
+                    for b in frames[goff + 4 * c : goff + 4 * c + 4]:
+                        for nib in (b & 0x0F, b >> 4):  # low nibble 1st
+                            pred, idx = _adpcm_step(pred, idx, nib)
+                            out.append(pred)
+                    st[0], st[1] = pred, idx
+            for i in range(len(chans[0][2])):
+                for st in chans:
+                    ints.append(st[2][i])
+        scale = 32768.0
     elif bits == 16:
         n = len(frames) // 2
         ints = struct.unpack(f"<{n}h", frames[: 2 * n])
@@ -2246,6 +2384,61 @@ def encode_wav_g711(companded: bytes, *, law: int, rate: int = 8000) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(frames)) + frames
         + (b"\x00" if len(frames) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(
+    blocks: bytes, *, block_align: int, channels: int = 1, rate: int = 8000
+) -> bytes:
+    """IMA-ADPCM WAV SINK (RIFF/WAVE format 17): wrap already-
+    compressed IMA/DVI ADPCM blocks verbatim into the canonical
+    fmt(+extension)+fact+data stream :func:`_wav_decode_samples`
+    decompresses back through the spec step table. Same lossless
+    contract as the G.711 sink: ADPCM sources arrive as coded blocks,
+    and round-tripping them verbatim is the sink's job — compressing
+    linear PCM is a lossy encode a caller does explicitly. The fmt
+    chunk carries the standard cbSize=2 ``wSamplesPerBlock`` extension
+    and a ``fact`` chunk declares the total frame count, exactly as
+    encoders in the wild emit. Refuses empty/partial block streams,
+    malformed block geometry, and out-of-range step indexes up front —
+    at the sink, not mid-decode."""
+    import struct
+
+    if channels < 1:
+        raise ValueError("encode_wav_adpcm: zero channels")
+    if block_align < 8 * channels or (block_align - 4 * channels) % (
+        4 * channels
+    ):
+        raise ValueError(
+            f"encode_wav_adpcm: block align {block_align} invalid for "
+            f"{channels} channel(s)"
+        )
+    data = bytes(blocks)
+    if not data or len(data) % block_align:
+        raise ValueError(
+            "encode_wav_adpcm: stream is not a whole number of blocks"
+        )
+    for base in range(0, len(data), block_align):
+        for c in range(channels):
+            idx = data[base + 4 * c + 2]
+            if idx > 88:
+                raise ValueError(
+                    f"encode_wav_adpcm: step index {idx} > 88 in block "
+                    f"at byte {base}"
+                )
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    n_frames = (len(data) // block_align) * spb
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, channels, rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -1548,3 +1548,152 @@ def multimodal_g711_compand_roundtrip(
         schema="media_id long, law int, "
         + ", ".join(f"sig{k} long" for k in range(4)),
     )
+
+
+@staged_query(
+    "multimodal_adpcm_decode",
+    oracle="""
+WITH RECURSIVE st(idx, step) AS (
+    -- the IMA quantizer step table, replayed literally
+    SELECT * FROM (VALUES
+    (0, 7), (1, 8), (2, 9), (3, 10), (4, 11), (5, 12), (6, 13), (7,
+    14), (8, 16), (9, 17), (10, 19), (11, 21), (12, 23), (13, 25),
+    (14, 28), (15, 31), (16, 34), (17, 37), (18, 41), (19, 45), (20,
+    50), (21, 55), (22, 60), (23, 66), (24, 73), (25, 80), (26, 88),
+    (27, 97), (28, 107), (29, 118), (30, 130), (31, 143), (32, 157),
+    (33, 173), (34, 190), (35, 209), (36, 230), (37, 253), (38, 279),
+    (39, 307), (40, 337), (41, 371), (42, 408), (43, 449), (44, 494),
+    (45, 544), (46, 598), (47, 658), (48, 724), (49, 796), (50, 876),
+    (51, 963), (52, 1060), (53, 1166), (54, 1282), (55, 1411), (56,
+    1552), (57, 1707), (58, 1878), (59, 2066), (60, 2272), (61, 2499),
+    (62, 2749), (63, 3024), (64, 3327), (65, 3660), (66, 4026), (67,
+    4428), (68, 4871), (69, 5358), (70, 5894), (71, 6484), (72, 7132),
+    (73, 7845), (74, 8630), (75, 9493), (76, 10442), (77, 11487), (78,
+    12635), (79, 13899), (80, 15289), (81, 16818), (82, 18500), (83,
+    20350), (84, 22385), (85, 24623), (86, 27086), (87, 29794), (88,
+    32767)
+    ) v(idx, step)
+), hdr AS (
+    SELECT d.doc_id,
+       CAST(md5_number_lower(d.text || ':ap') % 1152921504606846976
+            AS BIGINT) % 65536 - 32768 AS pred0,
+       CAST(md5_number_lower(d.text || ':ai') % 1152921504606846976
+            AS BIGINT) % 89 AS idx0
+    FROM documents d
+), nib AS (
+    -- 32 coded bytes per doc -> 64 nibbles, LOW nibble first (WAV order)
+    SELECT d.doc_id, i.i,
+       CASE WHEN i.i % 2 = 0 THEN b.byte % 16 ELSE b.byte // 16 END AS nib
+    FROM documents d, range(64) i(i),
+         LATERAL (SELECT CAST(md5_number_lower(d.text || ':ad:'
+                  || CAST(i.i // 2 AS VARCHAR)) % 1152921504606846976
+                  AS BIGINT) % 256 AS byte) b
+), walk AS (
+    -- the decoder recurrence itself: (predictor, step index) threaded
+    -- through all 64 codes; i = -1 is the literal header sample
+    SELECT doc_id, -1 AS i, pred0 AS pred, idx0 AS idx FROM hdr
+    UNION ALL
+    SELECT w.doc_id, w.i + 1,
+       GREATEST(-32768, LEAST(32767,
+         w.pred + CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END
+           * (s.step // 8
+              + CASE WHEN (n.nib % 8) >= 4 THEN s.step ELSE 0 END
+              + CASE WHEN (n.nib % 4) >= 2 THEN s.step // 2 ELSE 0 END
+              + CASE WHEN (n.nib % 2) = 1 THEN s.step // 4 ELSE 0 END))),
+       GREATEST(0, LEAST(88, w.idx + CASE n.nib % 8
+          WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+          ELSE -1 END))
+    FROM walk w
+    JOIN nib n ON n.doc_id = w.doc_id AND n.i = w.i + 1
+    JOIN st s ON s.idx = w.idx
+)
+SELECT doc_id AS media_id,
+   CAST(SUM(CASE WHEN i = -1 THEN pred ELSE 0 END) AS BIGINT) AS sig_h,
+   CAST(SUM(CASE WHEN i BETWEEN 0 AND 15 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig0,
+   CAST(SUM(CASE WHEN i BETWEEN 16 AND 31 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig1,
+   CAST(SUM(CASE WHEN i BETWEEN 32 AND 47 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig2,
+   CAST(SUM(CASE WHEN i BETWEEN 48 AND 63 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig3
+FROM walk GROUP BY 1
+""",
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMA/DVI ADPCM decoder driven end-to-end (the compressed-
+    audio seam made REAL — format 17 was a named refusal through round
+    13): every document becomes one coded mono block — an md5-derived
+    int16 header predictor, initial step index in [0, 88], and 32
+    coded bytes (64 nibbles) — wrapped verbatim by encode_wav_adpcm
+    into a real format-17 WAV (fmt extension + fact chunk, exactly as
+    wild encoders emit) and decompressed through the REAL
+    _wav_decode_samples branch: the spec step table threaded through
+    the full stateful recurrence (_adpcm_step, differentially pinned
+    against C audioop over exhaustive nibble/state sweeps). Features
+    are the literal header sample plus four exact signed 16-sample
+    block sums (each sample is pred/32768 — power-of-two denominator —
+    so sums are exact in doubles and * 32768 lands on the integer).
+    The DuckDB twin replays the ENTIRE decoder as a recursive CTE —
+    the step table as VALUES, the clamp/sign/index arithmetic inline —
+    so a single off-by-one in any of the 64 chained steps of any doc
+    diverges the predictor stream and mismatches the hash. Stateful-
+    codec scale shape: payloads are built and decoded inside two
+    mapInPandas (zero Exchange, nothing shuffles); each block decodes
+    independently, which is exactly why IMA chose per-block headers —
+    the 100 TB layout splits on block boundaries for free."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _wav_decode_samples,
+        encode_wav_adpcm,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _h(text: str, salt: str) -> int:
+        dig = hashlib.md5(f"{text}{salt}".encode("utf-8")).digest()
+        return int.from_bytes(dig[8:16], "little") % (1 << 60)
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                pred0 = _h(text, ":ap") % 65536 - 32768
+                idx0 = _h(text, ":ai") % 89
+                data = bytes(
+                    _h(text, f":ad:{j}") % 256 for j in range(32)
+                )
+                block = struct.pack("<hBB", pred0, idx0, 0) + data
+                ids.append(did)
+                payloads.append(
+                    encode_wav_adpcm(block, block_align=36)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(build, schema="media_id long, payload binary")
+
+    def featurize(batches):
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"]}
+            cols = {"sig_h": []}
+            cols.update({f"sig{k}": [] for k in range(4)})
+            for p in pdf["payload"]:
+                _rate, mono = _wav_decode_samples(bytes(p))
+                cols["sig_h"].append(int(round(mono[0] * 32768)))
+                for k in range(4):
+                    blk = mono[1 + 16 * k : 1 + 16 * (k + 1)]
+                    cols[f"sig{k}"].append(
+                        int(round(sum(blk) * 32768))
+                    )
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        featurize,
+        schema="media_id long, sig_h long, "
+        + ", ".join(f"sig{k} long" for k in range(4)),
+    )

@@ -3321,3 +3321,184 @@ def test_compand_g711_matches_audioop_full_range():
         compand_g711([0], 3)
     with pytest.raises(ValueError, match="outside 16-bit"):
         compand_g711([40000], 7)
+
+
+def test_adpcm_step_matches_audioop():
+    """The IMA ADPCM decoder recurrence (_adpcm_step) differentially
+    pinned against the C audioop module: a 2500-step nibble stream
+    from state (0, 0) covering every nibble value plus sustained
+    max-magnitude runs (index rides to 88, predictor clips both
+    rails), compared sample-by-sample AND on the final carried state.
+    audioop packs the FIRST nibble of each byte in the HIGH half; WAV
+    packs low-first — the test packs for audioop's order, the WAV walk
+    test below proves the low-first order independently."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _adpcm_step,
+    )
+
+    nibs = (
+        [(i * 7 + 3) % 16 for i in range(2000)]
+        + [7] * 200 + [15] * 200 + [8] * 100
+    )
+    packed = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+    )
+    out, (pred_a, idx_a) = audioop.adpcm2lin(packed, 2, None)
+    expected = struct.unpack(f"<{len(nibs)}h", out)
+    pred, idx = 0, 0
+    mine = []
+    for n in nibs:
+        pred, idx = _adpcm_step(pred, idx, n)
+        mine.append(pred)
+    assert tuple(mine) == expected
+    assert (pred, idx) == (pred_a, idx_a)
+
+
+def test_wav_adpcm_decode_mono_stereo_and_refusals():
+    """Format-17 WAV decode end-to-end through the RIFF walk: a mono
+    block (header predictor = literal first sample, 32 coded bytes ->
+    64 low-nibble-first steps) matches a hand-threaded _adpcm_step
+    replay exactly; a stereo block (per-channel headers, interleaved
+    4-byte nibble groups) decodes each channel independently and
+    downmixes by mean. The sink refuses empty/partial streams, bad
+    block geometry, and step index > 88; the decoder refuses the same
+    index poison mid-payload, non-4-bit claims, and partial blocks."""
+    import struct
+
+    import pytest
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _adpcm_step,
+        _wav_decode_samples,
+        encode_wav_adpcm,
+    )
+
+    def thread(pred, idx, data):
+        out = [pred]
+        for b in data:
+            for nib in (b & 0x0F, b >> 4):
+                pred, idx = _adpcm_step(pred, idx, nib)
+                out.append(pred)
+        return out
+
+    data = bytes((i * 37 + 11) % 256 for i in range(32))
+    block = struct.pack("<hBB", -1234, 17, 0) + data
+    rate, mono = _wav_decode_samples(
+        encode_wav_adpcm(block, block_align=36)
+    )
+    assert rate == 8000 and len(mono) == 65
+    assert mono == [v / 32768.0 for v in thread(-1234, 17, data)]
+
+    d_a, d_b = bytes(range(40, 48)), bytes(range(200, 208))
+    stereo = (
+        struct.pack("<hBB", 1000, 5, 0)
+        + struct.pack("<hBB", -2000, 40, 0)
+        + d_a[:4] + d_b[:4] + d_a[4:] + d_b[4:]
+    )
+    _rate, mix = _wav_decode_samples(
+        encode_wav_adpcm(stereo, block_align=24, channels=2)
+    )
+    assert mix == [
+        (a + b) / (2 * 32768.0)
+        for a, b in zip(thread(1000, 5, d_a), thread(-2000, 40, d_b))
+    ]
+
+    with pytest.raises(ValueError, match="whole number"):
+        encode_wav_adpcm(b"", block_align=36)
+    with pytest.raises(ValueError, match="whole number"):
+        encode_wav_adpcm(block[:-1], block_align=36)
+    with pytest.raises(ValueError, match="step index 89"):
+        encode_wav_adpcm(
+            struct.pack("<hBB", 0, 89, 0) + data, block_align=36
+        )
+    with pytest.raises(ValueError, match="block align 35"):
+        encode_wav_adpcm(block, block_align=35)
+
+    wav = bytearray(encode_wav_adpcm(block, block_align=36))
+    wav[wav.index(b"data") + 8 + 2] = 90  # poison the header index
+    with pytest.raises(NotImplementedError, match="step index 90"):
+        _wav_decode_samples(bytes(wav))
+    wav = bytearray(encode_wav_adpcm(block, block_align=36))
+    wav[wav.index(b"fmt ") + 8 + 14] = 8  # claim 8-bit ADPCM codes
+    with pytest.raises(NotImplementedError, match="8-bit IMA ADPCM"):
+        _wav_decode_samples(bytes(wav))
+    good = encode_wav_adpcm(block + block, block_align=36)
+    trunc = good[: good.index(b"data") + 8 + 36 + 7]
+    with pytest.raises(NotImplementedError, match="truncated"):
+        _wav_decode_samples(
+            trunc
+        )  # declared data size now exceeds the payload
+
+
+def test_compress_adpcm_matches_audioop_and_roundtrips():
+    """compress_adpcm differentially pinned against the C audioop
+    module (lin2adpcm) over a 4000-sample sweep mixing ramps, rails,
+    sign flips, and a sine-ish lattice — byte-exact codes (repacked:
+    audioop is high-nibble-first, the WAV layout low-first) and
+    identical carried (predictor, index) state. Then the full encoder
+    -> sink -> decoder loop: header = literal first sample + chosen
+    index, compress the rest from that state, wrap with
+    encode_wav_adpcm, decode with _wav_decode_samples — the decoded
+    stream IS the encoder's internal prediction chain (bit-identical,
+    the property that makes ADPCM streamable; no tracking-error bound
+    is asserted — a single step cannot cover an arbitrary jump, and
+    the audioop differential above pins the quantizer itself). Bad
+    state/samples refuse loudly."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+
+    from batch_processing_iac_aws_spark.operators.multimodal import (
+        _wav_decode_samples,
+        compress_adpcm,
+        encode_wav_adpcm,
+    )
+
+    samples = (
+        list(range(0, 32000, 97))
+        + list(range(32000, -32000, -153))
+        + [32767, -32768, 0, -1, 1] * 20
+        + [((i * i * 7919) % 65536) - 32768 for i in range(1000)]
+    )
+    samples = samples[: len(samples) & ~1]  # even count: audioop
+    # silently DROPS a trailing buffered nibble; we pad 0 instead
+    packed, pred, idx = compress_adpcm(samples)
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    a_packed, (a_pred, a_idx) = audioop.lin2adpcm(pcm, 2, None)
+    repacked = bytes(
+        ((b & 0x0F) << 4) | (b >> 4) for b in packed
+    )  # low-first -> audioop's high-first
+    assert repacked == a_packed
+    assert (pred, idx) == (a_pred, a_idx)
+    odd, _p, _i = compress_adpcm(samples[:7])
+    assert len(odd) == 4 and odd[3] >> 4 == 0  # documented 0-nibble pad
+
+    body = [((i * 5077) % 65536) - 32768 for i in range(65)]
+    codes, _p, _i = compress_adpcm(body[1:], pred=body[0], idx=24)
+    block = struct.pack("<hBB", body[0], 24, 0) + codes
+    _rate, mono = _wav_decode_samples(
+        encode_wav_adpcm(block, block_align=36)
+    )
+    decoded = [int(round(v * 32768)) for v in mono]
+    # re-thread the encoder one sample at a time (state carried
+    # explicitly) to recover its internal prediction chain
+    preds, p, ix = [body[0]], body[0], 24
+    for s in body[1:]:
+        _codes, p, ix = compress_adpcm([s], pred=p, idx=ix)
+        preds.append(p)
+    assert decoded == preds
+
+    with pytest.raises(ValueError, match="index 89"):
+        compress_adpcm([0], idx=89)
+    with pytest.raises(ValueError, match="predictor"):
+        compress_adpcm([0], pred=40000)
+    with pytest.raises(ValueError, match="outside 16-bit"):
+        compress_adpcm([70000])

@@ -329,6 +329,7 @@ def test_staged_round15_registrations():
         "multimodal_avi_rgb_frames",
         "multimodal_audio_shift_near_dup",
         "multimodal_g711_compand_roundtrip",
+        "multimodal_adpcm_decode",
     }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
