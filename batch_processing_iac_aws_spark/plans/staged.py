@@ -1697,3 +1697,176 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, sig_h long, "
         + ", ".join(f"sig{k} long" for k in range(4)),
     )
+
+
+@staged_query(
+    "multimodal_adpcm_roundtrip",
+    oracle="""
+WITH RECURSIVE st(idx, step) AS (
+    SELECT * FROM (VALUES
+    (0, 7), (1, 8), (2, 9), (3, 10), (4, 11), (5, 12), (6, 13), (7,
+    14), (8, 16), (9, 17), (10, 19), (11, 21), (12, 23), (13, 25),
+    (14, 28), (15, 31), (16, 34), (17, 37), (18, 41), (19, 45), (20,
+    50), (21, 55), (22, 60), (23, 66), (24, 73), (25, 80), (26, 88),
+    (27, 97), (28, 107), (29, 118), (30, 130), (31, 143), (32, 157),
+    (33, 173), (34, 190), (35, 209), (36, 230), (37, 253), (38, 279),
+    (39, 307), (40, 337), (41, 371), (42, 408), (43, 449), (44, 494),
+    (45, 544), (46, 598), (47, 658), (48, 724), (49, 796), (50, 876),
+    (51, 963), (52, 1060), (53, 1166), (54, 1282), (55, 1411), (56,
+    1552), (57, 1707), (58, 1878), (59, 2066), (60, 2272), (61, 2499),
+    (62, 2749), (63, 3024), (64, 3327), (65, 3660), (66, 4026), (67,
+    4428), (68, 4871), (69, 5358), (70, 5894), (71, 6484), (72, 7132),
+    (73, 7845), (74, 8630), (75, 9493), (76, 10442), (77, 11487), (78,
+    12635), (79, 13899), (80, 15289), (81, 16818), (82, 18500), (83,
+    20350), (84, 22385), (85, 24623), (86, 27086), (87, 29794), (88,
+    32767)
+    ) v(idx, step)
+), lin AS (
+    -- 65 md5-derived LINEAR int16 samples per doc: [0] heads the
+    -- block literally, [1..64] pass through the quantizer
+    SELECT d.doc_id, i.i,
+       CAST(md5_number_lower(d.text || ':al:' || CAST(i.i AS VARCHAR))
+            % 1152921504606846976 AS BIGINT) % 65536 - 32768 AS s
+    FROM documents d, range(65) i(i)
+), hdr AS (
+    SELECT d.doc_id,
+       CAST(md5_number_lower(d.text || ':aj') % 1152921504606846976
+            AS BIGINT) % 89 AS idx0
+    FROM documents d
+), walk AS (
+    -- ENCODER + DECODER in one recurrence: the IMA quantizer picks
+    -- magnitude bits by greedily subtracting step, step/2, step/4
+    -- from |sample - predictor| while the reconstruction diff
+    -- accumulates the same terms plus the step/8 floor — so the next
+    -- predictor below is simultaneously what the encoder tracks and
+    -- what the decoder emits (the bit-identity the suite pins)
+    SELECT l.doc_id, 0 AS i, l.s AS pred, h.idx0 AS idx
+    FROM lin l JOIN hdr h ON h.doc_id = l.doc_id AND l.i = 0
+    UNION ALL
+    SELECT w.doc_id, w.i + 1,
+       GREATEST(-32768, LEAST(32767, w.pred + CASE WHEN n.s - w.pred <
+         0 THEN -(s.step // 8 + CASE WHEN ABS(n.s - w.pred) >= s.step
+         THEN s.step ELSE 0 END + CASE WHEN (ABS(n.s - w.pred) - CASE
+         WHEN ABS(n.s - w.pred) >= s.step THEN s.step ELSE 0 END) >=
+         s.step // 2 THEN s.step // 2 ELSE 0 END + CASE WHEN ((ABS(n.s
+         - w.pred) - CASE WHEN ABS(n.s - w.pred) >= s.step THEN s.step
+         ELSE 0 END) - CASE WHEN (ABS(n.s - w.pred) - CASE WHEN
+         ABS(n.s - w.pred) >= s.step THEN s.step ELSE 0 END) >= s.step
+         // 2 THEN s.step // 2 ELSE 0 END) >= s.step // 4 THEN s.step
+         // 4 ELSE 0 END) ELSE (s.step // 8 + CASE WHEN ABS(n.s -
+         w.pred) >= s.step THEN s.step ELSE 0 END + CASE WHEN (ABS(n.s
+         - w.pred) - CASE WHEN ABS(n.s - w.pred) >= s.step THEN s.step
+         ELSE 0 END) >= s.step // 2 THEN s.step // 2 ELSE 0 END + CASE
+         WHEN ((ABS(n.s - w.pred) - CASE WHEN ABS(n.s - w.pred) >=
+         s.step THEN s.step ELSE 0 END) - CASE WHEN (ABS(n.s - w.pred)
+         - CASE WHEN ABS(n.s - w.pred) >= s.step THEN s.step ELSE 0
+         END) >= s.step // 2 THEN s.step // 2 ELSE 0 END) >= s.step //
+         4 THEN s.step // 4 ELSE 0 END) END)),
+       GREATEST(0, LEAST(88, w.idx + CASE (CASE WHEN ABS(n.s - w.pred)
+         >= s.step THEN 4 ELSE 0 END + CASE WHEN (ABS(n.s - w.pred) -
+         CASE WHEN ABS(n.s - w.pred) >= s.step THEN s.step ELSE 0 END)
+         >= s.step // 2 THEN 2 ELSE 0 END + CASE WHEN ((ABS(n.s -
+         w.pred) - CASE WHEN ABS(n.s - w.pred) >= s.step THEN s.step
+         ELSE 0 END) - CASE WHEN (ABS(n.s - w.pred) - CASE WHEN
+         ABS(n.s - w.pred) >= s.step THEN s.step ELSE 0 END) >= s.step
+         // 2 THEN s.step // 2 ELSE 0 END) >= s.step // 4 THEN 1 ELSE
+         0 END) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN
+         8 ELSE -1 END))
+    FROM walk w
+    JOIN lin n ON n.doc_id = w.doc_id AND n.i = w.i + 1
+    JOIN st s ON s.idx = w.idx
+)
+SELECT doc_id AS media_id,
+   CAST(SUM(CASE WHEN i = 0 THEN pred ELSE 0 END) AS BIGINT) AS sig_h,
+   CAST(SUM(CASE WHEN i BETWEEN 1 AND 16 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig0,
+   CAST(SUM(CASE WHEN i BETWEEN 17 AND 32 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig1,
+   CAST(SUM(CASE WHEN i BETWEEN 33 AND 48 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig2,
+   CAST(SUM(CASE WHEN i BETWEEN 49 AND 64 THEN pred ELSE 0 END)
+        AS BIGINT) AS sig3
+FROM walk GROUP BY 1
+""",
+)
+def multimodal_adpcm_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IMA ADPCM COMPRESSOR driven end-to-end (the encode half;
+    multimodal_adpcm_decode drives the decode half on raw coded
+    bytes): every document yields 65 md5-derived LINEAR int16 samples
+    and an initial step index; the registered pipeline COMPRESSES
+    samples 1..64 from the literal-header state (compress_adpcm, the
+    canonical successive-approximation quantizer pinned against C
+    audioop), assembles the real block (header = sample 0 + index),
+    wraps it with encode_wav_adpcm, decodes through the REAL stateful
+    branch, and emits the header sample plus four exact signed
+    16-sample block sums. The DuckDB twin replays ENCODER AND DECODER
+    as one recursive CTE — the quantizer's greedy bit selection and
+    the reconstruction accumulate the same step terms, which is
+    exactly why ADPCM encoder/decoder predictors stay bit-identical —
+    so any divergence in either half of the codec, in any of the 64
+    chained steps, mismatches the hash. Same scale shape as every
+    codec row: two mapInPandas, zero Exchange, payloads never
+    shuffle."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _wav_decode_samples,
+        compress_adpcm,
+        encode_wav_adpcm,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _h(text: str, salt: str) -> int:
+        dig = hashlib.md5(f"{text}{salt}".encode("utf-8")).digest()
+        return int.from_bytes(dig[8:16], "little") % (1 << 60)
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                lin = [
+                    _h(text, f":al:{i}") % 65536 - 32768
+                    for i in range(65)
+                ]
+                idx0 = _h(text, ":aj") % 89
+                codes, _pred, _idx = compress_adpcm(
+                    lin[1:], pred=lin[0], idx=idx0
+                )
+                block = (
+                    struct.pack("<hBB", lin[0], idx0, 0) + codes
+                )
+                ids.append(did)
+                payloads.append(
+                    encode_wav_adpcm(block, block_align=36)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(build, schema="media_id long, payload binary")
+
+    def featurize(batches):
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"]}
+            cols = {"sig_h": []}
+            cols.update({f"sig{k}": [] for k in range(4)})
+            for p in pdf["payload"]:
+                _rate, mono = _wav_decode_samples(bytes(p))
+                cols["sig_h"].append(int(round(mono[0] * 32768)))
+                for k in range(4):
+                    blk = mono[1 + 16 * k : 1 + 16 * (k + 1)]
+                    cols[f"sig{k}"].append(
+                        int(round(sum(blk) * 32768))
+                    )
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        featurize,
+        schema="media_id long, sig_h long, "
+        + ", ".join(f"sig{k} long" for k in range(4)),
+    )

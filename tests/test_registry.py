@@ -330,6 +330,7 @@ def test_staged_round15_registrations():
         "multimodal_audio_shift_near_dup",
         "multimodal_g711_compand_roundtrip",
         "multimodal_adpcm_decode",
+        "multimodal_adpcm_roundtrip",
     }
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
     assert not set(STAGED_QUERIES) & set(QUERIES)
