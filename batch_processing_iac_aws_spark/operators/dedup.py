@@ -151,22 +151,24 @@ def minhash_signatures(
     # form evaluates interpreted at num_perm * n_shingles ops/doc — the
     # difference between seconds and minutes); duplicate shingles need no
     # dedup under min()
+    #
+    # The whole signature is ONE parsed SQL expression (r14 optimization):
+    # building num_perm Column aggregates through the functions API costs
+    # ~6 py4j round trips each (~400 total, measured 1.2 s of driver time
+    # per construction at 64 perms — more than the sf0.1 execution), and
+    # this frame is constructed several times per incremental/streaming
+    # query. One expr string is one round trip; the parsed plan (64 min
+    # aggregates feeding an array) and the results are identical.
     sh = shingle_rows(
         df, id_col=id_col, text_col=text_col, k=shingle_k
     ).select(
         F.col(id_col),
-        F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("__h"),
+        F.expr(f"pmod(xxhash64(shingle), {_P}L) AS __h"),
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(
-            f"__m{i}"
-        )
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
+    mins = ", ".join(
+        f"min(pmod({a}L * __h + {b}L, {_P}L))" for a, b in params
     )
+    return sh.groupBy(id_col).agg(F.expr(f"array({mins}) AS sig"))
 
 
 def banded_signatures(
@@ -431,21 +433,26 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
     ).select(F.col(id_col), hash_of(F.col("__t")).alias("__h"))
-    aggs = [
-        F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
-        for j in range(bits)
-    ]
-    counted = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
     # disjoint bit terms OR-ed together; j=63 must be the wrapped sign-bit
-    # constant (1<<63 overflows signed long)
-    packed = None
-    for j in range(bits):
-        mask = (1 << j) if j < 63 else -(1 << 63)
-        term = F.when(
-            F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(mask).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed.bitwiseOR(term)
-    return counted.select(F.col(id_col), packed.alias("simhash"))
+    # constant (1<<63 overflows signed long — shiftleft(1L, 63) wraps to
+    # it deterministically in Spark SQL, avoiding the unparseable
+    # -9223372036854775808 literal).
+    #
+    # The whole hash is ONE parsed SQL expression (r14 optimization): the
+    # previous form built ``bits`` sum-aggregates plus a ``bits``-term
+    # when/bitwiseOR chain through the functions API — ~640 py4j round
+    # trips of driver time per construction (the minhash_signatures
+    # finding, measured there at 1.2 s per 64-agg build). One expr string
+    # is one round trip; the aggregates, the popcount>half rule, and the
+    # packed result are identical.
+    terms = " | ".join(
+        "(CASE WHEN 2 * sum(shiftright(__h, {j}) & 1) > count(1) "
+        "THEN {m} ELSE 0L END)".format(
+            j=j, m=f"{1 << j}L" if j < 63 else "shiftleft(1L, 63)"
+        )
+        for j in range(bits)
+    )
+    return toks.groupBy(id_col).agg(F.expr(f"({terms}) AS simhash"))
 
 
 def connected_components(
