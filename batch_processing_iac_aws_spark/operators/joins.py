@@ -214,14 +214,32 @@ def fuzzy_join(
     b = right.select(
         F.col(right_id), F.col(text_col).alias(rt), *block_cols
     )
-    dist = F.levenshtein(lt, rt)
+    # BOUNDED verify (r14 optimization, guide §1.2 "per-task work"):
+    # levenshtein's 3-arg banded form early-exits once the distance
+    # provably exceeds the per-pair threshold k = (num*maxlen) div denom
+    # — O(k·len) instead of O(len²) per candidate, and far-apart decoy
+    # pairs (most of the blocked candidate volume) exit almost
+    # immediately. Integer dist <= the cross-multiplied threshold iff
+    # dist <= k, so the bounded form returns every admitted pair's
+    # distance EXACTLY; beyond-k pairs return -1 and are dropped by the
+    # dist >= 0 guard (without the guard -1 would trivially pass the
+    # cross-multiplied predicate). Verified bit-identical to the
+    # unbounded form against the DuckDB oracle at sf0.001/0.01/0.1.
+    dist = F.expr(
+        f"levenshtein(`{lt}`, `{rt}`, ({frac.numerator}L * "
+        f"greatest(length(`{lt}`), length(`{rt}`))) div "
+        f"{frac.denominator}L)"
+    )
     cand = (
         a.join(b, block_cols)
         .withColumn("dist", dist.cast("long"))
         .filter(
-            F.col("dist") * F.lit(frac.denominator)
-            <= F.lit(frac.numerator)
-            * F.greatest(F.length(lt), F.length(rt))
+            (F.col("dist") >= 0)
+            & (
+                F.col("dist") * F.lit(frac.denominator)
+                <= F.lit(frac.numerator)
+                * F.greatest(F.length(lt), F.length(rt))
+            )
         )
     )
     if keep == "all":
