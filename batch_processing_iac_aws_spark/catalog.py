@@ -113,6 +113,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout_scan(df: DataFrame) -> DataFrame:
+    """Conditional round-robin fan-out for pathologically under-split
+    inputs (optimization guide §2.5, "input skew": one unsplittable
+    file -> repartition immediately after the read). A parquet file is
+    readable only at row-group granularity, so a single-row-group file
+    scans as ONE task no matter how many cores the session has — and a
+    map-only pipeline downstream (the Python-codec multimodal rows)
+    then runs entirely on one core. When the scan yields fewer
+    partitions than the session's default parallelism, repartition the
+    (pruned, payload-free) input up to it: one exchange of the 2-column
+    text frame buys N-way codec parallelism (measured at sf0.1/local[32]:
+    multimodal_avi_frames 3.3 -> 1.3 s, g711 2.0 -> 1.2 s, wav_envelope
+    1.6 -> 0.8 s, gif_frames 1.5 -> 1.0 s warm). At production scale the
+    input arrives in many files/row groups, the condition is false, and
+    the plan keeps its zero-Exchange map-only shape — the guard is what
+    makes the fan-out scale-adaptive rather than a local[32] tuning.
+    Apply it only where the downstream per-row work dwarfs a tiny
+    exchange; rows that feed joins/broadcasts measured neutral-to-worse
+    under a blanket fan-out."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
     """Idempotently register every test table as a temp view.
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import fanout_scan, load_table
 from ..operators.dedup import (
     exact_dedup,
     exact_jaccard,
@@ -2011,7 +2011,10 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan the single-row-group scan out to the session's cores before the
+    # per-doc GIF encode/decode (catalog.fanout_scan; guide §2.5) —
+    # 1.5 -> 1.0 s warm at sf0.1, no-op when the input is already split
+    d = fanout_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def _idx(text: str, f: int, p: int) -> int:
         dig = hashlib.md5(f"{text}:{f}:{p}".encode("utf-8")).digest()

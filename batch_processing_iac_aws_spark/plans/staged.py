@@ -72,7 +72,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import fanout_scan, load_table
 from .registry import query, scratch_dir, staged_query  # noqa: F401
 
 
@@ -474,7 +474,10 @@ def multimodal_wav_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_wav_stdlib, encode_wav
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan the single-row-group scan out to the session's cores before the
+    # per-doc encode/decode (catalog.fanout_scan; guide §2.5) — 1.6 -> 0.8 s
+    # warm at sf0.1, no-op when the input is already split
+    d = fanout_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def _smp(text: str, ch: int, i: int) -> int:
         dig = hashlib.md5(f"{text}:{ch}:{i}".encode("utf-8")).digest()
@@ -791,7 +794,9 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan-out before the per-doc JPEG/AVI encode+decode (catalog.fanout_scan;
+    # guide §2.5) — 3.3 -> 1.3 s warm at sf0.1, no-op on split inputs
+    d = fanout_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     quant = [16] * 64
 
     def _dc(text: str, f: int, k: int) -> int:
@@ -1075,7 +1080,9 @@ def multimodal_g711_telephony(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_g711,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan-out before the per-doc compand/decode (catalog.fanout_scan;
+    # guide §2.5) — 2.0 -> 1.2 s warm at sf0.1, no-op on split inputs
+    d = fanout_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def _cb(text: str, law: int, i: int) -> int:
         dig = hashlib.md5(f"{text}:{law}:{i}".encode("utf-8")).digest()
@@ -1360,7 +1367,9 @@ def multimodal_avi_rgb_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan-out before the per-doc JPEG/AVI encode+decode (catalog.fanout_scan;
+    # guide §2.5; measured on the gray sibling) — no-op on split inputs
+    d = fanout_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     quant = [16] * 64
 
     def _dc(text: str, f: int, c: int, k: int) -> int:
@@ -1499,7 +1508,9 @@ def multimodal_g711_compand_roundtrip(
         encode_wav_g711,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan-out before the per-doc compand/decode (catalog.fanout_scan;
+    # guide §2.5; measured on the decode sibling) — no-op on split inputs
+    d = fanout_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def _cb(text: str, law: int, i: int) -> int:
         dig = hashlib.md5(f"{text}:c:{law}:{i}".encode("utf-8")).digest()
