@@ -371,17 +371,21 @@ def ivf_refined_centroids(
             assigned.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.col("__xq")[i]).alias(f"__s{i}")
-                    for i in range(dim)
-                ],
+                # ONE parsed expression for the dim partial sums (r14:
+                # the minhash py4j finding — dim Column builds cost
+                # ~0.5 s of driver time per round at dim 64; one string
+                # is one round trip, the aggregates are identical)
+                F.expr(
+                    "array("
+                    + ", ".join(f"sum(__xq[{i}])" for i in range(dim))
+                    + ") AS __s"
+                ),
             )
             .collect()  # k rows of dim ints — model-sized, documented
         )
         for r in upd:
             cents[r["cluster"]] = [
-                (int(r[f"__s{i}"]) * centroid_scale) // r["__n"]
-                for i in range(dim)
+                (int(s) * centroid_scale) // r["__n"] for s in r["__s"]
             ]
     scale = float(grid * centroid_scale)
     return [
@@ -1307,18 +1311,22 @@ def kmeans_exact(
             assigned.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.col("__xq")[i]).alias(f"__s{i}")
-                    for i in range(dim)
-                ],
+                # ONE parsed expression for the dim partial sums (r14:
+                # the minhash py4j finding — dim Column builds cost
+                # ~0.5 s of driver time per round at dim 64; one string
+                # is one round trip, the aggregates are identical)
+                F.expr(
+                    "array("
+                    + ", ".join(f"sum(__xq[{i}])" for i in range(dim))
+                    + ") AS __s"
+                ),
             )
             .collect()
         )
         for r in upd:
             n = r["__n"]
             cents[r["cluster"]] = [
-                (int(r[f"__s{i}"]) * centroid_scale) // n
-                for i in range(dim)
+                (int(s) * centroid_scale) // n for s in r["__s"]
             ]
     return assigned.select(
         F.col(id_col), F.col("cluster").cast("long")
@@ -1386,15 +1394,14 @@ def _pq_subvectors(
     so encode + cell assignment stay ONE pass with no join-back)."""
     carry = list(carry_cols or [])
     xq = _pq_normalized_quantized(vec_col, grid)
-    slices = F.array(
-        *[
-            F.slice(
-                F.col("__xq"),
-                (F.lit(j) * F.col("__sd") + 1).cast("int"),
-                F.col("__sd").cast("int"),
-            )
+    # ONE parsed expression for the m slices (r14 py4j finding)
+    slices = F.expr(
+        "array("
+        + ", ".join(
+            f"slice(__xq, cast({j} * __sd + 1 as int), cast(__sd as int))"
             for j in range(m)
-        ]
+        )
+        + ")"
     )
     return (
         df.select(F.col(id_col).alias("id"), *carry, xq.alias("__xq"))
@@ -1485,17 +1492,19 @@ def _pq_train_sub(
             assigned.groupBy("sub_idx", "code")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.col("subvec")[i]).alias(f"__s{i}")
-                    for i in range(sd)
-                ],
+                # one parsed expression for the sd partial sums (r14
+                # py4j finding; same aggregates)
+                F.expr(
+                    "array("
+                    + ", ".join(f"sum(subvec[{i}])" for i in range(sd))
+                    + ") AS __s"
+                ),
             )
             .collect()  # m*k rows of sd ints — model-sized, documented
         )
         for r in upd:
             cbs[r["sub_idx"]][r["code"]] = [
-                (int(r[f"__s{i}"]) * code_scale) // r["__n"]
-                for i in range(sd)
+                (int(s) * code_scale) // r["__n"] for s in r["__s"]
             ]
     return cbs
 
@@ -1868,15 +1877,14 @@ def _residual_subvectors_assigned(
         .join(F.broadcast(cq_df), "ivf_cluster")
         .withColumn("__rq", F.zip_with("__xq", "__cq", lambda a, b: a - b))
     )
-    slices = F.array(
-        *[
-            F.slice(
-                F.col("__rq"),
-                (F.lit(j) * F.col("__sd") + 1).cast("int"),
-                F.col("__sd").cast("int"),
-            )
+    # ONE parsed expression for the m slices (r14 py4j finding)
+    slices = F.expr(
+        "array("
+        + ", ".join(
+            f"slice(__rq, cast({j} * __sd + 1 as int), cast(__sd as int))"
             for j in range(m)
-        ]
+        )
+        + ")"
     )
     return (
         resid.withColumn("__sd", (F.size("__rq") / m).cast("long"))
