@@ -149,6 +149,17 @@ def dsir_importance_weights(
         raw_docs, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, ns=ns, token_hash=token_hash,
     )
+    # PIN the raw profile (r14 optimization, guide §5 caching): the plan
+    # references raw_prof twice — once under the logratio broadcast,
+    # once in the scoring join — so without pinning, the raw corpus's
+    # featurize pass (shingle explode + n-gram hashing, the dominant
+    # cost of every DSIR row) executes TWICE per query. An eager
+    # localCheckpoint computes it once; blocks release on GC (the
+    # kmeans_exact rationale). Same at 100 TB, where a curation
+    # pipeline persists the featurized profile precisely so the corpus
+    # is read once (DSIR paper §3 pipeline); measured ~1 s off each
+    # dsir_* row at sf0.1.
+    raw_prof = raw_prof.localCheckpoint(eager=True)
     tgt_prof = hashed_ngram_buckets(
         target_docs, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, ns=ns, token_hash=token_hash,
