@@ -206,14 +206,22 @@ def fuzzy_join(
     # dist * denom <= num * maxlen — float casts are an engine trap
     # (Spark's double->int cast truncates, DuckDB's rounds, so the same
     # SQL-looking predicate admits different pairs near the boundary)
+    from ..catalog import fanout_scan
+
     frac = Fraction(max_dist_frac).limit_denominator(1000)
     lt, rt = f"{text_col}", f"{text_col}{suffix}"
-    a = left.select(
+    # fan pathologically under-split scans out before the verify (r14,
+    # guide §2.5): with single-row-group inputs the probe side of the
+    # blocked broadcast join — and therefore EVERY levenshtein — ran as
+    # one task (profiled: one 1-task 3.4 s job was the whole query).
+    # Guarded no-op when the scans are already split, so the at-scale
+    # plan is unchanged.
+    a = fanout_scan(left.select(
         F.col(left_id), F.col(text_col).alias(lt), *block_cols
-    )
-    b = right.select(
+    ))
+    b = fanout_scan(right.select(
         F.col(right_id), F.col(text_col).alias(rt), *block_cols
-    )
+    ))
     # BOUNDED verify (r14 optimization, guide §1.2 "per-task work"):
     # levenshtein's 3-arg banded form early-exits once the distance
     # provably exceeds the per-pair threshold k = (num*maxlen) div denom
