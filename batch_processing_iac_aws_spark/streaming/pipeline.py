@@ -389,6 +389,11 @@ def ingest_dedup_batch(
         if index is None
         else firsts.join(index, "content_hash", "left_anti")
     ).withColumn("ingest_batch", F.lit(batch_id).cast("int"))
+    # two consumers follow (table write + hash-index append); without
+    # this pin the upstream batch pipeline would run TWICE per
+    # micro-batch (the ingest_fuzzy_batch rationale) — batch-sized by
+    # contract
+    survivors = survivors.localCheckpoint(eager=True)
     append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
         survivors.select("content_hash"), index_dir, batch_id=batch_id
@@ -620,8 +625,13 @@ def ingest_sparse_batch(
             threshold=threshold,
         )
     )
-    survivors = survivors.withColumn(
-        "ingest_batch", F.lit(batch_id).cast("int")
+    survivors = (
+        survivors.withColumn("ingest_batch", F.lit(batch_id).cast("int"))
+        # two consumers follow (table write + vector-index append);
+        # without this pin the inverted-index anti-scoring join — the
+        # batch's dominant cost — would run TWICE per micro-batch (the
+        # ingest_fuzzy_batch rationale); batch-sized by contract
+        .localCheckpoint(eager=True)
     )
     append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
@@ -758,6 +768,11 @@ def ingest_quality_batch(
         if index is None
         else firsts.join(index, "content_hash", "left_anti")
     ).withColumn("ingest_batch", F.lit(batch_id).cast("int"))
+    # two consumers follow (table write + hash-index append); without
+    # this pin the upstream batch pipeline would run TWICE per
+    # micro-batch (the ingest_fuzzy_batch rationale) — batch-sized by
+    # contract
+    survivors = survivors.localCheckpoint(eager=True)
     append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
         survivors.select("content_hash"), index_dir, batch_id=batch_id
