@@ -1623,6 +1623,18 @@ def _md5_lower60(c):
     return F.conv(F.substring(le, 2, 15), 16, 10).cast("long")
 
 
+def _md5_lower60_sql(x: str) -> str:
+    """SQL-text twin of :func:`_md5_lower60` over the SQL fragment ``x``
+    — for call sites that build MANY of these hashes into one frame,
+    where constructing the Column tree per hash costs ~15 py4j round
+    trips each (the r14 minhash finding); one parsed string is one
+    round trip and the parsed expression is identical."""
+    le = "concat(" + ", ".join(
+        f"substring(md5({x}), {31 - 2 * i}, 2)" for i in range(8)
+    ) + ")"
+    return f"cast(conv(substring({le}, 2, 15), 16, 10) as bigint)"
+
+
 def _simhash_portable_oracle() -> str:
     """DuckDB twin of the full SimHash algorithm at 60 bits over the
     md5-derived hash family: per-bit popcount sums, majority vote, pack,
@@ -1763,14 +1775,15 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ps = F.col("payload").cast("string")
-    feats = F.array(
-        *[
-            (_md5_lower60(F.concat(ps, F.lit(f":{j}"))) % 256).cast(
-                "double"
-            )
+    # 32 portable hashes as ONE parsed expression (r14: the Column-API
+    # form cost ~1.2 s of driver time per construction; same expression)
+    feats = F.expr(
+        "array(" + ", ".join(
+            "cast("
+            + _md5_lower60_sql(f"concat(cast(payload as string), ':{j}')")
+            + " % 256 as double)"
             for j in range(32)
-        ]
+        ) + ")"
     )
     # The EXPLODED relational aHash (posexplode -> per-media window sum
     # -> conditional bit agg), not ahash_pack's array expression: the
