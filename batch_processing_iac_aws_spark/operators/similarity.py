@@ -52,6 +52,8 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded when ids
     collide). Returns (query_id, neighbor_id, rank, score)."""
+    from ..catalog import fanout_scan
+
     # norms are computed ONCE per row before the pairwise join — cosine()
     # inside the join would recompute both norms for every pair (3x the
     # array-HOF work, and HOF lambdas evaluate interpreted)
@@ -60,11 +62,19 @@ def brute_force_topk(
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
+    # fan the CORPUS side out before the broadcast join (r15, guide §2.5):
+    # with a single-row-group input the scan is ONE task, and since the
+    # tiny query side broadcasts, every |corpus| x |queries| interpreted
+    # dot product ran on one core (profiled: one 1-task 0.5-2 s job WAS
+    # the query). Guarded no-op on properly split inputs, so the at-scale
+    # plan keeps its map-only scan shape. Norms project AFTER the
+    # exchange so they are computed in parallel too.
+    c = fanout_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+        )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -349,6 +359,18 @@ def ivf_refined_centroids(
     dfq = corpus.select(
         F.col(id_col), _quantized_vec(vec_col, grid).alias("__xq")
     )
+    if iters > 1:
+        # Pin the quantized corpus BEFORE the init collect (r15): the old
+        # order ran the full quantize scan once for the init collect and
+        # AGAIN for the eager pin — pinning first makes the init collect a
+        # cheap read of the pinned blocks (one quantize pass instead of
+        # two). Blocks release on GC (the kmeans_exact rationale). NOT
+        # fanned out: the per-round work is one numpy matmul per Arrow
+        # batch — measured FASTER as one fat task than as 32 Arrow
+        # round-trip-dominated slivers (r15 A/B: fanout regressed
+        # similarity_ivf_pq 6.4->7.8 s warm; the same 8-beats-32-cores
+        # signature as PERF_r14's scaling block).
+        dfq = dfq.localCheckpoint(eager=True)
     init_rows = dfq.orderBy(id_col).limit(n_centroids).collect()
     if not init_rows:
         raise ValueError("cannot init IVF centroids from an empty corpus")
@@ -357,11 +379,6 @@ def ivf_refined_centroids(
     cents = [
         [int(x) * centroid_scale for x in r["__xq"]] for r in init_rows
     ]
-    if iters > 1:
-        # each refinement round re-reads the quantized corpus: pin it
-        # (eager localCheckpoint — blocks released on GC, the
-        # kmeans_exact rationale)
-        dfq = dfq.localCheckpoint(eager=True)
     for _ in range(max(0, iters - 1)):
         assigned = dfq.withColumn(
             "cluster",
@@ -670,7 +687,25 @@ def _write_ivf_assignments(
         centroids,
         vec_col="vec",
         score_round=score_round,
-    ).select(
+    )
+    _write_assigned_cells(
+        assigned, gen_dir,
+        batch_id=batch_id, max_rows_per_file=max_rows_per_file,
+    )
+
+
+def _write_assigned_cells(
+    assigned: DataFrame,
+    gen_dir: str,
+    *,
+    batch_id: int,
+    max_rows_per_file: "int | None" = None,
+) -> None:
+    """The write half of :func:`_write_ivf_assignments` over a frame that
+    ALREADY carries its cell (``id``, ``vec``, ``ivf_cluster``) — split
+    out (r15) so :func:`append_to_ivf_index` can reuse the scoring pass
+    its drift probe already ran instead of assigning the batch twice."""
+    out = assigned.select(
         "id",
         "vec",
         l2_norm(F.col("vec")).alias("norm"),
@@ -686,7 +721,7 @@ def _write_ivf_assignments(
         # 2k-row build); with it, one file per (batch, cell) — or
         # several for a salted giant cell when max_rows_per_file is set.
         salted_repartition(
-            assigned,
+            out,
             ["batch_seq", "ivf_cluster"],
             split_col="id",
             max_rows_per_file=max_rows_per_file,
@@ -723,7 +758,19 @@ def append_to_ivf_index(
     RETRAINED from the full persisted corpus + this batch (one full
     reassignment scan, the amortized-rare path). Returns True iff a
     retrain happened. The drift probe is one small aggregate (two longs),
-    not a collect of vectors."""
+    not a collect of vectors.
+
+    ONE scoring pass serves both the drift probe and the assignment
+    write (r15, guide §1.2/§5): the old shape scored the batch against
+    the centroids for the drift aggregate and then AGAIN inside
+    :func:`_write_ivf_assignments` — the scored+assigned frame is now
+    pinned lazily (localCheckpoint materialized by the drift aggregate's
+    own job, so probe and pin are one action) and the no-drift write
+    reads the pinned blocks. Batch-sized by contract; blocks release on
+    GC. Same executor-loss caveat as every localCheckpoint here: on a
+    real cluster a lost executor fails the micro-batch (no lineage to
+    recompute) and the replay-stable batch_id re-runs it — acceptable
+    for batch-cadence ingest, swap for reliable checkpoint dirs if not."""
     spark = batch.sparkSession
     gen_dir = _ivf_current(index_dir)
     watermark = _ivf_compaction_watermark(gen_dir)
@@ -740,10 +787,22 @@ def append_to_ivf_index(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn(
-        "__best",
-        F.array_max(_centroid_scores_udf(centroids)(F.col("vec"))),
+        "__scores", _centroid_scores_udf(centroids)(F.col("vec"))
     )
-    drift = scored.agg(
+    # the cell is the same argmax assign_ivf_clusters computes (raw
+    # scores — the append path never rounds); materialized alongside the
+    # drift column so the write below never re-runs the Arrow scoring
+    assigned = scored.select(
+        "id",
+        "vec",
+        F.array_max("__scores").alias("__best"),
+        (
+            F.array_position(F.col("__scores"), F.array_max("__scores"))
+            .cast("int")
+            - 1
+        ).alias("ivf_cluster"),
+    ).localCheckpoint(eager=False)
+    drift = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("__best") < drift_floor).cast("long")).alias("n_drift"),
     ).collect()[0]
@@ -763,10 +822,9 @@ def append_to_ivf_index(
             # already-retrained and take the idempotent append path, which
             # dynamic-overwrites exactly this batch's own partitions with
             # content identical to what the retrain wrote.
-            _write_ivf_assignments(
-                batch, centroids, gen_dir,
-                id_col=id_col, vec_col=vec_col, batch_id=batch_id,
-                max_rows_per_file=max_rows_per_file,
+            _write_assigned_cells(
+                assigned, gen_dir,
+                batch_id=batch_id, max_rows_per_file=max_rows_per_file,
             )
             return False
         _retrain_ivf_index(
@@ -778,10 +836,9 @@ def append_to_ivf_index(
             batch_id=batch_id,
         )
         return True
-    _write_ivf_assignments(
-        batch, centroids, gen_dir,
-        id_col=id_col, vec_col=vec_col, batch_id=batch_id,
-        max_rows_per_file=max_rows_per_file,
+    _write_assigned_cells(
+        assigned, gen_dir,
+        batch_id=batch_id, max_rows_per_file=max_rows_per_file,
     )
     return False
 
@@ -981,11 +1038,20 @@ def incremental_ann_dedup(
     choice and drop decision are engine-portable — the registered query
     hash-oracles the whole composition (build -> probe -> drop)
     end-to-end; build the index with the same ``assign_score_round``."""
+    from ..catalog import fanout_scan
+
     spark = batch.sparkSession
     centroids = read_ivf_centroids(spark, index_dir)
-    q = batch.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
+    # fan the batch scan out (r15, guide §2.5): with a single-row-group
+    # input and the probed history riding a broadcast, the whole
+    # |batch| x |probed cells| interpreted-HOF scoring ran as ONE task
+    # (profiled: one 1-task 1.8 s job was ~half this query). Guarded
+    # no-op on properly split inputs.
+    q = fanout_scan(
+        batch.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
     ).withColumn(
         "__rs",
         F.transform(
@@ -994,8 +1060,12 @@ def incremental_ann_dedup(
         ),
     )
     probes = _probe_cells(F.col("__rs"), len(centroids), n_probe)
+    # the batch-side norm is computed ONCE per probe row here (r15): the
+    # old form evaluated l2_norm(__qv) — an interpreted array aggregate —
+    # inside the candidate select, i.e. per (batch, history) PAIR; same
+    # expression on the same value, so the scores are bit-identical
     qp = q.withColumn("ivf_cluster", F.explode(probes)).select(
-        "__qid", "__qv", "ivf_cluster"
+        "__qid", "__qv", l2_norm(F.col("__qv")).alias("__qn"), "ivf_cluster"
     )
     hist = ivf_assignments(spark, index_dir).select(
         F.col("vec").alias("__hv"),
@@ -1006,9 +1076,9 @@ def incremental_ann_dedup(
         "__qid",
         F.round(
             F.when(
-                l2_norm(F.col("__qv")) * F.col("__hn") > 0,
+                F.col("__qn") * F.col("__hn") > 0,
                 dot(F.col("__qv"), F.col("__hv"))
-                / (l2_norm(F.col("__qv")) * F.col("__hn")),
+                / (F.col("__qn") * F.col("__hn")),
             ),
             score_round,
         ).alias("__s"),
@@ -1276,8 +1346,21 @@ def kmeans_exact(
     clusters keep their previous centroid. No iteration-growing lineage:
     each round's frame derives from the cached quantized input, not the
     previous round's plan."""
-    dfq = df.select(
-        F.col(id_col), _quantized_vec(vec_col, grid).alias("__xq")
+    # Materialize the quantized input with an eager localCheckpoint, NOT
+    # .cache(): every iteration (and the returned frame) reads the same
+    # pinned blocks, but — unlike a cache this function could never
+    # safely unpersist (the returned lazy frame keeps referencing it) —
+    # checkpoint blocks are released by the ContextCleaner once the RDD
+    # is GC'd, so repeated calls in a long-lived session don't
+    # accumulate pinned partitions. The returned frame stays a pure
+    # Arrow-assignment map over the checkpointed scan (plan-asserted in
+    # tests/test_plans.py). Pinned BEFORE the init collect (r15): the
+    # old order paid the quantize scan once for the init collect and
+    # again for the pin. NOT fanned out (the ivf_refined_centroids
+    # rationale: one numpy-matmul task beats 32 Arrow slivers).
+    dfq = (
+        df.select(F.col(id_col), _quantized_vec(vec_col, grid).alias("__xq"))
+        .localCheckpoint(eager=True)
     )
     init_rows = dfq.orderBy(id_col).limit(k).collect()
     if not init_rows:
@@ -1289,16 +1372,6 @@ def kmeans_exact(
     cents = [
         [int(x) * centroid_scale for x in r["__xq"]] for r in init_rows
     ]
-    # Materialize the quantized input with an eager localCheckpoint, NOT
-    # .cache(): every iteration (and the returned frame) reads the same
-    # pinned blocks, but — unlike a cache this function could never
-    # safely unpersist (the returned lazy frame keeps referencing it) —
-    # checkpoint blocks are released by the ContextCleaner once the RDD
-    # is GC'd, so repeated calls in a long-lived session don't
-    # accumulate pinned partitions. The returned frame stays a pure
-    # Arrow-assignment map over the checkpointed scan (plan-asserted in
-    # tests/test_plans.py).
-    dfq = dfq.localCheckpoint(eager=True)
     assigned = None
     for t in range(iters):
         assigned = dfq.withColumn(
@@ -1457,16 +1530,17 @@ def _pq_train_sub(
     of ``xq - cell_centroid_q``) train through the identical
     deterministic machinery."""
     sub = sub.localCheckpoint(eager=True)  # every iteration re-reads this
-    first = (
-        sub.filter(F.col("sub_idx") == 0)
-        .orderBy("id")
-        .limit(k)
-        .select("id")
-    )
-    init = (
-        sub.join(F.broadcast(first), "id")
-        .orderBy("sub_idx", "id")
-        .collect()
+    # (NOT fanned out before the pin — r15 A/B: the per-round Arrow
+    # assignment is one numpy matmul per batch and ran FASTER as one fat
+    # task than as 32 round-trip-dominated slivers.)
+    # init in ONE job (r15): every id contributes exactly m subvector
+    # rows (posexplode of the m-slice array), so the k*m smallest
+    # (id, sub_idx) rows ARE the k smallest ids' full slice sets — the
+    # old two-job form (top-k ids, then a join back) collected the same
+    # rows. Re-sorted driver-side to the old (sub_idx, id) fill order.
+    init = sorted(
+        sub.orderBy("id", "sub_idx").limit(k * m).collect(),
+        key=lambda r: (r["sub_idx"], r["id"]),
     )
     if not init:
         raise ValueError("pq_train: empty input")
@@ -1543,20 +1617,27 @@ def _pq_query_lut(
     vec_col: str,
     query_id_col: str,
     grid: int,
+    q_rows=None,
 ) -> DataFrame:
     """The per-query ADC lookup table: (query_id, sub_idx, code, __pdot)
     rows of exact partial inner products query_subvector · codeword —
     driver-side numpy over the BOUNDED query set (the same model-sized
     budget as brute_force_topk's broadcast), shipped via Arrow
-    local_frame. |queries| * m * n_codes rows."""
+    local_frame. |queries| * m * n_codes rows.
+
+    ``q_rows`` (r15): callers that already collected the query set (the
+    IVF probe-list builders) pass their rows — with ``qid`` and the
+    engine-quantized ``__qq`` fields — so one collect job serves both the
+    probe list and the LUT instead of two."""
     from ..session import local_frame
 
     m = len(codebooks)
     nk = len(codebooks[0])
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"),
-        _pq_normalized_quantized(vec_col, grid).alias("__qq"),
-    ).collect()  # bounded: queries are the small side by contract
+    if q_rows is None:
+        q_rows = queries.select(
+            F.col(id_col).alias("qid"),
+            _pq_normalized_quantized(vec_col, grid).alias("__qq"),
+        ).collect()  # bounded: queries are the small side by contract
     lut = []
     for r in q_rows:
         qv = np.array(r["__qq"], dtype=np.int64)
@@ -1771,15 +1852,20 @@ def ivf_pq_topk(
         ).alias("code"),
     )
     # per-query probe list: n_probe best cells by cosine, driver-side
-    # numpy over the bounded query set (ties to the lowest cell id)
+    # numpy over the bounded query set (ties to the lowest cell id).
+    # ONE collect serves probe list AND LUT (r15): the engine-quantized
+    # __qq rides along so _pq_query_lut skips its own collect job.
     C = np.array([cv for _, cv in centroids], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0] = np.inf
     Cu = (C / cn[:, None]).T
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        _pq_normalized_quantized(vec_col, grid).alias("__qq"),
+    ).collect()
     probe_rows = []
-    for r in queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
-    ).collect():
+    for r in q_rows:
         qv = np.array(r["__qv"], dtype=np.float64)
         n = np.linalg.norm(qv) or np.inf
         s = (qv / n) @ Cu
@@ -1793,7 +1879,7 @@ def ivf_pq_topk(
     lut_df = _pq_query_lut(
         codes_c, cbs, queries,
         id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col, grid=grid,
+        query_id_col=query_id_col, grid=grid, q_rows=q_rows,
     )
     scored = (
         codes_c.join(F.broadcast(probe_df), "ivf_cluster")
@@ -1984,9 +2070,16 @@ def ivf_pq_residual_search(
     Cu = (C / cn[:, None]).T
     probe_rows: list = []
     cell_rows: list = []
-    for r in queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
-    ).collect():
+    # ONE collect serves probe/cell rows AND the LUT (r15): the
+    # engine-quantized __qq rides along so _pq_query_lut skips its own
+    # collect job; the probe/cell math below stays driver-numpy exactly
+    # as before.
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        _pq_normalized_quantized(vec_col, grid).alias("__qq"),
+    ).collect()
+    for r in q_rows:
         qv = np.array(r["__qv"], dtype=np.float64)
         n = np.linalg.norm(qv) or np.inf
         s = (qv / n) @ Cu
@@ -2008,7 +2101,7 @@ def ivf_pq_residual_search(
     lut_df = _pq_query_lut(
         codes, codebooks, queries,
         id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col, grid=grid,
+        query_id_col=query_id_col, grid=grid, q_rows=q_rows,
     )
     scored = (
         codes.join(F.broadcast(probe_df), "ivf_cluster")
@@ -2303,9 +2396,16 @@ def ivf_pq_index_topk(
     Cu = (C / cn[:, None]).T
     probe_rows = []
     cell_rows = []
-    for r in queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
-    ).collect():
+    # ONE collect serves probe/cell rows AND the LUT (r15): the
+    # engine-quantized __qq rides along so _pq_query_lut skips its own
+    # collect job; the probe/cell math below stays driver-numpy exactly
+    # as before.
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        _pq_normalized_quantized(vec_col, grid).alias("__qq"),
+    ).collect()
+    for r in q_rows:
         qv = np.array(r["__qv"], dtype=np.float64)
         n = np.linalg.norm(qv) or np.inf
         s = (qv / n) @ Cu
@@ -2323,7 +2423,7 @@ def ivf_pq_index_topk(
     lut_df = _pq_query_lut(
         codes, cbs, queries,
         id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col, grid=grid,
+        query_id_col=query_id_col, grid=grid, q_rows=q_rows,
     )
     if encoding == "residual":
         cell_df = local_frame(

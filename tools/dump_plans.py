@@ -13,7 +13,7 @@ from batch_processing_iac_aws_spark.plans import QUERIES  # noqa: E402
 from batch_processing_iac_aws_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r14")
+                   "plans", os.environ.get("PLANS_TAG_DIR", "r15"))
 
 
 def main() -> None:
