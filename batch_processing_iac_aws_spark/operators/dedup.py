@@ -478,18 +478,24 @@ def connected_components(
     checkpoint dir and swap localCheckpoint for checkpoint."""
     # materialize the edge list once: every propagation round joins it, and
     # without the checkpoint each round would recompute the full upstream
-    # plan (for fuzzy dedup: LSH banding + Jaccard verify, per round)
+    # plan (for fuzzy dedup: LSH banding + Jaccard verify, per round).
+    # LAZY localCheckpoints (r15, guide §1.5 fewer actions): eager pins
+    # ran one materialization job per frame per round PLUS the
+    # convergence count — lazy ones persist-on-first-compute, so the
+    # count probe's own job materializes the round's labels (and, in
+    # round one, the edge list): one job per round instead of two, same
+    # blocks pinned, same lineage truncation.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh_min = (
@@ -506,7 +512,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("__nl") < F.col("component")).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
