@@ -131,7 +131,19 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     makes the fan-out scale-adaptive rather than a local[32] tuning.
     Apply it only where the downstream per-row work dwarfs a tiny
     exchange; rows that feed joins/broadcasts measured neutral-to-worse
-    under a blanket fan-out."""
+    under a blanket fan-out.
+
+    Known probe limitations (r15, ADVICE item): the guard counts the
+    scan's BYTE-RANGE splits, not row distribution — a large
+    single-row-group file that Spark byte-splits into >= parallelism
+    partitions still delivers every row to one partition while the
+    guard no-ops (parquet reads whole row groups; the other splits come
+    up empty). Acceptable here because the repo's pathological inputs
+    are small single-row-group files, which the guard does catch, and a
+    false no-op only loses the optimization, never correctness. The
+    ``df.rdd`` probe also re-analyzes the plan per call (~tens of ms) —
+    fine per query construction; do NOT call this per micro-batch (the
+    streaming batchers deliberately don't)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -215,7 +215,12 @@ def fuzzy_join(
     # blocked broadcast join — and therefore EVERY levenshtein — ran as
     # one task (profiled: one 1-task 3.4 s job was the whole query).
     # Guarded no-op when the scans are already split, so the at-scale
-    # plan is unchanged.
+    # plan is unchanged. BOTH sides are fanned INTENTIONALLY (r15,
+    # ADVICE item): only the non-broadcast side's parallelism matters,
+    # but which side broadcasts is an optimizer size ESTIMATE that can
+    # flip with scale/filters — fanning both is robust to the flip, and
+    # the broadcast side's extra exchange measured within noise
+    # (in-session A/B at sf0.1: 0.73 s single-side vs 0.79 s both).
     a = fanout_scan(left.select(
         F.col(left_id), F.col(text_col).alias(lt), *block_cols
     ))

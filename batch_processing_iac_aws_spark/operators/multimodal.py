@@ -28,6 +28,7 @@ import functools as _functools
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -1481,6 +1482,15 @@ def _g711_decode_table(law: int) -> "list[int]":
     return out
 
 
+@_functools.lru_cache(maxsize=2)
+def _g711_np_table(law: int) -> "np.ndarray":
+    """The G.711 decode table as an int64 numpy array, built once per
+    worker per law (r15): the list form was rebuilt per payload, and the
+    byte->linear expansion is now one vectorized fancy-index per chunk
+    instead of a per-byte Python loop. Same integers, same values."""
+    return np.asarray(_g711_decode_table(law), dtype=np.int64)
+
+
 def compand_g711(samples: "list[int]", law: int) -> bytes:
     """G.711 COMPANDER (linear-16 -> companded byte; law 6 = A-law,
     7 = mu-law, the WAVE format codes) — the lossy encode
@@ -1640,8 +1650,13 @@ def compress_adpcm(
 
 
 def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
-    """RIFF/WAVE walk + PCM sample decode with the standard library
-    only: returns (sample_rate, mono samples in [-1, 1]). Supports
+    """RIFF/WAVE walk + PCM sample decode, stdlib container walk with
+    numpy-vectorized sample expansion (r15, guide §4.2): returns
+    (sample_rate, mono samples in [-1, 1]) — every value bit-identical
+    to the per-sample Python loops this replaces (integer unpack/table/
+    downmix arithmetic is exact; float ops are the same correctly-rounded
+    IEEE ops in the same order; the list boundary is kept so callers and
+    the differential suites see the exact old API). Supports
     integer PCM (format 1) at 8-bit unsigned and 16-bit signed, any
     channel count (channels mix to mono by mean — the standard
     downmix); unknown RIFF chunks (LIST, fact, cue, ...) are skipped by
@@ -1701,16 +1716,25 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
                 f"{'A-law' if audio_format == 6 else 'mu-law'} "
                 "(G.711 companded samples are 8-bit)"
             )
-        table = _g711_decode_table(audio_format)
-        ints = [table[b] for b in frames]
+        # numpy table lookup (r15, guide §4.2 vectorize inside the
+        # kernel): integer table values are exact, so this is
+        # bit-identical to the per-byte Python loop it replaces
+        # (differential audioop suite + the G.711 oracles re-prove it)
+        ints = _g711_np_table(audio_format)[
+            np.frombuffer(frames, dtype=np.uint8)
+        ]
         scale = 32768.0
     elif audio_format == 3:  # IEEE float (round 11): nominally [-1, 1]
         if bits == 32:
             n = len(frames) // 4
-            ints = struct.unpack(f"<{n}f", frames[: 4 * n])
+            ints = np.frombuffer(frames, dtype="<f4", count=n).astype(
+                np.float64  # f32 -> f64 widening is exact
+            )
         elif bits == 64:
             n = len(frames) // 8
-            ints = struct.unpack(f"<{n}d", frames[: 8 * n])
+            ints = np.frombuffer(frames, dtype="<f8", count=n).astype(
+                np.float64
+            )
         else:
             raise NotImplementedError(
                 f"decode_wav_stdlib: {bits}-bit IEEE float "
@@ -1722,11 +1746,11 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
         # loud; legal-but-unclipped masters (|v| > 1) clip to full
         # scale, exactly as playback would, keeping the [0, 1] feature
         # contract
-        if any(v != v or v in (float("inf"), float("-inf")) for v in ints):
+        if not np.isfinite(ints).all():
             raise NotImplementedError(
                 "decode_wav_stdlib: non-finite IEEE-float samples"
             )
-        ints = [1.0 if v > 1.0 else (-1.0 if v < -1.0 else v) for v in ints]
+        ints = np.clip(ints, -1.0, 1.0)
         scale = 1.0
     elif audio_format == 17:  # IMA/DVI ADPCM (round 14)
         if bits != 4:
@@ -1771,27 +1795,40 @@ def _wav_decode_samples(payload: bytes) -> "tuple[int, list[float]]":
             for i in range(len(chans[0][2])):
                 for st in chans:
                     ints.append(st[2][i])
+        ints = np.asarray(ints, dtype=np.int64)
         scale = 32768.0
     elif bits == 16:
         n = len(frames) // 2
-        ints = struct.unpack(f"<{n}h", frames[: 2 * n])
+        ints = np.frombuffer(frames, dtype="<i2", count=n).astype(np.int64)
         scale = 32768.0
     elif bits == 8:
-        ints = [b - 128 for b in frames]  # 8-bit WAV is unsigned
+        # 8-bit WAV is unsigned
+        ints = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
         scale = 128.0
     else:
         raise NotImplementedError(
             f"decode_wav_stdlib: {bits}-bit PCM (8/16 supported)"
         )
+    # Vectorized downmix (r15, guide §4.2), value-identical to the old
+    # per-frame Python loop: integer formats sum exactly in int64 and pay
+    # ONE float division per frame (the same single correctly-rounded op
+    # the loop performed); the float format accumulates channels LEFT TO
+    # RIGHT (elementwise `acc + col`, the same op order as the loop's
+    # sum()) — never np.sum, whose pairwise reduction could differ in the
+    # last ulp.
     n_frames = len(ints) // n_ch
     if n_ch == 1:
-        mono = [v / scale for v in ints[:n_frames]]
+        mono = ints[:n_frames] / scale
     else:
-        mono = [
-            sum(ints[i * n_ch : (i + 1) * n_ch]) / (n_ch * scale)
-            for i in range(n_frames)
-        ]
-    return rate, mono
+        chans2 = ints[: n_frames * n_ch].reshape(n_frames, n_ch)
+        if ints.dtype == np.int64:
+            mono = chans2.sum(axis=1) / (n_ch * scale)
+        else:
+            acc = chans2[:, 0].copy()
+            for c in range(1, n_ch):
+                acc = acc + chans2[:, c]
+            mono = acc / (n_ch * scale)
+    return rate, mono.tolist()
 
 
 def decode_wav_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
@@ -1810,6 +1847,12 @@ def decode_wav_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
 
     _rate, mono = _wav_decode_samples(payload)
     n = len(mono)
+    # vectorized block RMS (r15): squares are elementwise (same rounding
+    # as the loop) and the block sum uses CUMSUM, whose accumulation is
+    # sequential left-to-right — bit-identical to the Python sum() it
+    # replaces (np.sum's pairwise reduction would not be)
+    m = np.asarray(mono, dtype=np.float64)
+    sq = m * m
     feats = []
     for j in range(feature_dim):
         lo, hi = (j * n) // feature_dim, ((j + 1) * n) // feature_dim
@@ -1817,7 +1860,7 @@ def decode_wav_stdlib(payload: bytes, *, feature_dim: int = 8) -> list[float]:
             feats.append(0.0)
             continue
         feats.append(
-            _m.sqrt(sum(v * v for v in mono[lo:hi]) / (hi - lo))
+            _m.sqrt(float(np.cumsum(sq[lo:hi])[-1]) / (hi - lo))
         )
     return feats
 

@@ -159,6 +159,17 @@ def dsir_importance_weights(
     # pipeline persists the featurized profile precisely so the corpus
     # is read once (DSIR paper §3 pipeline); measured ~1 s off each
     # dsir_* row at sf0.1.
+    #
+    # Two documented caveats (r15, ADVICE items): (a) the pin is EAGER,
+    # so merely CONSTRUCTING a dsir_* frame (explain, schema probe) runs
+    # the featurize pass — every real caller executes immediately after
+    # building, and the alternative (lazy) would re-run the pass once
+    # per consumer; (b) localCheckpoint blocks have no lineage — on a
+    # real cluster an executor loss mid-query fails the job instead of
+    # recomputing, and the profile here is CORPUS-sized, so the 100 TB
+    # form is a reliable `checkpoint()` into the job's checkpoint dir or
+    # an explicit persisted-profile step (the dedup.py graph-loop note,
+    # applied to DSIR).
     raw_prof = raw_prof.localCheckpoint(eager=True)
     tgt_prof = hashed_ngram_buckets(
         target_docs, id_col=id_col, text_col=text_col,

@@ -595,7 +595,13 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
         .withColumn("g", F.lit(2))  # divisor: half gain
     )
-    src = base.unionByName(dup)
+    # fan the 2-partition union (two single-row-group scans) out before
+    # the per-doc encode+decode mapInPandas (r15, guide §2.5): the whole
+    # WAV encode + RIFF decode corpus pass otherwise runs on 2 of the
+    # session's cores (profiled: two ~2 s 2-task jobs WERE the cold
+    # query). Warm runs reuse media_phash_pairs' plan-keyed cache either
+    # way; guarded no-op on properly split inputs.
+    src = fanout_scan(base.unionByName(dup))
 
     def _smp(text: str, ch: int, i: int) -> int:
         dig = hashlib.md5(f"{text}:{ch}:{i}".encode("utf-8")).digest()
@@ -935,7 +941,14 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
         .withColumn("d", F.lit(8))
     )
-    src = base.unionByName(dup)
+    # fan the 2-partition union out before the per-doc JPEG/AVI encode +
+    # container-walk decode (r15, guide §2.5): the encode side is the
+    # heaviest per-doc Python in the repo and otherwise runs on 2 of the
+    # session's cores (profiled: two 15 s 2-task jobs WERE the cold
+    # query — ~15 of this row's ~21 cold seconds). Warm runs reuse
+    # media_phash_pairs' plan-keyed cache either way; guarded no-op on
+    # properly split inputs.
+    src = fanout_scan(base.unionByName(dup))
     quant = [16] * 64
 
     def _dc(text: str, f: int, b: int) -> int:

@@ -392,7 +392,12 @@ def ingest_dedup_batch(
     # two consumers follow (table write + hash-index append); without
     # this pin the upstream batch pipeline would run TWICE per
     # micro-batch (the ingest_fuzzy_batch rationale) — batch-sized by
-    # contract
+    # contract. Cluster caveat (r15, ADVICE item, applies to every
+    # survivor pin in this module): localCheckpoint blocks have no
+    # lineage, so losing an executor after the pin fails the micro-batch
+    # (and is incompatible with dynamic allocation); the replay-stable
+    # batch_id re-runs it idempotently, which is the accepted trade for
+    # batch-sized frames — swap for reliable checkpoints if not.
     survivors = survivors.localCheckpoint(eager=True)
     append_table(survivors, table_dir, batch_id=batch_id)
     append_index(
